@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Immutable replacement for the reference's global mutable CONFIG
+  * (`/root/reference/src/config.js:1-12`, mutator `setConfig` :8-12).
+  *
+  * @param schema        optional hard-coded reader schema (Avro JSON); `None`
+  *                      reads the writer schema from the file header —
+  *                      reference `src/index.js:393-401`.
+  * @param keepFields    allow-list projection; `None` keeps all —
+  *                      reference `src/index.js:40,43-45`.
+  * @param ignoreFields  deny-list projection; `None` ignores none.
+  * @param stringKeys    reference-compat key semantics: key parts are
+  *                      stringified and nulls become the literal "null" so
+  *                      null keys match each other (`src/index.js:272-278`).
+  *                      `false` = native typed keys with SQL null semantics.
+  *
+  * No codec knob: the Avro source auto-detects null/deflate/snappy/zstd from
+  * the file header (the reference needed a manual flag, `src/config.js:3`).
+  */
+final case class DiffConfig(
+    schema: Option[String] = None,
+    keepFields: Option[Seq[String]] = None,
+    ignoreFields: Option[Seq[String]] = None,
+    stringKeys: Boolean = true) {
+
+  /** A field survives iff not ignored AND (no allow-list OR allowed) —
+    * exactly the reference's `filteredSchema` (`src/index.js:43-45`), but
+    * applied as a Catalyst projection so column pruning reaches the scan.
+    */
+  def project(df: DataFrame): DataFrame = {
+    val kept = df.columns.filter { f =>
+      !ignoreFields.exists(_.contains(f)) && keepFields.forall(_.contains(f))
+    }
+    if (kept.sameElements(df.columns)) df
+    else df.select(kept.map(df.col).toIndexedSeq: _*)
+  }
+}

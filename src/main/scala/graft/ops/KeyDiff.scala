@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.DiffConfig
+
+/** Keyed full-outer diff of two datasets — the reference's flagship
+  * `keyDiff` (`/root/reference/src/index.js:128-223`), re-expressed as a
+  * distributed full-outer equi-join instead of a driver-side sort-merge
+  * loop.
+  *
+  * Semantics carried over (SURVEY §7.4):
+  *   - composite key = ordered top-level field list;
+  *   - compat mode stringifies key parts and maps null → "null" so two
+  *     null-keyed rows match (`src/index.js:272-278`);
+  *   - every row is classified `added | removed | changed | unchanged`;
+  *   - changed rows carry a per-field structural diff. Unlike the
+  *     reference (which loses deleted values, `src/index.js:26-28`), we
+  *     keep both old and new values.
+  *
+  * Divergence (documented, SURVEY §7.4.3): on duplicate keys the reference
+  * pairs rows positionally; a relational join cross-products them. Run
+  * [[DataTests.keyUniqueness]] first — the reference's own data test does
+  * the same (`src/dataTest.js:4-25`).
+  *
+  * Scale notes: the join shuffles both sides by the normalized key and
+  * Spark plans a SortMergeJoin (or shuffled hash under AQE); nothing is
+  * ever materialized on the driver. If one side is dimension-sized the
+  * caller can `broadcast()` it before calling.
+  */
+object KeyDiff {
+
+  val StatusCol = "status"
+  val ChangedFieldsCol = "changed_fields"
+
+  /** Normalized key column, reference-compat: `String(row[f])` with
+    * `null`/missing → "null" (`src/index.js:272-278`).
+    */
+  def compatKey(c: Column): Column = coalesce(c.cast("string"), lit("null"))
+
+  /** Full-outer keyed diff.
+    *
+    * Output columns: one per key field (normalized, original names), then
+    * `status`, `old` / `new` payload structs (null on the absent side), and
+    * `changed_fields: map<field, struct<old_value, new_value>>` (non-empty
+    * only for status = changed).
+    */
+  def diff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keys: Seq[String],
+      cfg: DiffConfig = DiffConfig()): DataFrame = {
+    val o = cfg.project(oldDf)
+    val n = cfg.project(newDf)
+    val cols = o.columns.toSeq
+    require(n.columns.toSeq == cols,
+      s"old/new schemas differ: $cols vs ${n.columns.toSeq}")
+    val missing = keys.filterNot(cols.contains)
+    require(missing.isEmpty, s"key fields not in schema: $missing")
+
+    def keyed(df: DataFrame, payload: String): DataFrame = {
+      val ks = keys.map { f =>
+        val c = if (cfg.stringKeys) compatKey(df(f)) else df(f)
+        c.as(s"__k_$f")
+      }
+      df.select((ks :+ struct(cols.map(df.col): _*).as(payload)).toIndexedSeq: _*)
+    }
+
+    val joined = keyed(o, "old")
+      .join(keyed(n, "new"), keys.map(f => s"__k_$f"), "full_outer")
+
+    val oldP = col("old")
+    val newP = col("new")
+    val status = when(oldP.isNull, lit("added"))
+      .when(newP.isNull, lit("removed"))
+      .when(oldP === newP, lit("unchanged"))
+      .otherwise(lit("changed"))
+
+    // Schema-driven field diff (reference O11, `detailedDiff` at
+    // src/index.js:205) as pure Catalyst expressions — stays in codegen.
+    val entries = cols.map { f =>
+      struct(
+        lit(f).as("key"),
+        when(!(oldP.getField(f) <=> newP.getField(f)),
+          struct(
+            oldP.getField(f).cast("string").as("old_value"),
+            newP.getField(f).cast("string").as("new_value"))).as("value"))
+    }
+    val changed = map_from_entries(
+      filter(array(entries.toIndexedSeq: _*), e => e.getField("value").isNotNull))
+
+    val keyOut = keys.map(f => col(s"__k_$f").as(f))
+    joined.select(
+      (keyOut ++ Seq(
+        status.as(StatusCol),
+        oldP,
+        newP,
+        when(status === "changed", changed).as(ChangedFieldsCol)
+      )).toIndexedSeq: _*)
+  }
+
+  /** Count per status — the reference's printed summary lines
+    * (`src/index.js:148-152`) as an aggregate, never a collect-all.
+    */
+  def summary(diffed: DataFrame): DataFrame =
+    diffed.groupBy(StatusCol).count().orderBy(StatusCol)
+}

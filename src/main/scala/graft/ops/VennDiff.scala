@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.DiffConfig
+
+/** Key-less multiset (bag) comparison of whole rows — the reference's
+  * `vennDiff` (`/root/reference/src/index.js:65-116`):
+  * removed = old ∖ new, added = new ∖ old, intersection = old ∩ new, all
+  * with multiplicities.
+  *
+  * The reference streams each file into a count-map keyed by a canonical
+  * JSON string of the row (`src/index.js:88-116`). In Spark the same
+  * semantics are native multiset set-ops (`exceptAll` / `intersectAll`),
+  * and the counted form is a single union + hash aggregate — one shuffle,
+  * partial (map-side) aggregation, O(distinct rows) state, spillable.
+  * No JSON serialization is needed: struct equality is canonical.
+  */
+object VennDiff {
+
+  def removed(oldDf: DataFrame, newDf: DataFrame,
+      cfg: DiffConfig = DiffConfig()): DataFrame =
+    cfg.project(oldDf).exceptAll(cfg.project(newDf))
+
+  def added(oldDf: DataFrame, newDf: DataFrame,
+      cfg: DiffConfig = DiffConfig()): DataFrame =
+    cfg.project(newDf).exceptAll(cfg.project(oldDf))
+
+  def intersection(oldDf: DataFrame, newDf: DataFrame,
+      cfg: DiffConfig = DiffConfig()): DataFrame =
+    cfg.project(oldDf).intersectAll(cfg.project(newDf))
+
+  /** Counted venn — the reference's `str → count` maps
+    * (`src/index.js:95,108,113`) as one DataFrame: the distinct row plus
+    * `old_count / new_count / removed / added / common`.
+    *
+    * Plan shape: union the two inputs with indicator columns, then a single
+    * groupBy over the row columns. One shuffle total (vs three for
+    * except/except/intersect), with map-side partial counts — the plan that
+    * survives 100 TB.
+    */
+  def counted(oldDf: DataFrame, newDf: DataFrame,
+      cfg: DiffConfig = DiffConfig()): DataFrame = {
+    val o = cfg.project(oldDf)
+    val n = cfg.project(newDf)
+    require(o.columns.sameElements(n.columns),
+      s"old/new schemas differ: ${o.columns.toSeq} vs ${n.columns.toSeq}")
+    val cols = o.columns.toSeq
+
+    def tagged(df: DataFrame, oTag: Int, nTag: Int): DataFrame =
+      df.select((cols.map(df.col) ++ Seq(
+        lit(oTag.toLong).as("__o"), lit(nTag.toLong).as("__n"))).toIndexedSeq: _*)
+
+    tagged(o, 1, 0).unionAll(tagged(n, 0, 1))
+      .groupBy(cols.map(col).toIndexedSeq: _*)
+      .agg(sum("__o").as("old_count"), sum("__n").as("new_count"))
+      .withColumn("removed", greatest(col("old_count") - col("new_count"), lit(0L)))
+      .withColumn("added", greatest(col("new_count") - col("old_count"), lit(0L)))
+      .withColumn("common", least(col("old_count"), col("new_count")))
+  }
+
+  /** Three summary counts (rows in each region) — the reference's printed
+    * stats (`src/index.js:57-62`), with the label swap bug at :60-61 fixed.
+    */
+  def summary(oldDf: DataFrame, newDf: DataFrame,
+      cfg: DiffConfig = DiffConfig()): DataFrame =
+    counted(oldDf, newDf, cfg).agg(
+      sum("removed").as("removed"),
+      sum("added").as("added"),
+      sum("common").as("intersection"))
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.DiffConfig
+import graft.ops.{DataTests, KeyDiff, VennDiff}
+
+class CoreDiffSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def statusMap(df: org.apache.spark.sql.DataFrame): Map[String, String] = {
+    df.select("id", KeyDiff.StatusCol).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("keyDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+    val neu = Seq((2L, "b", 20.0), (3L, "c", 31.0), (4L, "d", 40.0))
+      .toDF("id", "name", "v")
+    val d = KeyDiff.diff(old, neu, Seq("id"))
+    assert(statusMap(d) == Map(
+      "1" -> "removed", "2" -> "unchanged", "3" -> "changed", "4" -> "added"))
+    val changed = d.filter(col("id") === "3")
+      .select(col(s"${KeyDiff.ChangedFieldsCol}.v")).collect().head.getStruct(0)
+    assert(changed.getString(0) == "30.0" && changed.getString(1) == "31.0")
+  }
+
+  test("keyDiff compat mode: null keys match each other (reference src/index.js:272-278)") {
+    import spark.implicits._
+    val old = Seq((Some(1L), "x"), (None, "was-null")).toDF("id", "name")
+    val neu = Seq((Some(1L), "x"), (None, "now-null")).toDF("id", "name")
+    val d = KeyDiff.diff(old, neu, Seq("id"))
+    assert(statusMap(d) == Map("1" -> "unchanged", "null" -> "changed"))
+    // native mode: SQL semantics, null keys never match
+    val n = KeyDiff.diff(old, neu, Seq("id"), DiffConfig(stringKeys = false))
+    assert(n.filter(col(KeyDiff.StatusCol) === "unchanged").count() == 1)
+    assert(n.filter(col(KeyDiff.StatusCol) === "added").count() == 1)
+    assert(n.filter(col(KeyDiff.StatusCol) === "removed").count() == 1)
+  }
+
+  test("keyDiff self-diff is all unchanged (reference sampleDataTest)") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val d = KeyDiff.diff(orders, orders, Seq("o_orderkey"))
+    assert(d.filter(col(KeyDiff.StatusCol) =!= "unchanged").isEmpty)
+    assert(d.count() == orders.count())
+  }
+
+  test("keyDiff projection: ignored fields don't count as changes") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 1.0)).toDF("id", "name", "noise")
+    val neu = Seq((1L, "a", 2.0)).toDF("id", "name", "noise")
+    val cfg = DiffConfig(ignoreFields = Some(Seq("noise")))
+    val d = KeyDiff.diff(old, neu, Seq("id"), cfg)
+    assert(statusMap(d) == Map("1" -> "unchanged"))
+  }
+
+  test("venn multiset identities: |old| = removed + common") {
+    import spark.implicits._
+    val old = Seq("a", "a", "a", "b", "c").toDF("v")
+    val neu = Seq("a", "b", "b", "d").toDF("v")
+    assert(VennDiff.removed(old, neu).collect().map(_.getString(0)).sorted
+      .sameElements(Array("a", "a", "c")))
+    assert(VennDiff.added(old, neu).collect().map(_.getString(0)).sorted
+      .sameElements(Array("b", "d")))
+    assert(VennDiff.intersection(old, neu).collect().map(_.getString(0)).sorted
+      .sameElements(Array("a", "b")))
+    val c = VennDiff.counted(old, neu)
+    val byV = c.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(byV("a") == ((3L, 1L, 2L, 0L, 1L)))
+    assert(byV("b") == ((1L, 2L, 0L, 1L, 1L)))
+    assert(byV("c") == ((1L, 0L, 1L, 0L, 0L)))
+    assert(byV("d") == ((0L, 1L, 0L, 1L, 0L)))
+    // summary counts = the printed stats, with the reference's :60-61 label
+    // swap fixed
+    val s = VennDiff.summary(old, neu).collect().head
+    assert((s.getLong(0), s.getLong(1), s.getLong(2)) == ((3L, 2L, 2L)))
+  }
+
+  test("venn flip symmetry: added(o,n) == removed(n,o)") {
+    val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderstatus", "o_orderpriority")
+      .filter(col("o_orderstatus") =!= "F")
+    val n = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderstatus", "o_orderpriority")
+    assert(VennDiff.added(o, n).count() == VennDiff.removed(n, o).count())
+    assert(VennDiff.summary(o, o).collect().head.getLong(0) == 0L)
+  }
+
+  test("keyDuplicates finds dup keys incl. null-vs-null") {
+    import spark.implicits._
+    val df = Seq(Some(1L), Some(1L), Some(2L), None, None).toDF("id")
+    val dups = DataTests.keyDuplicates(df, Seq("id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dups == Map("1" -> 2L, "null" -> 2L))
+    assert(!DataTests.keyUniqueness(df, Seq("id")))
+    assert(DataTests.keyUniqueness(df.dropDuplicates("id"), Seq("id")))
+  }
+
+  test("entry() flagship returns rows with all four statuses") {
+    val e = SparkEntry.entry(spark)
+    assert(e.count() > 0)
+    val statuses = e.select(KeyDiff.StatusCol).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(statuses == Set("added", "removed", "changed", "unchanged"))
+  }
+
+  test("every declared query runs at sf0.001 and oracle keys are a subset") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, "/root/testdata/sf0.001")
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      df.count() // materializes; throws on broken plans
+    }
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracleSql without queries entry: $unknown")
+  }
+}

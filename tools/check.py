@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Registers each testdata table as a DuckDB view, runs every oracle SQL from
+<verifyOutDir>/oracle_sql.json, and compares against the Spark parquet dump
+at <verifyOutDir>/<name>/ — columns sorted by name, rows sorted, exact value
+compare (the strictest plausible version of the driver's hash compare).
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failed = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            failed.append(name)
+            continue
+        g, w = canon(got), canon(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            failed.append(name)
+            continue
+        if g.shape != w.shape:
+            print(f"FAIL {name}: shape {g.shape} != {w.shape}")
+            failed.append(name)
+            continue
+        gtypes, wtypes = list(map(str, g.dtypes)), list(map(str, w.dtypes))
+        if gtypes != wtypes:
+            print(f"WARN {name}: dtypes {gtypes} != {wtypes}")
+        neq = (g.astype(str) != w.astype(str))
+        if neq.any().any():
+            bad = neq.any(axis=1)
+            idx = bad[bad].index[:3]
+            print(f"FAIL {name}: {int(bad.sum())}/{len(g)} rows differ; first:")
+            for i in idx:
+                print(f"  spark: {g.loc[i].to_dict()}")
+                print(f"  duck:  {w.loc[i].to_dict()}")
+            failed.append(name)
+        else:
+            print(f"OK   {name}: {len(g)} rows")
+    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} queries match")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
