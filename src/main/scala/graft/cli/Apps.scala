@@ -1,0 +1,80 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{KeyDiff, VennDiff}
+
+/** Shared session + colorized report printing (reference O15/O16,
+  * `/root/reference/src/index.js:53-63,143-153`). Counts come from
+  * aggregates; row dumps are `limit`-guarded — never a collect-all
+  * (100 TB posture, SURVEY §7.4.8).
+  */
+object Report {
+  private val Green = "[32m"
+  private val Red = "[31m"
+  private val Yellow = "[33m"
+  private val Reset = "[0m"
+
+  def session(): SparkSession = SparkSession.builder()
+    .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    .appName("graft")
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def bucket(name: String, color: String, df: DataFrame, limit: Int = 20): Unit = {
+    val n = df.count()
+    println(s"$color== $name: $n rows (showing up to $limit)$Reset")
+    df.limit(limit).collect().foreach(r => println(s"$color  $r$Reset"))
+  }
+
+  def printKeyDiff(d: DataFrame, limit: Int = 20): Unit = {
+    val s = col(KeyDiff.StatusCol)
+    bucket("added", Green, d.filter(s === "added"), limit)
+    bucket("removed", Red, d.filter(s === "removed"), limit)
+    bucket("changed", Yellow, d.filter(s === "changed"), limit)
+    KeyDiff.summary(d).collect().foreach { r =>
+      println(s"${r.getString(0)}: ${r.getLong(1)} rows")
+    }
+  }
+}
+
+/** `key_diff <oldFile> <newFile> <comma,separated,key>` — arg-compatible
+  * with `/root/reference/bin/key_diff.js:7-15`.
+  */
+object KeyDiffApp {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: KeyDiffApp <oldFile> <newFile> <key,fields>")
+    val Array(oldFile, newFile, key) = args
+    val spark = Report.session()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = KeyDiff.diff(
+      spark.read.format("avro").load(oldFile),
+      spark.read.format("avro").load(newFile),
+      key.split(',').toSeq)
+    Report.printKeyDiff(d)
+    spark.stop()
+  }
+}
+
+/** `venn_diff <oldFile> <newFile>` — arg-compatible with
+  * `/root/reference/bin/venn_diff.js:7-14`. Prints correct labels (the
+  * reference swaps added/removed counts at `src/index.js:60-61`).
+  */
+object VennDiffApp {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: VennDiffApp <oldFile> <newFile>")
+    val Array(oldFile, newFile) = args
+    val spark = Report.session()
+    spark.sparkContext.setLogLevel("WARN")
+    val o = spark.read.format("avro").load(oldFile)
+    val n = spark.read.format("avro").load(newFile)
+    Report.bucket("removed (old ∖ new)", "[31m", VennDiff.removed(o, n))
+    Report.bucket("added (new ∖ old)", "[32m", VennDiff.added(o, n))
+    Report.bucket("intersection", "[0m", VennDiff.intersection(o, n))
+    spark.stop()
+  }
+}

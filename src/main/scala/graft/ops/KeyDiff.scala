@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.core.DiffConfig
+import graft.core.{Canon, DiffConfig}
 
 /** Keyed full-outer diff of two datasets — the reference's flagship
   * `keyDiff` (`/root/reference/src/index.js:128-223`), re-expressed as a
@@ -71,9 +71,15 @@ object KeyDiff {
 
     val oldP = col("old")
     val newP = col("new")
+    val fieldTypes = o.schema.fields.map(f => f.name -> f.dataType).toMap
+    // Map-typed fields are not directly comparable — canonicalize for the
+    // equality checks (SURVEY §7.5), but keep original values in the output.
+    def fieldEq(f: String): Column =
+      Canon.nullSafeEq(oldP.getField(f), newP.getField(f), fieldTypes(f))
+    val payloadEq = cols.map(fieldEq).reduce(_ && _)
     val status = when(oldP.isNull, lit("added"))
       .when(newP.isNull, lit("removed"))
-      .when(oldP === newP, lit("unchanged"))
+      .when(payloadEq, lit("unchanged"))
       .otherwise(lit("changed"))
 
     // Schema-driven field diff (reference O11, `detailedDiff` at
@@ -81,7 +87,7 @@ object KeyDiff {
     val entries = cols.map { f =>
       struct(
         lit(f).as("key"),
-        when(!(oldP.getField(f) <=> newP.getField(f)),
+        when(!fieldEq(f),
           struct(
             oldP.getField(f).cast("string").as("old_value"),
             newP.getField(f).cast("string").as("new_value"))).as("value"))

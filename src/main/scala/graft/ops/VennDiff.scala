@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.core.DiffConfig
+import graft.core.{Canon, DiffConfig}
 
 /** Key-less multiset (bag) comparison of whole rows — the reference's
   * `vennDiff` (`/root/reference/src/index.js:65-116`):
@@ -18,17 +18,23 @@ import graft.core.DiffConfig
   */
 object VennDiff {
 
+  /** Project + canonicalize map-typed columns (exceptAll/intersectAll/
+    * groupBy reject raw maps — SURVEY §7.5).
+    */
+  private def prep(df: DataFrame, cfg: DiffConfig): DataFrame =
+    Canon.canonicalize(cfg.project(df))
+
   def removed(oldDf: DataFrame, newDf: DataFrame,
       cfg: DiffConfig = DiffConfig()): DataFrame =
-    cfg.project(oldDf).exceptAll(cfg.project(newDf))
+    prep(oldDf, cfg).exceptAll(prep(newDf, cfg))
 
   def added(oldDf: DataFrame, newDf: DataFrame,
       cfg: DiffConfig = DiffConfig()): DataFrame =
-    cfg.project(newDf).exceptAll(cfg.project(oldDf))
+    prep(newDf, cfg).exceptAll(prep(oldDf, cfg))
 
   def intersection(oldDf: DataFrame, newDf: DataFrame,
       cfg: DiffConfig = DiffConfig()): DataFrame =
-    cfg.project(oldDf).intersectAll(cfg.project(newDf))
+    prep(oldDf, cfg).intersectAll(prep(newDf, cfg))
 
   /** Counted venn — the reference's `str → count` maps
     * (`src/index.js:95,108,113`) as one DataFrame: the distinct row plus
@@ -41,8 +47,8 @@ object VennDiff {
     */
   def counted(oldDf: DataFrame, newDf: DataFrame,
       cfg: DiffConfig = DiffConfig()): DataFrame = {
-    val o = cfg.project(oldDf)
-    val n = cfg.project(newDf)
+    val o = prep(oldDf, cfg)
+    val n = prep(newDf, cfg)
     require(o.columns.sameElements(n.columns),
       s"old/new schemas differ: ${o.columns.toSeq} vs ${n.columns.toSeq}")
     val cols = o.columns.toSeq

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.DiffConfig
+import graft.ops.{KeyDiff, VennDiff}
+
+/** Drives the custom Avro FileFormat against the reference's own fixtures
+  * (read-only at /root/reference/avro — snappy-coded except userdata4,
+  * FIXTURES.md).
+  */
+class AvroSourceSpec extends AnyFunSuite {
+
+  private val fixtures = "/root/reference/avro"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def avro(path: String) = spark.read.format("avro").load(path)
+
+  test("reads snappy-coded userdata1 with full schema") {
+    val df = avro(s"$fixtures/sample_avro/userdata1.avro")
+    assert(df.count() == 1000)
+    assert(df.columns.length == 13)
+    assert(df.schema("id").dataType.typeName == "long")
+    assert(df.schema("salary").dataType.typeName == "double")
+    // spot value from the Avro-JSON golden (userdata1.json row 1)
+    val r = df.filter(col("id") === 1)
+      .select("first_name", "salary").collect().head
+    assert(r.getString(0) == "Amanda")
+    assert(r.getDouble(1) == 49756.53)
+  }
+
+  test("reads null-codec userdata4 (codec auto-detect, no config flag)") {
+    // README.txt claims 1000 rows, but the container block headers sum to
+    // 1003 (verified independently) — trust the bytes, not the docs.
+    assert(avro(s"$fixtures/sample_avro/userdata4.avro").count() == 1003)
+  }
+
+  test("column pruning reaches the Avro reader schema") {
+    val df = avro(s"$fixtures/sample_avro/userdata1.avro").select("id", "email")
+    assert(df.count() == 1000)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema") && scan.contains("id") && !scan.contains("salary"),
+      s"expected pruned scan, got: $scan")
+  }
+
+  test("count(*) works with an empty required schema") {
+    assert(avro(s"$fixtures/sample_avro/userdata2.avro").count() == 998)
+  }
+
+  test("avroSchema option acts as reader schema override (O3)") {
+    val sub =
+      """{"type":"record","name":"kylosample","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"email","type":"string"}]}""".stripMargin
+    val df = spark.read.format("avro").option("avroSchema", sub)
+      .load(s"$fixtures/sample_avro/userdata1.avro")
+    assert(df.columns.toSeq == Seq("id", "email"))
+    assert(df.count() == 1000)
+  }
+
+  test("nested record fixture: studentAssignments composite key diff") {
+    val old = avro(s"$fixtures/fake_account_tc_guid_1/studentAssignments.avro")
+    val neu = avro(s"$fixtures/fake_account_tc_guid_2/studentAssignments.avro")
+    assert(old.schema("submission").dataType.typeName == "struct")
+    val d = KeyDiff.diff(old, neu, Seq("studentId", "assignmentId"))
+    val counts = KeyDiff.summary(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == d.count())
+    assert(d.count() > 0)
+  }
+
+  test("map-of-record fixture: students venn + keyDiff via canonicalization") {
+    // guid_2/students.avro (and guid_1/assetStudents.avro) are corrupted in
+    // the reference repo — a text-encoding round-trip replaced non-UTF8
+    // bytes with U+FFFD. Perturb the intact guid_1 file instead.
+    val old = avro(s"$fixtures/fake_account_tc_guid_1/students.avro")
+    assert(old.schema("weeklyMessageAggregates").dataType.typeName == "map")
+    // self-venn: everything intersects, nothing added/removed
+    val s = VennDiff.summary(old, old).collect().head
+    assert(s.getLong(0) == 0 && s.getLong(1) == 0 && s.getLong(2) == old.count())
+    // perturbed new side: one scalar bumped on a subset ⇒ changed rows
+    val neu = old.withColumn("pageviewCount",
+      when(col("globalStudentId").substr(-1, 1) === "1",
+        col("pageviewCount") + 1).otherwise(col("pageviewCount")))
+    val d = KeyDiff.diff(old, neu, Seq("globalStudentId"))
+    val byStatus = KeyDiff.summary(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.getOrElse("changed", 0L) > 0)
+    assert(byStatus.getOrElse("added", 0L) == 0 && byStatus.getOrElse("removed", 0L) == 0)
+    val changedRow = d.filter(col(KeyDiff.StatusCol) === "changed").limit(1)
+      .select(col(s"${KeyDiff.ChangedFieldsCol}"))
+    assert(changedRow.collect().head.getMap[String, Any](0).keys.toSeq == Seq("pageviewCount"))
+    // self-diff all unchanged even with map columns
+    val selfD = KeyDiff.diff(old, old, Seq("globalStudentId"))
+    assert(selfD.filter(col(KeyDiff.StatusCol) =!= "unchanged").isEmpty)
+    // 3-level nested arrays-of-records fixture reads too (guid_2 copy intact)
+    assert(avro(s"$fixtures/fake_account_tc_guid_2/assetStudents.avro").count() == 235)
+  }
+
+  test("flagship CLI parity: keyDiff(userdata1, userdata2, id)") {
+    val old = avro(s"$fixtures/sample_avro/userdata1.avro")
+    val neu = avro(s"$fixtures/sample_avro/userdata2.avro")
+    val d = KeyDiff.diff(old, neu, Seq("id"))
+    val counts = KeyDiff.summary(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 old rows vs 998 new rows, ids overlap ⇒ removed ≥ 2
+    assert(counts.getOrElse("removed", 0L) >= 2)
+    assert(counts.values.sum >= 1000)
+    // argument-flip symmetry: added(o→n) == removed(n→o)
+    val flipped = KeyDiff.summary(KeyDiff.diff(neu, old, Seq("id"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("added", 0L) == flipped.getOrElse("removed", 0L))
+    assert(counts.getOrElse("changed", 0L) == flipped.getOrElse("changed", 0L))
+  }
+
+  test("keepFields/ignoreFields projection composes like the reference") {
+    val cfg = DiffConfig(
+      keepFields = Some(Seq("id", "first_name", "email")),
+      ignoreFields = Some(Seq("email")))
+    val df = cfg.project(avro(s"$fixtures/sample_avro/userdata1.avro"))
+    assert(df.columns.toSeq == Seq("id", "first_name"))
+  }
+}
