@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{DataTests, KeyDiff, VennDiff}
+import graft.ops.{DataTests, Dedup, KeyDiff, Similarity, TextAnalysis, VennDiff}
 
 /** Driver contract — the query inventory (one entry per operator from
   * SURVEY.md §2 + the LLM-pipeline extensions) with DuckDB oracle SQL.
@@ -168,8 +168,84 @@ object SparkEntry {
         round(sqrt(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2_norm"))
         .orderBy("vec_id")
-    })
+    }),
+    // --- LLM-pipeline: dedup family (exact / MinHash+LSH / SimHash /
+    // n-gram Jaccard) over `documents` ------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fingerprint")),
+    "minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), concat_ws(",", col("sig")).as("sig"))
+        .orderBy("doc_id")),
+    "lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidates(
+        Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", bands = 4, rowsPerBand = 2)
+        .orderBy("a_id", "b_id")),
+    "simhash16" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+    "ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("a_id", "b_id")),
+    // --- LLM-pipeline: text analysis --------------------------------------
+    "lang_id" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(toks).as("pred_lang"),
+        TextAnalysis.langScore(toks, TextAnalysis.langMarkers.head._2)
+          .cast("long").as("en_hits"))
+        .orderBy("doc_id")
+    }),
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id") +: TextAnalysis.qualityColumns(col("text")): _*)
+        .orderBy("doc_id")),
+    "fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id") +: TextAnalysis.fingerprintColumns(col("text")): _*)
+        .orderBy("doc_id")),
+    // --- LLM-pipeline: embedding similarity search ------------------------
+    "ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rn")
+    }),
+    "ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5, bits = 4)
+        .orderBy("query_id", "rn")
+    }),
+    "embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35)
+        .orderBy("a_id", "b_id"))
   )
+
+  /** Shared DuckDB CTE fragments mirroring TextAnalysis.tokens /
+    * Dedup.wordShingles / Dedup.minhashSignature exactly.
+    */
+  private val toksCte =
+    """toks AS (SELECT doc_id, text,
+      |  list_filter(regexp_split_to_array(text, ' +'), t -> t <> '') toks
+      |  FROM documents)""".stripMargin
+  private val shinglesCte =
+    """sh AS (SELECT doc_id,
+      |  CASE WHEN len(toks) >= 3
+      |    THEN list_distinct(list_transform(range(0, len(toks)-2),
+      |           i -> array_to_string(list_slice(toks, i+1, i+3), ' ')))
+      |    ELSE [array_to_string(toks, ' ')] END shingles
+      |  FROM toks)""".stripMargin
+  private val sigsCte =
+    """sigs AS (SELECT doc_id, list_transform(range(0, 8), j ->
+      |  list_min(list_transform(shingles,
+      |    s -> md5(CAST(j AS VARCHAR) || '|' || s)))) sig
+      |  FROM sh)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -295,6 +371,138 @@ object SparkEntry {
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
-        |FROM embeddings ORDER BY vec_id""".stripMargin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS group_size
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "minhash_sig" ->
+      s"""WITH $toksCte, $shinglesCte, $sigsCte
+         |SELECT doc_id, array_to_string(sig, ',') AS sig
+         |FROM sigs ORDER BY doc_id""".stripMargin,
+    "lsh_pairs" ->
+      s"""WITH $toksCte, $shinglesCte, $sigsCte,
+         |bands AS (SELECT doc_id, sig, b.band,
+         |  md5(array_to_string(list_slice(sig, band*2+1, band*2+2), ',')) bh
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)
+         |SELECT a.doc_id AS a_id, c.doc_id AS b_id,
+         |  CAST(count(*) AS BIGINT) AS n_bands,
+         |  round(CAST(min(len(list_filter(range(1, 9),
+         |    i -> a.sig[i] = c.sig[i]))) AS DOUBLE) / 8.0, 4) AS est_jaccard
+         |FROM bands a JOIN bands c
+         |  ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
+         |GROUP BY a.doc_id, c.doc_id
+         |ORDER BY a_id, b_id""".stripMargin,
+    "simhash16" ->
+      s"""WITH $toksCte,
+         |h AS (SELECT doc_id, list_transform(toks, t -> md5(t)) hs FROM toks)
+         |SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), j ->
+         |  CASE WHEN list_sum(list_transform(hs, h ->
+         |      CASE WHEN substr(h, j+1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+         |  THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "ngram_jaccard" ->
+      s"""WITH $toksCte, $shinglesCte,
+         |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+         |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000),
+         |pruned AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
+         |sz AS (SELECT doc_id, count(*) n FROM ex GROUP BY 1),
+         |shared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+         |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 4) AS jaccard
+         |FROM shared JOIN sz x ON a_id = x.doc_id JOIN sz y ON b_id = y.doc_id
+         |WHERE round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 4) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+    "lang_id" -> {
+      val scores = TextAnalysis.langMarkers.map { case (l, m) =>
+        l -> s"len(list_intersect(list_distinct(toks), [${m.map("'" + _ + "'").mkString(", ")}]))"
+      }
+      val cases = scores.zipWithIndex.init.map { case ((l, s), i) =>
+        val later = scores.drop(i + 1).map(_._2)
+        s"WHEN ${later.map(o => s"$s >= $o").mkString(" AND ")} THEN '$l'"
+      }.mkString(" ")
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  CASE $cases ELSE '${scores.last._1}' END AS pred_lang,
+         |  CAST(${scores.head._2} AS BIGINT) AS en_hits
+         |FROM toks ORDER BY doc_id""".stripMargin
+    },
+    "text_quality" -> {
+      val stops = TextAnalysis.stopwords.map("'" + _ + "'").mkString(", ")
+      s"""WITH $toksCte,
+         |f AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS BIGINT) n_punct,
+         |  CAST(len(list_filter(toks, t ->
+         |    list_contains([$stops], t))) AS DOUBLE) /
+         |    greatest(CAST(len(toks) AS DOUBLE), 1.0) stop_r,
+         |  CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS DOUBLE) /
+         |    greatest(CAST(length(text) AS DOUBLE), 1.0) punct_r
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, n_punct, round(stop_r, 4) AS stop_ratio,
+         |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |    * (1.0 - punct_r) * (0.5 + 0.5 * stop_r), 4) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+    "fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_md5,
+        |  CASE WHEN length(text) >= 8
+        |    THEN list_min(list_transform(range(0, length(text)-7),
+        |           i -> md5(substr(text, i+1, 8))))
+        |    ELSE md5(text) END AS rolling_min
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ann_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
+        |  sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) nrm
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10),
+        |p AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+        |  round(list_sum(list_transform(range(1, len(q.v)+1),
+        |    i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) cos
+        |  FROM q JOIN e c ON q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) rn FROM p)
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "ann_lsh" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
+        |  sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) nrm
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, v, nrm,
+        |  CAST(list_sum(list_transform(range(0, 4), j ->
+        |    CASE WHEN list_sum(list_transform(range(1, len(v)+1), d ->
+        |        v[d] * (CASE WHEN substr(md5(CAST(j AS VARCHAR) || '_' ||
+        |          CAST(d-1 AS VARCHAR)), 1, 1) >= '8'
+        |          THEN 1.0 ELSE -1.0 END))) > 0
+        |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) bucket
+        |  FROM e),
+        |q AS (SELECT * FROM b WHERE vec_id < 10),
+        |p AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+        |  round(list_sum(list_transform(range(1, len(q.v)+1),
+        |    i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) cos
+        |  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) rn FROM p)
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "embed_neardup" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
+        |  sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id a_id, b.vec_id b_id,
+        |  round(list_sum(list_transform(range(1, len(a.v)+1),
+        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(range(1, len(a.v)+1),
+        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.35
+        |ORDER BY a_id, b_id""".stripMargin
   )
 }

@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{graft => bridge}
+
+import graft.functions.{MinHashSignature, WordShingles}
+
+/** Deduplication operators for a training-data pipeline: exact
+  * (hash-groupBy), MinHash + LSH banding, SimHash, and n-gram Jaccard.
+  *
+  * The reference's only dedup-adjacent behavior is the multiset venn
+  * (`/root/reference/src/index.js:65-116`) and the key-uniqueness test
+  * (`src/dataTest.js:4-25`); these operators are the extended-scope
+  * complement for near-duplicate detection at corpus scale.
+  *
+  * Scale design, operator by operator:
+  *  - exact dedup: one hash-partitioned groupBy on a 128-bit content hash
+  *    — the canonical 100 TB dedup plan (map-side partial agg, no skew:
+  *    md5 keys are uniform).
+  *  - MinHash signatures: a pure projection (`transform` + `array_min`
+  *    over the shingle array) — ZERO shuffles; signatures stream out of
+  *    the scan at map speed.
+  *  - LSH candidate pairs: explode to (band, bandHash) and self-join on
+  *    the band bucket — the shuffle key is the band hash, so work is
+  *    proportional to Σ bucket² (near-dups only), never the n² cartesian.
+  *  - SimHash: again a pure projection to a 16-bit integer; near-dup =
+  *    equal (or Hamming-close via banding the nibbles).
+  *  - n-gram Jaccard: shingle-explode + join on shingle — shuffle on the
+  *    shingle string. A frequent-shingle cap (`maxShingleFreq`) bounds the
+  *    worst bucket (a shingle shared by k docs costs k² pairs), the
+  *    standard stop-shingle guard that keeps the join skew-safe at scale.
+  */
+object Dedup {
+
+  /** Exact dedup groups: md5 content fingerprint → representative id +
+    * multiplicity. `groupBy` gives map-side combine; at 100 TB this is one
+    * uniform shuffle of (16-byte hash, id) pairs, not of documents.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** Distinct word shingles of width `n` (short docs collapse to one
+    * whole-doc shingle so every document has a non-empty set). Planned as
+    * the native [[WordShingles]] node; `wordShinglesHof` is the equivalent
+    * expression-level formula (kept for differential tests).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    bridge.column(WordShingles(
+      bridge.expression(TextAnalysis.tokens(text)), n))
+
+  def wordShinglesHof(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** MinHash signature of width `numHashes` over word `shingleWidth`-grams.
+    *
+    * Hash family: h_j(s) = md5(j || '|' || s) compared lexicographically —
+    * md5 output is uniform, so the min over a set is a valid MinHash
+    * permutation per seed j, and it is reproducible on any engine with an
+    * md5 function (the DuckDB oracle uses the identical family).
+    *
+    * Entirely expression-level (`transform` / `array_min`): no UDF, no
+    * shuffle, stays inside whole-stage codegen.
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int): Column =
+    bridge.column(MinHashSignature(
+      bridge.expression(wordShingles(text, shingleWidth)), numHashes))
+
+  /** The expression-level formula [[MinHashSignature]] replaces — kept for
+    * differential testing of the native node.
+    */
+  def minhashSignatureHof(text: Column, numHashes: Int, shingleWidth: Int): Column = {
+    val sh = wordShingles(text, shingleWidth)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(sh, s => md5(concat(j.cast("string"), lit("|"), s)))))
+  }
+
+  /** Per-document signatures: (id, sig array<string>). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, shingleWidth: Int = 3): DataFrame =
+    df.select(col(idCol), minhashSignature(col(textCol), numHashes, shingleWidth).as("sig"))
+
+  /** LSH banding over a signature df: explode each signature into
+    * `bands` buckets of `rowsPerBand` components, hash each band, and
+    * self-join on (band, bandHash) to produce candidate pairs with
+    * band-collision counts and the signature-estimated Jaccard
+    * (fraction of equal signature components).
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    // Materialization barrier: without it Catalyst's CollapseProject
+    // inlines the (expensive, interpreter-evaluated) signature expression
+    // into every consumer — each band hash, each join side, the jaccard
+    // estimate — recomputing the full MinHash per reference. The shuffle
+    // is tiny (one row per doc: id + k hashes) and ReuseExchange then
+    // computes it exactly once for both sides of the self-join.
+    val mat = sigs.repartition(col(idCol))
+    val banded = mat.select(
+      col(idCol), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b => struct(
+        b.as("band"),
+        md5(concat_ws(",", slice(col("sig"), b * lit(rowsPerBand) + lit(1),
+          lit(rowsPerBand)))).as("bh")))).as("bucket"))
+      .select(col(idCol), col("sig"), col("bucket.band"), col("bucket.bh"))
+    val a = banded.select(col(idCol).as("a_id"), col("sig").as("a_sig"),
+      col("band"), col("bh"))
+    val b = banded.select(col(idCol).as("b_id"), col("sig").as("b_sig"),
+      col("band"), col("bh"))
+    val estJaccard = round(
+      size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+        m => m)).cast("double") / size(col("a_sig")).cast("double"), 4)
+    a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_bands"), first(estJaccard).as("est_jaccard"))
+  }
+
+  /** 16-bit SimHash from token md5s: bit j is set iff the majority of
+    * tokens have the high bit of hex nibble j set (`substr(md5, j+1, 1)
+    * >= '8'`), weighting each token occurrence ±1. A pure projection —
+    * no shuffle; near-dup detection is then an exact groupBy on the
+    * 16-bit value (or on nibble bands for Hamming-distance ≤ k).
+    */
+  def simhash16(text: Column): Column = {
+    val hs = transform(TextAnalysis.tokens(text), t => md5(t))
+    aggregate(
+      transform(sequence(lit(0), lit(15)), j =>
+        when(aggregate(hs, lit(0L), (acc, h) =>
+          acc + when(h.substr(j + lit(1), lit(1)) >= "8", 1L).otherwise(-1L)) > 0,
+          pow(lit(2.0), j).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** n-gram Jaccard similarity pairs via shingle-join: explode distinct
+    * shingles, join on the shingle, count shared per pair, and compute
+    * |A∩B| / (|A| + |B| − |A∩B|). Pairs below `minJaccard` are dropped.
+    *
+    * `maxShingleFreq` drops shingles shared by more than that many docs
+    * before the join (stop-shingle guard): the join cost is Σ freq² per
+    * shingle, so one corpus-wide boilerplate line would otherwise create
+    * a quadratic hot bucket. Applied identically in the oracle.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5,
+      maxShingleFreq: Long = 1000L): DataFrame = {
+    // Barrier + alignment: the exploded-shingle relation is consumed four
+    // times (frequency filter, both join sides, per-doc sizes); without a
+    // materialization boundary each consumer re-evaluates the shingling
+    // expression. Hash-partitioning BY THE SHINGLE also pre-aligns the
+    // frequency groupBy and the pair join, so they run shuffle-free on
+    // the reused exchange.
+    val sh = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), n)).as("s"))
+      .repartition(col("s"))
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("f"))
+      .filter(col("f") <= maxShingleFreq).select("s")
+    val pruned = sh.join(rare, "s")
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val shared = pruned.select(col("id").as("a_id"), col("s"))
+      .join(pruned.select(col("id").as("b_id"), col("s")), "s")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("a_id"), col("n_sh").as("a_n")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("n_sh").as("b_n")), "b_id")
+      .withColumn("jaccard", round(
+        col("shared").cast("double") /
+          (col("a_n") + col("b_n") - col("shared")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("a_id", "b_id", "jaccard")
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{graft => bridge}
+
+import graft.functions.DotProduct
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a sign-random-
+  * projection LSH bucketing as the scale path.
+  *
+  * No reference counterpart (the reference has no numeric/vector surface);
+  * extended scope per SURVEY.md §7.1 step 9.
+  *
+  * Scale design:
+  *  - cosine is a codegen'd `zip_with` + `aggregate` fold — no UDF, no
+  *    Python, runs inside whole-stage codegen.
+  *  - brute-force top-k broadcasts the (small) query set and streams the
+  *    corpus once: cost O(|corpus| × |queries|) FLOPs, zero shuffle on
+  *    the corpus side until the final per-query top-k aggregation, which
+  *    moves only k rows per (query, partition) after AQE.
+  *  - LSH: each vector maps to a B-bit bucket of hyperplane signs —
+  *    a pure projection — and candidates co-locate by shuffling on the
+  *    bucket id, replacing |corpus|×|queries| with Σ per-bucket work.
+  *    Hyperplanes are pseudo-random ±1 vectors derived from md5 bits, so
+  *    any engine (and the DuckDB oracle) reproduces them exactly.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two float-array columns, folded in
+    * doubles left-to-right (deterministic summation order — the oracle
+    * folds in the same order). Planned as the native codegen'd
+    * [[graft.functions.DotProduct]]; `dotHof` is the equivalent
+    * expression-level formula it replaces (kept for differential tests).
+    */
+  def dot(a: Column, b: Column): Column =
+    bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k neighbors for each query vector: broadcast the query set,
+    * score the corpus in one pass, keep k per query with a row_number
+    * window ordered on the rounded score (round-4 + id tie-break makes the
+    * ranking reproducible across engines despite float ulps).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    // Norms are computed once per row BEFORE the pair join (map-side), not
+    // once per pair — at |corpus|×|queries| pairs that is the difference
+    // between 2 and 2+2·|queries| array folds per corpus row.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cos", "rn")
+  }
+
+  /** All pairs with cosine ≥ `threshold` (embedding near-duplicate
+    * detection). Brute force at test scale; at corpus scale route through
+    * [[lshBucket]] first so only same-bucket pairs are scored.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("av"),
+      l2Norm(col(vecCol)).as("an"))
+    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("bv"),
+      l2Norm(col(vecCol)).as("bn"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 4))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane j, dimension d):
+    * +1 iff the high bit of the first md5 hex nibble of "j_d" is set.
+    * Reproducible on any engine with md5 — no RNG state to ship.
+    */
+  private def planeSign(j: Column, d: Column): Column =
+    when(md5(concat(j.cast("string"), lit("_"), d.cast("string")))
+      .substr(lit(1), lit(1)) >= "8", lit(1.0)).otherwise(lit(-1.0))
+
+  /** B-bit sign-random-projection bucket id of a vector: bit j is the sign
+    * of Σ_d (±1)_{j,d} · v_d. A pure projection — computing buckets for
+    * 100 TB of vectors is a map-only scan.
+    */
+  def lshBucket(vec: Column, bits: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), j =>
+        when(aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, d) => x.cast("double") * planeSign(j, d)),
+          lit(0.0), (acc, v) => acc + v) > 0,
+          pow(lit(2.0), j).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Bucketed ANN: score only same-bucket (query, corpus) pairs, then
+    * exact top-k within the candidates. The shuffle key is the bucket id;
+    * recall is tuned by `bits` (fewer bits → bigger buckets → higher
+    * recall, more work). Multi-probe (flipping low-margin bits) is the
+    * standard recall extension and composes as a union of bucket keys.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, bits: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), bits).as("bucket"), l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), bits).as("bucket"), l2Norm(col(vecCol)).as("cn"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cos", "rn")
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, language ID, quality scoring, document fingerprinting.
+  *
+  * These extend the reference's surface (it has no text functions —
+  * SURVEY.md §2 "Scalar functions") with the operations an LLM data
+  * pipeline needs over a `documents(doc_id, text, lang, source, n_chars)`
+  * table.
+  *
+  * Scale posture: every operator here is a pure per-row projection built
+  * from codegen'd Catalyst expressions (`split` / `transform` /
+  * `aggregate` / `regexp_extract_all`) — no UDFs, no shuffles, no state.
+  * On a 1000-executor cluster these run map-side at scan speed and
+  * column-prune down to `(doc_id, text)`.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped — one canonical tokenizer
+    * shared by every operator (and mirrored exactly in the DuckDB oracles
+    * as `list_filter(regexp_split_to_array(text, ' +'), t -> t <> '')`).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " +"), t => t =!= lit(""))
+
+  /** BPE-ish subword segmentation: letter runs, digit runs, single
+    * punctuation marks — the pre-tokenizer regex most BPE vocabularies
+    * (GPT-2 style) apply before merges.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  // --- language ID --------------------------------------------------------
+
+  /** Marker stopwords per language, checked as whole tokens. Tiny on
+    * purpose: broadcast as literals into the row projection.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "我"))
+
+  /** Marker-hit count for one language: distinct-token set intersect the
+    * marker set (set semantics on both engines).
+    */
+  def langScore(toks: Column, markers: Seq[String]): Column =
+    size(array_intersect(array_distinct(toks),
+      array(markers.map(lit): _*)))
+
+  /** Predicted language = argmax marker-hit count, ties broken by the
+    * fixed order of [[langMarkers]] (en first). Emitted as a chain of
+    * `when`s so the DuckDB oracle can be a literally-identical CASE chain.
+    */
+  def langId(toks: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> langScore(toks, m) }
+    scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), elseCol) =>
+        val later = scores.drop(i + 1).map(_._2)
+        if (later.isEmpty) elseCol
+        else when(later.map(s >= _).reduce(_ && _), lang).otherwise(elseCol)
+    }
+  }
+
+  // --- quality scoring ----------------------------------------------------
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "is", "in", "to", "for", "on", "with")
+
+  /** Quality features + a composite score in [0,1]:
+    * length saturation × (1 − punctuation ratio) × stopword presence.
+    * The exact formula is mirrored in the oracle; its virtue is being
+    * deterministic and cheap, not linguistically deep.
+    */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nToks = size(toks).cast("long")
+    val nPunct = size(regexp_extract_all(text, lit("[^a-z0-9\\s]"), lit(0))).cast("long")
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    val punctRatio = nPunct.cast("double") / greatest(length(text).cast("double"), lit(1.0))
+    val stopRatio = nStop.cast("double") / greatest(nToks.cast("double"), lit(1.0))
+    val score = least(nToks.cast("double") / lit(100.0), lit(1.0)) *
+      (lit(1.0) - punctRatio) * (lit(0.5) + lit(0.5) * stopRatio)
+    Seq(
+      nToks.as("n_tokens"),
+      nPunct.as("n_punct"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(score, 4).as("quality"))
+  }
+
+  // --- fingerprinting -----------------------------------------------------
+
+  /** Character n-grams of the raw text (the shingling behind winnowing
+    * fingerprints); short texts collapse to one whole-string gram.
+    */
+  def charGrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(0), length(text) - n),
+        i => text.substr(i + lit(1), lit(n))))
+      .otherwise(array(text))
+
+  /** Document fingerprint pair: exact content hash (md5 of the full text)
+    * plus a rolling-hash minimum over character 8-grams — the 1-hash
+    * degenerate case of a MinHash/winnowing sketch, robust to small edits
+    * at either end of the document.
+    */
+  def fingerprintColumns(text: Column): Seq[Column] = Seq(
+    md5(text).as("content_md5"),
+    array_min(transform(charGrams(text, 8), g => md5(g))).as("rolling_min"))
+}

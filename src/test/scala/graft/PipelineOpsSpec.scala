@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Unit tests for the training-data-pipeline operators (dedup family,
+  * text analysis, similarity search) on tiny in-memory data — the sf0.01
+  * DuckDB oracle (tools/check.py) is the integration gate; these pin the
+  * semantic corners.
+  */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("pipeline-ops-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import scala.jdk.CollectionConverters._
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val df = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val out = Dedup.exactGroups(df, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("keep_id") == 1L)
+    assert(out(0).getAs[Long]("group_size") == 2L)
+    assert(out(1).getAs[Long]("group_size") == 1L)
+  }
+
+  test("minhash: identical docs get identical signatures; sigs have k entries") {
+    val df = docs(1L -> "w1 w2 w3 w4 w5", 2L -> "w1 w2 w3 w4 w5", 3L -> "q r s t u")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", numHashes = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs.values.forall(_.length == 8))
+  }
+
+  test("minhash estimated jaccard ≈ true jaccard for overlapping docs") {
+    // 12-token docs sharing a 9-token run: true 3-shingle jaccard = 7/13.
+    val base = (1 to 12).map("w" + _)
+    val a = base.mkString(" ")
+    val b = (base.take(9) ++ Seq("x1", "x2", "x3")).mkString(" ")
+    val df = docs(1L -> a, 2L -> b)
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", numHashes = 64)
+    val pairs = Dedup.lshCandidates(sigs, "doc_id", bands = 32, rowsPerBand = 2)
+      .collect()
+    assert(pairs.length == 1)
+    val est = pairs(0).getAs[Double]("est_jaccard")
+    assert(math.abs(est - 7.0 / 13.0) < 0.2, s"est=$est true=${7.0 / 13.0}")
+  }
+
+  test("lsh candidates: disjoint docs don't collide, dup docs collide in all bands") {
+    val df = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "t u v w x y")
+    val pairs = Dedup.lshCandidates(
+      Dedup.minhashSignatures(df, "doc_id", "text"), "doc_id", 4, 2).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("a_id") == 1L && pairs(0).getAs[Long]("b_id") == 2L)
+    assert(pairs(0).getAs[Long]("n_bands") == 4L)
+    assert(pairs(0).getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("simhash16 is stable, bounded, and equal for equal docs") {
+    val df = docs(1L -> "a b c d", 2L -> "a b c d", 3L -> "completely different words here")
+    val out = df.select(col("doc_id"), Dedup.simhash16(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out.values.forall(v => v >= 0 && v < (1 << 16)))
+  }
+
+  test("ngram jaccard: self-similar pair scores 1.0, threshold filters the rest") {
+    val df = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "v w x y z")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", minJaccard = 0.5)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("langId picks the language with most marker hits, en-first on ties") {
+    val df = docs(
+      1L -> "the cat of the house is big and small",
+      2L -> "el gato de la casa que es grande y",
+      3L -> "der hund und die katze das ist",
+      4L -> "zzz qqq www")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "de")
+    assert(out(4L) == "en") // all-zero tie → first in priority order
+  }
+
+  test("quality columns: punctuation-free stopword-rich text scores higher") {
+    val df = docs(
+      1L -> ("the quick fox is in the barn and on the hay " * 10).trim,
+      2L -> "!!! ??? ### $$$ %%%")
+    val rows = df.select(col("doc_id") +: TextAnalysis.qualityColumns(col("text")): _*)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    assert(rows(1L) > rows(2L))
+  }
+
+  test("fingerprint: rolling_min invariant under suffix append (shared window wins)") {
+    // Min-gram of the common prefix survives appending; exact md5 differs.
+    val a = "abcdefghijklmnopqrstuvwxyz"
+    val df = docs(1L -> a, 2L -> (a + " tail"))
+    val out = df.select(col("doc_id") +: TextAnalysis.fingerprintColumns(col("text")): _*)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byId = out.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(1L)._1 != byId(2L)._1)
+    // both minima are over grams of the shared prefix unless the tail hashes lower
+    assert(byId(1L)._2.nonEmpty && byId(2L)._2.nonEmpty)
+  }
+
+  test("cosine: orthogonal → 0, identical → 1; topk ranks by similarity") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.1f, 0.0f)),
+      (3L, Array(0.9f, 0.0f, 0.1f))).toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(
+      e.filter($"vec_id" === 0), e, "vec_id", "embedding", k = 3).collect()
+    assert(topk.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L, 1L))
+    val cos = topk.map(_.getAs[Double]("cos"))
+    assert(cos(0) > 0.99 && math.abs(cos(2)) < 1e-9)
+  }
+
+  test("lsh bucket: equal vectors share a bucket; lshTopK finds the near-dup") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array.fill(8)(0.5f)),
+      (1L, Array.fill(8)(0.5f)),
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val buckets = e.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(0L) == buckets(1L))
+    val hits = Similarity.lshTopK(
+      e.filter($"vec_id" === 0), e, "vec_id", "embedding", k = 5, bits = 4)
+      .collect().map(_.getAs[Long]("neighbor_id"))
+    assert(hits.contains(1L))
+  }
+
+  test("native WordShingles ≡ HOF formula on real corpus text") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = df.select(Dedup.wordShingles(col("text"), 3).as("a"),
+      Dedup.wordShinglesHof(col("text"), 3).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(n == 0)
+  }
+
+  test("native MinHashSignature ≡ HOF formula on real corpus text") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = df.select(
+      Dedup.minhashSignature(col("text"), 8, 3).as("a"),
+      Dedup.minhashSignatureHof(col("text"), 8, 3).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(n == 0)
+  }
+
+  test("native DotProduct ≡ HOF formula on real embeddings") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = df.select(
+      Similarity.dot(col("embedding"), col("embedding")).as("a"),
+      Similarity.dotHof(col("embedding"), col("embedding")).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(n == 0)
+  }
+
+  test("embedding near-dup pairs respect the threshold") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.01f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.95).collect()
+    assert(pairs.length == 1)
+    assert((pairs(0).getAs[Long]("a_id"), pairs(0).getAs[Long]("b_id")) == (0L, 1L))
+  }
+}
