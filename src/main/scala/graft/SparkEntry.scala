@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{DataTests, Dedup, KeyDiff, Similarity, TextAnalysis, VennDiff}
+import graft.ops.{DataTests, Dedup, KeyDiff, Multimodal, Similarity, TextAnalysis, VennDiff}
+import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
   * SURVEY.md §2 + the LLM-pipeline extensions) with DuckDB oracle SQL.
@@ -224,7 +225,26 @@ object SparkEntry {
     "embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35)
-        .orderBy("a_id", "b_id"))
+        .orderBy("a_id", "b_id")),
+    // --- LLM-pipeline: multimodal binary columns (stub decode) ------------
+    "media_meta" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.mediaTable(t(s, dir, "documents")))
+        .toDF().orderBy("doc_id")),
+    "media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.mediaTable(t(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("frame_len"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")),
+    // --- streaming surface (same transforms run under readStream) ---------
+    "stream_window" -> ((s, dir) =>
+      EventStream.hourlyCounts(t(s, dir, "events"))
+        .orderBy("hour", "event_type")),
+    "sessionize" -> ((s, dir) =>
+      EventStream.sessionizeBatch(t(s, dir, "events"))
+        .orderBy("user_id", "session_id"))
   )
 
   /** Shared DuckDB CTE fragments mirroring TextAnalysis.tokens /
@@ -503,6 +523,49 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_sum(list_transform(range(1, len(a.v)+1),
         |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.35
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+    // Oracle recomputes the stub decode from the source text: payload is
+    // the UTF-8 bytes of `text` (ASCII corpus), so byte_sum = Σ unicode(c).
+    "media_meta" ->
+      """WITH f AS (SELECT doc_id, 'image' AS kind,
+        |  CAST(length(text) AS BIGINT) n_bytes,
+        |  CAST(list_sum(list_transform(regexp_extract_all(text, '.'),
+        |    c -> unicode(c))) AS BIGINT) byte_sum
+        |  FROM documents)
+        |SELECT doc_id, kind, n_bytes, byte_sum,
+        |  CAST(16 + byte_sum % 64 AS INTEGER) AS width,
+        |  CAST(16 + (byte_sum // 64) % 64 AS INTEGER) AS height
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "media_frames" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  unnest(list_filter(
+        |    range(0, CAST(ceil(length(text) / 256.0) AS BIGINT)),
+        |    x -> x % 2 = 0 AND x < 32)) fi
+        |  FROM documents)
+        |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+        |  CAST(length(substr(text, CAST(fi*256+1 AS INTEGER), 256)) AS INTEGER)
+        |    AS frame_len,
+        |  md5(substr(text, CAST(fi*256+1 AS INTEGER), 256)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "stream_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, ts, epoch_ms(ts) ms,
+        |  CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |       THEN 1 ELSE 0 END ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT user_id, ms,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) session_id
+        |  FROM x)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ms) AS start_ms, max(ms) AS end_ms,
+        |  max(ms) - min(ms) AS duration_ms
+        |FROM y GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
   )
 }

