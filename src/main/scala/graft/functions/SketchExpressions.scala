@@ -1,0 +1,218 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass sketch expressions. Each replaces an equivalent
+  * higher-order-function formula (kept beside it in the ops layer for
+  * differential testing) whose per-element interpreter overhead dominates
+  * at corpus scale; each is a pure projection (map-side at any scale) and
+  * bit-identical to its formula, so the DuckDB oracles are unchanged.
+  */
+private[graft] object SketchUtil {
+  def md5(): MessageDigest = MessageDigest.getInstance("MD5")
+
+  def hexDigit(b: Int): Char = "0123456789abcdef".charAt(b & 0xf)
+
+  def hex(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(hexDigit((bytes(i) >> 4) & 0xf)).append(hexDigit(bytes(i) & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Unsigned byte compare == lowercase-hex lexicographic compare. */
+  def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+}
+
+/** Sign-random-projection LSH bucket id: bit j of the result is the sign
+  * of Σ_d (±1)_{j,d} · v_d, with the hyperplane sign (±1)_{j,d} = high bit
+  * of the first hex nibble of md5("j_d").
+  *
+  * Equivalent formula (see Similarity.lshBucketHof): `aggregate(transform(
+  * sequence(0, bits-1), j -> when(Σ > 0, 2^j).otherwise(0)), 0, +)`.
+  * The formula re-derives every plane sign with an md5 call per (row, j,
+  * d) — pure constants — plus HOF interpretation; here the sign matrix is
+  * computed once per task and each row costs bits×dims fused
+  * multiply-adds.
+  */
+case class LshBucket(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(bits > 0 && bits < 63, s"bits must be in [1,62], got $bits")
+
+  override def prettyName: String = "graft_lsh_bucket"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${t.sql}")
+  }
+
+  @transient private var signs: Array[Array[Double]] = _
+  @transient private var signDims: Int = -1
+
+  private def signMatrix(dims: Int): Array[Array[Double]] = {
+    if (signDims != dims) {
+      val md = SketchUtil.md5()
+      signs = Array.tabulate(bits) { j =>
+        Array.tabulate(dims) { d =>
+          md.reset()
+          val digest = md.digest(s"${j}_$d".getBytes("UTF-8"))
+          // first hex char = high nibble of byte 0; '8'..'f' ⇔ nibble ≥ 8
+          if (((digest(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+        }
+      }
+      signDims = dims
+    }
+    signs
+  }
+
+  private val isFloat = () => child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val m = signMatrix(n)
+    val fl = isFloat()
+    var bucket = 0L
+    var j = 0
+    while (j < bits) {
+      val row = m(j)
+      var sum = 0.0
+      var d = 0
+      while (d < n) {
+        if (!v.isNullAt(d)) {
+          val x = if (fl) v.getFloat(d).toDouble else v.getDouble(d)
+          sum += x * row(d)
+        } else return null
+        d += 1
+      }
+      if (sum > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+/** 16-bit SimHash over a token array: bit j set iff the ±1-weighted count
+  * of tokens whose md5 hex char j is ≥ '8' is positive.
+  *
+  * Equivalent formula (Dedup.simhash16Hof) computes md5 per token once
+  * per BIT (16×) through interpreted lambdas; this node digests each
+  * token once and updates all 16 bit-sums in that pass.
+  */
+case class SimHash16(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_simhash16"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val sums = new Array[Long](16)
+    val md = SketchUtil.md5()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        md.reset()
+        val digest = md.digest(toks.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 16) {
+          // hex char j = (j even ? high : low) nibble of byte j/2
+          val nib = if ((j & 1) == 0) (digest(j >> 1) >> 4) & 0xf
+                    else digest(j >> 1) & 0xf
+          sums(j) += (if (nib >= 8) 1L else -1L)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 16) {
+      if (sums(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+/** Rolling fingerprint: minimum md5 over all `width`-character substrings
+  * of the text (whole text when shorter) — the 1-hash degenerate MinHash
+  * of character shingles used for winnowing-style dedup.
+  *
+  * Equivalent formula (TextAnalysis.rollingMinHof):
+  * `array_min(transform(sequence(0, len-w), i -> md5(substr(text, i+1,
+  * w))))`, which allocates a substring + interpreted lambda frame per
+  * position; this node walks the char windows once.
+  */
+case class RollingMinHash(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(width > 0, s"width must be positive, got $width")
+
+  override def prettyName: String = "graft_rolling_min"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String]
+    val n = text.numChars()
+    val md = SketchUtil.md5()
+    var min: Array[Byte] = null
+    if (n < width) {
+      min = md.digest(text.getBytes)
+    } else {
+      var i = 0
+      while (i <= n - width) {
+        md.reset()
+        val d = md.digest(text.substringSQL(i + 1, width).getBytes)
+        if (min == null || SketchUtil.less(d, min)) min = d
+        i += 1
+      }
+    }
+    UTF8String.fromString(SketchUtil.hex(min))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingMinHash =
+    copy(child = newChild)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{graft => bridge}
 
-import graft.functions.{MinHashSignature, WordShingles}
+import graft.functions.{MinHashSignature, SimHash16, WordShingles}
 
 /** Deduplication operators for a training-data pipeline: exact
   * (hash-groupBy), MinHash + LSH banding, SimHash, and n-gram Jaccard.
@@ -126,7 +126,13 @@ object Dedup {
     * no shuffle; near-dup detection is then an exact groupBy on the
     * 16-bit value (or on nibble bands for Hamming-distance ≤ k).
     */
-  def simhash16(text: Column): Column = {
+  def simhash16(text: Column): Column =
+    bridge.column(SimHash16(bridge.expression(TextAnalysis.tokens(text))))
+
+  /** The expression-level formula [[SimHash16]] replaces (differential
+    * tests only — it digests every token once per bit).
+    */
+  def simhash16Hof(text: Column): Column = {
     val hs = transform(TextAnalysis.tokens(text), t => md5(t))
     aggregate(
       transform(sequence(lit(0), lit(15)), j =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{graft => bridge}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, LshBucket}
 
 /** Similarity search over an embedding column (`array<float>`):
   * brute-force cosine top-k as the exact baseline, and a sign-random-
@@ -93,9 +93,14 @@ object Similarity {
 
   /** B-bit sign-random-projection bucket id of a vector: bit j is the sign
     * of Σ_d (±1)_{j,d} · v_d. A pure projection — computing buckets for
-    * 100 TB of vectors is a map-only scan.
+    * 100 TB of vectors is a map-only scan. Planned as the native
+    * [[graft.functions.LshBucket]] (plane-sign matrix precomputed per
+    * task); `lshBucketHof` is the formula it replaces.
     */
   def lshBucket(vec: Column, bits: Int): Column =
+    bridge.column(LshBucket(bridge.expression(vec), bits))
+
+  def lshBucketHof(vec: Column, bits: Int): Column =
     aggregate(
       transform(sequence(lit(0), lit(bits - 1)), j =>
         when(aggregate(

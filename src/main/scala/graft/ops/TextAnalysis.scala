@@ -2,6 +2,9 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{graft => bridge}
+
+import graft.functions.RollingMinHash
 
 /** Text-analysis operators for a large-scale training-data pipeline:
   * tokenization, language ID, quality scoring, document fingerprinting.
@@ -110,5 +113,11 @@ object TextAnalysis {
     */
   def fingerprintColumns(text: Column): Seq[Column] = Seq(
     md5(text).as("content_md5"),
-    array_min(transform(charGrams(text, 8), g => md5(g))).as("rolling_min"))
+    bridge.column(RollingMinHash(bridge.expression(text), 8)).as("rolling_min"))
+
+  /** The expression-level formula [[RollingMinHash]] replaces
+    * (differential tests only).
+    */
+  def rollingMinHof(text: Column, n: Int): Column =
+    array_min(transform(charGrams(text, n), g => md5(g)))
 }

@@ -183,6 +183,31 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 0)
   }
 
+  test("native SimHash16 ≡ HOF formula on real corpus text") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = df.select(Dedup.simhash16(col("text")).as("a"),
+      Dedup.simhash16Hof(col("text")).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(n == 0)
+  }
+
+  test("native RollingMinHash ≡ HOF formula on real corpus text") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = df.select(
+      TextAnalysis.fingerprintColumns(col("text")).last,
+      TextAnalysis.rollingMinHof(col("text"), 8).as("b"))
+      .filter(not(col("rolling_min") === col("b"))).count()
+    assert(n == 0)
+  }
+
+  test("native LshBucket ≡ HOF formula on real embeddings") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = df.select(Similarity.lshBucket(col("embedding"), 4).as("a"),
+      Similarity.lshBucketHof(col("embedding"), 4).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(n == 0)
+  }
+
   test("embedding near-dup pairs respect the threshold") {
     import spark.implicits._
     val e = Seq(
