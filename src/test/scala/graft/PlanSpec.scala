@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the scale-critical properties: these are
+  * the "would it survive 100×" invariants — predicate pushdown reaching
+  * the scan, column pruning, broadcast joins for dimensions, map-side
+  * partial aggregation, and shuffle counts. A change that silently turns
+  * a broadcast into a shuffle or widens a scan fails here, not in a
+  * cluster postmortem.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("plan-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1_agg: shipdate predicate is pushed into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown in:\n$p")
+  }
+
+  test("q1_agg: column pruning — scan reads only the 5 needed lineitem columns") {
+    val p = plan("q1_agg")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"),
+      s"scan reads unneeded columns: $read")
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+  }
+
+  test("q5_region: dimension joins broadcast, fact join shuffles") {
+    val p = plan("q5_region")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected ≥2 broadcast joins in:\n$p")
+  }
+
+  test("q3_topk: top-k is TakeOrdered, not a global sort") {
+    val p = plan("q3_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
+  }
+
+  test("keydiff: distributed join on the normalized key, no cartesian") {
+    val p = plan("keydiff_status")
+    assert(p.contains("FullOuter"), s"no full-outer join in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diff must be an equi-join:\n$p")
+  }
+
+  test("venn_counted: exactly one shuffle (union + single hash aggregate)") {
+    val p = plan("venn_counted")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles in:\n$p")
+  }
+
+  test("dedup_exact: aggregation is partial (map-side) then final") {
+    val p = plan("dedup_exact")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate in:\n$p")
+  }
+
+  test("minhash_sig: documents scan prunes to (doc_id, text)") {
+    val p = plan("minhash_sig")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("lang") && !read.contains("source") && !read.contains("n_chars"),
+      s"scan reads unneeded columns: $read")
+  }
+
+  test("ann_topk: query side broadcasts; corpus is scanned once streaming") {
+    val p = plan("ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set should broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]")
+      || p.contains("LessThan(vec_id,10)"), s"query filter should push down:\n$p")
+  }
+
+  test("events hourly agg: partial aggregation before the shuffle") {
+    val p = plan("events_hourly")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+}
