@@ -238,6 +238,19 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx"), col("frame_len"),
           md5(col("frame")).as("frame_md5"))
         .orderBy("doc_id", "frame_idx")),
+    // --- LLM-pipeline: vocabulary + embedding aggregation -----------------
+    "vocab_top" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(30)),
+    "label_centroid" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("x").cast("double")), 4).as("centroid"))
+        .orderBy("label", "pos")),
     // --- streaming surface (same transforms run under readStream) ---------
     "stream_window" -> ((s, dir) =>
       EventStream.hourlyCounts(t(s, dir, "events"))
@@ -547,6 +560,17 @@ object SparkEntry {
         |    AS frame_len,
         |  md5(substr(text, CAST(fi*256+1 AS INTEGER), 256)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "vocab_top" ->
+      s"""WITH $toksCte
+         |SELECT token, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT unnest(toks) token FROM toks)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin,
+    "label_centroid" ->
+      """SELECT label, CAST(u.pos - 1 AS INTEGER) AS pos,
+        |  round(avg(CAST(u.x AS DOUBLE)), 4) AS centroid
+        |FROM (SELECT label, unnest(list_transform(embedding,
+        |  (x, i) -> {'pos': i, 'x': x})) u FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
     "stream_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Similarity, Skew, TextAnalysis}
 
 /** Unit tests for the training-data-pipeline operators (dedup family,
   * text analysis, similarity search) on tiny in-memory data — the sf0.01
@@ -206,6 +206,19 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Similarity.lshBucketHof(col("embedding"), 4).as("b"))
       .filter(not(col("a") === col("b"))).count()
     assert(n == 0)
+  }
+
+  test("saltedJoin == plain inner join (including hot-key duplicates)") {
+    import spark.implicits._
+    // one hot key (k=1 appears 500×) plus normal keys
+    val large = ((1 to 500).map(i => (1L, s"p$i")) ++
+      Seq((2L, "x"), (3L, "y"))).toDF("k", "payload")
+    val small = Seq((1L, "dim1"), (2L, "dim2"), (4L, "dim4")).toDF("k", "name")
+    val plain = large.join(small, Seq("k"), "inner")
+      .orderBy("k", "payload").collect()
+    val salted = Skew.saltedJoin(large, small, Seq("k"), saltFactor = 8)
+      .orderBy("k", "payload").collect()
+    assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
   test("embedding near-dup pairs respect the threshold") {

@@ -100,6 +100,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2).getAs[Long]("user_id") == 2L)
   }
 
+  test("VennDiff.counted is streaming-compatible: update-mode counts == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val oldRows = Seq(("a", 1), ("a", 1), ("b", 2))
+    val newRows = Seq(("a", 1), ("c", 3))
+    val batch = graft.ops.VennDiff.counted(
+      oldRows.toDF("k", "v"), newRows.toDF("k", "v"))
+      .orderBy("k", "v").collect()
+
+    val memOld = MemoryStream[(String, Int)]
+    val memNew = MemoryStream[(String, Int)]
+    // identical code path: counted() is one union + one aggregate, which
+    // Structured Streaming runs incrementally in update mode
+    val streamed = graft.ops.VennDiff.counted(
+      memOld.toDF().toDF("k", "v"), memNew.toDF().toDF("k", "v"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("venn_stream").outputMode("complete").start()
+    try {
+      memOld.addData(oldRows: _*)
+      memNew.addData(newRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("venn_stream").orderBy("k", "v").collect()
+      assert(got.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("multimodal: features deterministic, frames bounded and reassemblable") {
     import spark.implicits._
     val docs = Seq((1L, "a" * 600), (2L, "xy")).toDF("doc_id", "text")
