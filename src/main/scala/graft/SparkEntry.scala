@@ -238,6 +238,12 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx"), col("frame_len"),
           md5(col("frame")).as("frame_md5"))
         .orderBy("doc_id", "frame_idx")),
+    "bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(TextAnalysis.bpeTokens(col("text"))).cast("long").as("n_bpe"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_ws"))
+        .orderBy("doc_id")),
     // --- LLM-pipeline: vocabulary + embedding aggregation -----------------
     "vocab_top" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -560,6 +566,13 @@ object SparkEntry {
         |    AS frame_len,
         |  md5(substr(text, CAST(fi*256+1 AS INTEGER), 256)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "bpe_tokens" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         |    AS BIGINT) AS n_bpe,
+         |  CAST(len(toks) AS BIGINT) AS n_ws
+         |FROM toks ORDER BY doc_id""".stripMargin,
     "vocab_top" ->
       s"""WITH $toksCte
          |SELECT token, CAST(count(*) AS BIGINT) AS n
