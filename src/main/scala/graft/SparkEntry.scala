@@ -191,6 +191,9 @@ object SparkEntry {
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("a_id", "b_id")),
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("a_id", "b_id")),
     // --- LLM-pipeline: text analysis --------------------------------------
     "lang_id" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -440,6 +443,23 @@ object SparkEntry {
          |      CASE WHEN substr(h, j+1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
          |  THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
          |FROM h ORDER BY doc_id""".stripMargin,
+    "simhash_pairs" ->
+      s"""WITH $toksCte,
+         |h AS (SELECT doc_id, list_transform(toks, t -> md5(t)) hs FROM toks),
+         |s AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), j ->
+         |  CASE WHEN list_sum(list_transform(hs, h ->
+         |      CASE WHEN substr(h, j+1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+         |  THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) sh
+         |  FROM h),
+         |bands AS (SELECT doc_id, sh, b.band, (sh >> (band*8)) & 255 v
+         |  FROM s CROSS JOIN (SELECT unnest(range(0, 2)) AS band) b)
+         |SELECT a_id, b_id, hamming FROM (
+         |  SELECT a.doc_id a_id, c.doc_id b_id,
+         |    CAST(min(bit_count(xor(a.sh, c.sh))) AS INTEGER) hamming
+         |  FROM bands a JOIN bands c
+         |    ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id
+         |  GROUP BY 1, 2)
+         |WHERE hamming <= 0 ORDER BY a_id, b_id""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH $toksCte, $shinglesCte,
          |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),

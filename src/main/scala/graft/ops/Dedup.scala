@@ -142,6 +142,54 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** SimHash near-duplicate candidate pairs via banding: the 16-bit
+    * simhash splits into `bands` equal-width bands; by pigeonhole, any
+    * pair with Hamming distance ≤ bands−1 agrees on at least one full
+    * band, so a band-bucket self-join (shuffle key = (band, bandValue),
+    * never a cartesian) is a lossless candidate generator for
+    * `maxHamming` ≤ bands−1. Candidates are then filtered to true
+    * Hamming ≤ `maxHamming`.
+    *
+    * Band width is the recall/cost dial: narrower bands (more of them)
+    * cover larger Hamming radii but shrink the bucket-key space and
+    * quadratically inflate candidates — 4-bit bands give only 64 bucket
+    * keys, which at 5k docs already meant ~6M candidate pairs. Default
+    * 2×8-bit bands (256 keys each) covers Hamming ≤ 1. A production
+    * corpus would use a 64-bit simhash, 4×16-bit bands, Hamming ≤ 3 —
+    * identical plan shape, wider hash.
+    *
+    * Default `maxHamming = 0` (identical sketches): 16 bits saturate on a
+    * small-vocabulary corpus, where even unrelated documents sit at
+    * Hamming 2–4.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 0, bands: Int = 2): DataFrame = {
+    require(16 % bands == 0, s"bands must divide 16, got $bands")
+    require(maxHamming <= bands - 1,
+      s"banding with $bands bands only guarantees recall for Hamming <= ${bands - 1}")
+    val width = 16 / bands
+    // barrier: simhash is computed once below the exchange, not per band
+    // and per join side (same CollapseProject hazard as lshCandidates)
+    val sh = df.select(col(idCol).as("id"), simhash16(col(textCol)).as("sh"))
+      .repartition(col("id"))
+    val bandStructs = (0 until bands).map(b => struct(
+      lit(b).as("band"),
+      shiftright(col("sh"), b * width)
+        .bitwiseAND(lit((1L << width) - 1L)).as("v")))
+    val banded = sh.select(col("id"), col("sh"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.v"))
+    val a = banded.select(col("id").as("a_id"), col("sh").as("a_sh"),
+      col("band"), col("v"))
+    val b = banded.select(col("id").as("b_id"), col("sh").as("b_sh"),
+      col("band"), col("v"))
+    a.join(b, Seq("band", "v")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(min(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+        .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** n-gram Jaccard similarity pairs via shingle-join: explode distinct
     * shingles, join on the shingle, count shared per pair, and compute
     * |A∩B| / (|A| + |B| − |A∩B|). Pairs below `minJaccard` are dropped.

@@ -82,6 +82,18 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.forall(v => v >= 0 && v < (1 << 16)))
   }
 
+  test("simhashPairs finds identical-sketch pairs via band join, no false drops") {
+    val df = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta", // identical → hamming 0
+      3L -> "totally unrelated words over here now")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text").collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("a_id") == 1L && r.getAs[Long]("b_id") == 2L &&
+        r.getAs[Int]("hamming") == 0))
+    assert(pairs.forall(_.getAs[Int]("hamming") == 0))
+  }
+
   test("ngram jaccard: self-similar pair scores 1.0, threshold filters the rest") {
     val df = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "v w x y z")
     val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", minJaccard = 0.5)
