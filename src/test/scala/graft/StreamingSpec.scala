@@ -7,7 +7,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Multimodal
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, StreamDiff}
 
 /** Streaming + multimodal plumbing tests: the windowed transform runs
   * identically in batch and under a MemoryStream; stateful sessionization
@@ -98,6 +98,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).getAs[Long]("duration_ms") == 10 * 60 * 1000L)
     assert(out(1).getAs[Long]("n_events") == 1L)
     assert(out(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("StreamDiff classifies keys across two streams like the batch diff") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val memOld = MemoryStream[StreamDiff.TaggedRow]
+    val memNew = MemoryStream[StreamDiff.TaggedRow]
+    val out = StreamDiff.diff(memOld.toDS(), memNew.toDS(), quietMinutes = 10)
+    val q = out.writeStream.format("memory")
+      .queryName("stream_diff").outputMode("append").start()
+    try {
+      // k1 unchanged, k2 changed, k3 removed (old only), k4 added (new only);
+      // k2 also tests last-write-wins on the new side
+      memOld.addData(
+        StreamDiff.TaggedRow("k1", "old", """{"v":1}""", t0),
+        StreamDiff.TaggedRow("k2", "old", """{"v":2}""", t0),
+        StreamDiff.TaggedRow("k3", "old", """{"v":3}""", t0))
+      memNew.addData(
+        StreamDiff.TaggedRow("k1", "new", """{"v":1}""", t0),
+        StreamDiff.TaggedRow("k2", "new", """{"v":2}""", t0 + 1000),
+        StreamDiff.TaggedRow("k2", "new", """{"v":99}""", t0 + 2000),
+        StreamDiff.TaggedRow("k4", "new", """{"v":4}""", t0))
+      q.processAllAvailable()
+      // push the watermark far past every key's quiet gap
+      memNew.addData(StreamDiff.TaggedRow("zz", "new", """{"v":0}""",
+        t0 + 2 * 60 * 60 * 1000))
+      q.processAllAvailable()
+      memNew.addData(StreamDiff.TaggedRow("zz2", "new", """{"v":0}""",
+        t0 + 4 * 60 * 60 * 1000))
+      q.processAllAvailable()
+      val got = spark.table("stream_diff").as[StreamDiff.DiffResult].collect()
+        .filter(_.key.startsWith("k")).map(r => r.key -> r.status).toMap
+      assert(got == Map("k1" -> "unchanged", "k2" -> "changed",
+        "k3" -> "removed", "k4" -> "added"))
+      val k2 = spark.table("stream_diff").as[StreamDiff.DiffResult].collect()
+        .find(_.key == "k2").get
+      assert(k2.new_payload == """{"v":99}""") // last write wins
+    } finally q.stop()
   }
 
   test("VennDiff.counted is streaming-compatible: update-mode counts == batch") {
