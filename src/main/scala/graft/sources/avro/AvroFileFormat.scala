@@ -12,7 +12,8 @@ import org.apache.hadoop.mapreduce.Job
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriterFactory, PartitionedFile}
+import org.apache.hadoop.mapreduce.TaskAttemptContext
+import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriter, OutputWriterFactory, PartitionedFile}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 
@@ -35,7 +36,8 @@ import org.apache.spark.sql.types.StructType
   *     header by avro's CodecFactory — no manual codec flag
   *     (`src/index.js:319-326` needed one).
   *
-  * Write path intentionally absent: the reference has no Avro sink.
+  * Write path (extended scope — the reference has no file sink): see
+  * [[AvroOutputWriter]]; `df.write.format("avro")` with a `codec` option.
   */
 class AvroFileFormat extends FileFormat with DataSourceRegister with Serializable {
 
@@ -65,13 +67,26 @@ class AvroFileFormat extends FileFormat with DataSourceRegister with Serializabl
       options: Map[String, String],
       path: Path): Boolean = true
 
+  /** Avro sink (extended scope — the reference itself has no file sink):
+    * one container file per task, codec via `.option("codec",
+    * null|deflate|snappy|zstandard)`, snappy default to match the
+    * reference's fixture corpus.
+    */
   override def prepareWrite(
       sparkSession: SparkSession,
       job: Job,
       options: Map[String, String],
-      dataSchema: StructType): OutputWriterFactory =
-    throw new UnsupportedOperationException(
-      "graft avro source is read-only (the reference has no Avro sink)")
+      dataSchema: StructType): OutputWriterFactory = {
+    val codec = options.getOrElse("codec", "snappy")
+    new OutputWriterFactory {
+      override def getFileExtension(context: TaskAttemptContext): String = ".avro"
+      override def newInstance(
+          path: String,
+          dataSchema: StructType,
+          context: TaskAttemptContext): OutputWriter =
+        new AvroOutputWriter(path, context, dataSchema, codec)
+    }
+  }
 
   override protected def buildReader(
       sparkSession: SparkSession,
@@ -137,4 +152,30 @@ private class SerializableConf(@transient var value: Configuration)
     value = new Configuration(false)
     value.readFields(in)
   }
+}
+
+/** One Avro container file per task: Catalyst rows serialized through
+  * [[AvroSerializer]] into a `DataFileWriter` with the requested codec.
+  */
+private class AvroOutputWriter(
+    val path: String,
+    context: TaskAttemptContext,
+    dataSchema: org.apache.spark.sql.types.StructType,
+    codec: String) extends OutputWriter {
+
+  private val avroSchema = AvroSerializer.toAvroSchema(dataSchema)
+  private val convert = AvroSerializer.rowConverter(dataSchema, avroSchema)
+
+  private val writer = {
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[GenericRecord](avroSchema))
+    w.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
+    val hadoopPath = new Path(path)
+    val out = hadoopPath.getFileSystem(context.getConfiguration).create(hadoopPath)
+    w.create(avroSchema, out)
+  }
+
+  override def write(row: InternalRow): Unit = writer.append(convert(row))
+
+  override def close(): Unit = writer.close()
 }
