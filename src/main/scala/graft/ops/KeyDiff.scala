@@ -55,19 +55,25 @@ object KeyDiff {
     val cols = o.columns.toSeq
     require(n.columns.toSeq == cols,
       s"old/new schemas differ: $cols vs ${n.columns.toSeq}")
-    val missing = keys.filterNot(cols.contains)
+    // Top-level keys must exist; dotted paths (nested struct fields — the
+    // reference's explicit TODO, src/index.js:24-25) resolve via df(f).
+    val missing = keys.filterNot(f => cols.contains(f) || f.contains('.'))
     require(missing.isEmpty, s"key fields not in schema: $missing")
 
+    // Internal key aliases are positional so dotted key paths can't be
+    // misparsed as struct access in later col() references.
+    val keyAlias = keys.indices.map(i => s"__k_$i")
+
     def keyed(df: DataFrame, payload: String): DataFrame = {
-      val ks = keys.map { f =>
+      val ks = keys.zip(keyAlias).map { case (f, a) =>
         val c = if (cfg.stringKeys) compatKey(df(f)) else df(f)
-        c.as(s"__k_$f")
+        c.as(a)
       }
       df.select((ks :+ struct(cols.map(df.col): _*).as(payload)).toIndexedSeq: _*)
     }
 
     val joined = keyed(o, "old")
-      .join(keyed(n, "new"), keys.map(f => s"__k_$f"), "full_outer")
+      .join(keyed(n, "new"), keyAlias, "full_outer")
 
     val oldP = col("old")
     val newP = col("new")
@@ -95,7 +101,7 @@ object KeyDiff {
     val changed = map_from_entries(
       filter(array(entries.toIndexedSeq: _*), e => e.getField("value").isNotNull))
 
-    val keyOut = keys.map(f => col(s"__k_$f").as(f))
+    val keyOut = keys.zip(keyAlias).map { case (f, a) => col(a).as(f) }
     joined.select(
       (keyOut ++ Seq(
         status.as(StatusCol),

@@ -129,6 +129,24 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("id", "first_name"))
   }
 
+  test("nested dotted-path diff key (reference TODO src/index.js:24-25)") {
+    import spark.implicits._
+    // key on a field INSIDE a nested struct — impossible in the reference
+    val old = Seq((1L, ("a", 10)), (2L, ("b", 20)))
+      .toDF("id", "sub").select(col("id"),
+        col("sub._1").as("k").as("k"), col("sub._2").as("v"))
+      .select(col("id"), struct(col("k"), col("v")).as("sub"))
+    val neu = Seq((1L, ("a", 10)), (3L, ("c", 30)))
+      .toDF("id", "sub").select(col("id"),
+        col("sub._1").as("k"), col("sub._2").as("v"))
+      .select(col("id"), struct(col("k"), col("v")).as("sub"))
+    val d = KeyDiff.diff(old, neu, Seq("sub.k"))
+    assert(d.columns.head == "sub.k")
+    val statuses = d.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(statuses == Map("a" -> "unchanged", "b" -> "removed", "c" -> "added"))
+  }
+
   test("avro write: flat round-trip through all three codecs") {
     val src = avro(s"$fixtures/sample_avro/userdata1.avro")
     for (codec <- Seq("null", "deflate", "snappy")) {
