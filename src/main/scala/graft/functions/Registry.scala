@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Registers the graft native expressions as SQL functions on a live
+  * session, so `spark.sql("SELECT graft_minhash(shingles, 8) ...")` works
+  * alongside the Column API. Registration goes through the session's
+  * function registry because the driver owns SparkSession construction
+  * (no SparkSessionExtensions hook available to this library).
+  */
+object Registry {
+
+  private def intLit(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "graft_minhash" -> (es => MinHashSignature(es(0), intLit(es(1), "numHashes"))),
+    "graft_shingles" -> (es => WordShingles(es(0), intLit(es(1), "width"))),
+    "graft_simhash16" -> (es => SimHash16(es(0))),
+    "graft_lsh_bucket" -> (es => LshBucket(es(0), intLit(es(1), "bits"))),
+    "graft_rolling_min" -> (es => RollingMinHash(es(0), intLit(es(1), "width"))))
+
+  /** Idempotent; call once per session before using the functions in SQL. */
+  def install(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+
+  def functionNames: Seq[String] = builders.map(_._1)
+}

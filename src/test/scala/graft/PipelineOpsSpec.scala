@@ -220,6 +220,29 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 0)
   }
 
+  test("Registry exposes the native expressions to SQL") {
+    graft.functions.Registry.install(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_minhash(graft_shingles(
+        |    filter(split(text, ' +'), t -> t != ''), 3), 8) AS sig,
+        |  graft_simhash16(filter(split(text, ' +'), t -> t != '')) AS sh,
+        |  graft_rolling_min(text, 8) AS rm
+        |FROM docs_sql ORDER BY doc_id""".stripMargin).collect()
+    val viaCols = spark.table("docs_sql").select(
+      col("doc_id"),
+      Dedup.minhashSignature(col("text"), 8, 3).as("sig"),
+      Dedup.simhash16(col("text")).as("sh"),
+      TextAnalysis.fingerprintColumns(col("text")).last)
+      .orderBy("doc_id").collect()
+    assert(viaSql.map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2),
+      r.getString(3))).toSeq ==
+      viaCols.map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2),
+        r.getString(3))).toSeq)
+  }
+
   test("saltedJoin == plain inner join (including hot-key duplicates)") {
     import spark.implicits._
     // one hot key (k=1 appears 500×) plus normal keys

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, KeyDiff, VennDiff}
+
+/** ScalaCheck properties from the SURVEY §5 test plan — the algebraic
+  * invariants of the diff operators over generated data. Generators are
+  * driven with fixed seeds (no scalatest-scalacheck bridge in the offline
+  * dependency set), so runs are deterministic.
+  *
+  * Properties:
+  *   - diff(f, f) is all-unchanged;
+  *   - added/removed swap under argument flip, changed/unchanged symmetric;
+  *   - venn multiset identities |old| = removed + common,
+  *     |new| = added + common, and the row-level ops agree with counted;
+  *   - minhash signatures: equal shingle sets ⇒ equal signatures;
+  *     disjoint shingle sets ⇒ different signatures.
+  */
+class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("property-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default.withSize(30), Seed(seed))
+      .getOrElse(sys.error("generator failed"))
+
+  private val rowGen: Gen[(Long, String, Option[Int])] = for {
+    id <- Gen.chooseNum(0L, 40L) // small domain → guaranteed overlaps
+    s <- Gen.oneOf("x", "y", "z")
+    v <- Gen.option(Gen.chooseNum(0, 5))
+  } yield (id, s, v)
+
+  private val tableGen: Gen[List[(Long, String, Option[Int])]] =
+    Gen.listOf(rowGen).map(_.distinctBy(_._1)) // unique keys for keyDiff
+
+  private def toDf(rows: List[(Long, String, Option[Int])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "s", "v")
+  }
+
+  test("property: diff(f, f) is all-unchanged") {
+    for (seed <- 1L to 5L) {
+      val rows = sample(tableGen, seed)
+      val df = toDf(rows)
+      val d = KeyDiff.diff(df, df, Seq("id"))
+      assert(d.filter(col(KeyDiff.StatusCol) =!= "unchanged").isEmpty,
+        s"seed=$seed")
+      assert(d.count() == rows.size, s"seed=$seed")
+    }
+  }
+
+  test("property: added/removed swap under argument flip; changed symmetric") {
+    for (seed <- 1L to 5L) {
+      val a = sample(tableGen, seed)
+      val b = sample(tableGen, seed + 100)
+      val (da, db) = (toDf(a), toDf(b))
+      def counts(d: DataFrame) = KeyDiff.summary(d).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+      val fwd = counts(KeyDiff.diff(da, db, Seq("id")))
+      val rev = counts(KeyDiff.diff(db, da, Seq("id")))
+      assert(fwd("added") == rev("removed"), s"seed=$seed")
+      assert(fwd("removed") == rev("added"), s"seed=$seed")
+      assert(fwd("changed") == rev("changed"), s"seed=$seed")
+      assert(fwd("unchanged") == rev("unchanged"), s"seed=$seed")
+    }
+  }
+
+  test("property: venn multiset identities") {
+    for (seed <- 1L to 5L) {
+      val a = sample(Gen.listOf(rowGen), seed)
+      val b = sample(Gen.listOf(rowGen), seed + 100)
+      val (da, db) = (toDf(a), toDf(b))
+      val c = VennDiff.counted(da, db)
+        .agg(sum("removed"), sum("added"), sum("common")).collect().head
+      def n(i: Int) = if (c.isNullAt(i)) 0L else c.getLong(i)
+      assert(n(0) + n(2) == a.size, s"seed=$seed |old| = removed + common")
+      assert(n(1) + n(2) == b.size, s"seed=$seed |new| = added + common")
+      assert(VennDiff.removed(da, db).count() == n(0), s"seed=$seed")
+      assert(VennDiff.intersection(da, db).count() == n(2), s"seed=$seed")
+    }
+  }
+
+  test("property: minhash signature equality tracks shingle-set equality") {
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
+      .map(_.mkString(" "))
+    for (seed <- 1L to 5L) {
+      import spark.implicits._
+      val t1 = sample(docGen, seed)
+      val t2 = sample(docGen, seed + 100)
+      // equal sets ⇒ equal signatures (self + independently generated pair)
+      val df = Seq((1L, t1), (2L, t1), (3L, t2)).toDF("doc_id", "text")
+      val sigs = Dedup.minhashSignatures(df, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.getSeq[String](1))
+      assert(sigs(0) == sigs(1), s"seed=$seed identical docs must agree")
+      // disjoint vocab ⇒ different signatures (md5 of different strings)
+      val disjoint = Seq((1L, t1), (2L, t1.replaceAll("[abcde]", "z")))
+        .toDF("doc_id", "text")
+      val ds = Dedup.minhashSignatures(disjoint, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.getSeq[String](1))
+      assert(ds(0) != ds(1), s"seed=$seed disjoint docs must differ")
+    }
+  }
+}
