@@ -116,10 +116,24 @@ object Similarity {
     * recall, more work). Multi-probe (flipping low-margin bits) is the
     * standard recall extension and composes as a union of bucket keys.
     */
+  /** `probes` = 0 searches only the query's own bucket; `probes` = n also
+    * searches the n buckets at Hamming distance 1 (one sign bit flipped) —
+    * multi-probe LSH, the standard recall knob that trades candidate count
+    * for recall without re-hashing the corpus. Probing expands only the
+    * (small, broadcast) query side.
+    */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, bits: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), bits).as("bucket"), l2Norm(col(vecCol)).as("qn"))
+      idCol: String, vecCol: String, k: Int, bits: Int,
+      probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= bits, s"probes must be in [0,$bits]")
+    val base = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), bits).as("bucket0"), l2Norm(col(vecCol)).as("qn"))
+    val probeBuckets = array((0 to probes).map {
+      case 0 => col("bucket0")
+      case i => col("bucket0").bitwiseXOR(lit(1L << (i - 1)))
+    }: _*)
+    val q = base.select(col("query_id"), col("qv"), col("qn"),
+      explode(probeBuckets).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), bits).as("bucket"), l2Norm(col(vecCol)).as("cn"))
     val scored = c.join(broadcast(q), Seq("bucket"))

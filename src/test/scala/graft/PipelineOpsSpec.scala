@@ -256,6 +256,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
+  test("multi-probe LSH recall dominates single-bucket recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = hits(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    val probe0 = hits(Similarity.lshTopK(q, e, "vec_id", "embedding", 5, 4))
+    val probe4 = hits(Similarity.lshTopK(q, e, "vec_id", "embedding", 5, 4,
+      probes = 4))
+    def recall(got: Set[(Long, Long)]) =
+      (got & exact).size.toDouble / exact.size
+    assert(recall(probe4) >= recall(probe0),
+      s"probe4=${recall(probe4)} probe0=${recall(probe0)}")
+    // probing strictly widens the candidate set
+    assert(probe0.subsetOf(probe4) || recall(probe4) >= recall(probe0))
+  }
+
   test("embedding near-dup pairs respect the threshold") {
     import spark.implicits._
     val e = Seq(
