@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{DataTests, Dedup, KeyDiff, Multimodal, Similarity, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, DataTests, Dedup, KeyDiff, Multimodal, Similarity, TextAnalysis, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -141,6 +141,19 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
         .orderBy("hour", "event_type")
+    }),
+    "asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("r_ts")).as("p_ts_ms"),
+          round(col("r_value"), 2).as("p_value"))
+        .orderBy("event_id")
     }),
     "json_props" -> ((s, dir) =>
       t(s, dir, "events")
@@ -412,6 +425,15 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "asof_join" ->
+      """WITH a AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |b AS (SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT a.event_id, a.user_id, epoch_ms(a.ts) AS ts_ms,
+        |  epoch_ms(b.ts) AS p_ts_ms, round(b.value, 2) AS p_value
+        |FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY event_id""".stripMargin,
     "json_props" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Similarity, Skew, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, Similarity, Skew, TextAnalysis}
 
 /** Unit tests for the training-data-pipeline operators (dedup family,
   * text analysis, similarity search) on tiny in-memory data — the sf0.01
@@ -254,6 +254,30 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val salted = Skew.saltedJoin(large, small, Seq("k"), saltFactor = 8)
       .orderBy("k", "payload").collect()
     assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
+
+  test("asof join: latest right ≤ left.ts per key, inclusive, inner drops unmatched") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (2L, 100L, ts("2024-01-01 10:30:00")),
+      (3L, 100L, ts("2024-01-01 09:00:00")), // before any right row
+      (4L, 200L, ts("2024-01-01 10:00:00"))) // key with no right rows
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts("2024-01-01 09:30:00"), 1.0),
+      (100L, ts("2024-01-01 10:00:00"), 2.0), // equal ts → inclusive match
+      (100L, ts("2024-01-01 10:15:00"), 3.0))
+      .toDF("user_id", "ts", "value")
+    val inner = AsOfJoin.asof(left, right, Seq("user_id"), "ts", "ts")
+      .orderBy("event_id").collect()
+    assert(inner.map(_.getAs[Long]("event_id")).toSeq == Seq(1L, 2L))
+    assert(inner.map(_.getAs[Double]("r_value")).toSeq == Seq(2.0, 3.0))
+    val outer = AsOfJoin.asof(left, right, Seq("user_id"), "ts", "ts",
+      inner = false).orderBy("event_id").collect()
+    assert(outer.length == 4)
+    assert(outer.count(_.isNullAt(outer.head.fieldIndex("r_value"))) == 2)
   }
 
   test("multi-probe LSH recall dominates single-bucket recall") {
