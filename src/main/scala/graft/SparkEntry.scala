@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, DataTests, Dedup, KeyDiff, Multimodal, Similarity, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, DataTests, Dedup, KeyDiff, Multimodal, Quantiles, Similarity, TextAnalysis, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -127,6 +127,17 @@ object SparkEntry {
         .agg(round(sum(revenue), 2).as("rev"))
         .orderBy(col("rev").desc, col("n_name"))
     }),
+    "rollup_sales" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum(revenue), 2).as("rev"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("rev"), col("n"), col("gid"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
     "window_rank" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -164,12 +175,12 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
     "quantiles" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      Quantiles.exact(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_extendedprice", Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+        .select(col("l_returnflag"),
+          round(col("p25"), 4).as("p25"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"))
         .orderBy("l_returnflag")),
     "distinct_users" -> ((s, dir) => {
       t(s, dir, "events")
@@ -413,6 +424,15 @@ object SparkEntry {
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY rev DESC, n_name""".stripMargin,
+    "rollup_sales" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+        |    AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

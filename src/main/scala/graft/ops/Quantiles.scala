@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated quantiles (SQL `percentile` / `quantile_cont`
+  * semantics) computed as sort + window instead of a buffering aggregate.
+  *
+  * Spark's exact `percentile` is a TypedImperativeAggregate that holds
+  * every (value, count) of a group in the aggregation buffer — per group,
+  * per partial — so large groups serialize multi-MB buffers through the
+  * shuffle and the final merge runs on as many tasks as there are groups
+  * (3 groups ⇒ 3-way parallelism, ~10 s at sf0.1). This formulation
+  * instead:
+  *
+  *   1. sorts values within each group (one shuffle, Spark's parallel
+  *      range-friendly sort, whole-stage codegen'd),
+  *   2. row_number + count windows locate, for each requested p, the two
+  *      bracketing ranks lo = ⌊(n−1)p⌋ and hi = ⌈(n−1)p⌉,
+  *   3. a plain hash aggregate sums v_lo·(1−frac) + v_hi·frac.
+  *
+  * Same result (linear interpolation, matching DuckDB `quantile_cont`),
+  * but state per group is O(1) and the heavy lifting is a distributed
+  * sort — the shape that survives 100 TB. (The approximate-at-scale
+  * alternative is `approx_percentile`'s mergeable t-digest; this exact
+  * form exists because the correctness oracle can match it.)
+  *
+  * Caveat shared by every exact per-group method: window parallelism is
+  * bounded by the number of groups (one sorted partition per group). For
+  * a handful of giant groups, either range-partition within the group and
+  * merge per-partition rank offsets, or switch to `approx_percentile` —
+  * at 100 TB the t-digest is almost always the right trade.
+  */
+object Quantiles {
+
+  def exact(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(gcols: _*)
+    val ranked = df.select((gcols :+ col(valueCol).cast("double").as("__v")): _*)
+      .withColumn("__rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("__n", count(lit(1)).over(wAll))
+
+    def contribution(p: Double): Column = {
+      val pos = (col("__n") - 1L).cast("double") * lit(p)
+      val lo = floor(pos).cast("long")
+      val hi = ceil(pos).cast("long")
+      val frac = pos - lo.cast("double")
+      when(col("__rn") === lo && col("__rn") === hi, col("__v"))
+        .when(col("__rn") === lo, col("__v") * (lit(1.0) - frac))
+        .when(col("__rn") === hi, col("__v") * frac)
+        .otherwise(lit(0.0))
+    }
+
+    ranked
+      .groupBy(gcols: _*)
+      .agg(ps.head match { case (name, p) => sum(contribution(p)).as(name) },
+        ps.tail.map { case (name, p) => sum(contribution(p)).as(name) }: _*)
+  }
+}
