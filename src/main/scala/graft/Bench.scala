@@ -23,7 +23,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Warmup pass at the smallest SF: same plans → same generated code, so
+    // JIT + codegen caches are hot before anything is timed. Without it the
+    // first queries absorb multi-second compilation noise and run-to-run
+    // variance swamps real regressions.
+    queries.foreach { case (name, fn) =>
+      try fn(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
