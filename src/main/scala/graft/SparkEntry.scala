@@ -88,6 +88,8 @@ object SparkEntry {
       VennDiff.counted(vennOld(s, dir), vennNew(s, dir))
         .orderBy("o_orderstatus", "o_orderpriority")),
     // --- reference parity: key-uniqueness data test (O14) -----------------
+    "data_profile" -> ((s, dir) =>
+      DataTests.profile(t(s, dir, "orders")).orderBy("column_name")),
     "key_dups" -> ((s, dir) =>
       DataTests.keyDuplicates(t(s, dir, "lineitem"), Seq("l_orderkey"))
         .orderBy("l_orderkey")),
@@ -387,6 +389,17 @@ object SparkEntry {
         |  least(CAST(sum(t_o) AS BIGINT), CAST(sum(t_n) AS BIGINT)) AS common
         |FROM tagged GROUP BY o_orderstatus, o_orderpriority
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "data_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map(c =>
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     "key_dups" ->
       """SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
         |       CAST(count(*) AS BIGINT) AS dup_count

@@ -25,4 +25,29 @@ object DataTests {
   /** True iff `keys` is unique in `df` (reference `keyCollisionTest`). */
   def keyUniqueness(df: DataFrame, keys: Seq[String]): Boolean =
     keyDuplicates(df, keys).isEmpty
+
+  /** Per-column profile — row count, null count, exact distinct count —
+    * in ONE aggregation pass (Catalyst plans the multi-distinct via a
+    * single Expand, so the table is scanned once however many columns are
+    * profiled), then unpivoted to a long (column, stats) shape.
+    *
+    * The completeness/uniqueness sweep a pipeline runs before trusting a
+    * new drop of data; `n_distinct` uses exact distinct so the DuckDB
+    * oracle can hash-match (`approx_count_distinct` is the 100 TB knob —
+    * one pass, no Expand, mergeable HLL state).
+    */
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = count(lit(1)).as("__n") +:
+      cols.flatMap(c => Seq(
+        sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__nd_$c")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map(c => struct(
+      lit(c).as("column_name"),
+      col("__n").as("n_rows"),
+      col(s"__nulls_$c").as("n_nulls"),
+      col(s"__nd_$c").as("n_distinct")))
+    wide.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
 }

@@ -256,6 +256,16 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
+  test("data profile: null and distinct counts per column in one pass") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")))
+      .toDF("id", "s")
+    val p = graft.ops.DataTests.profile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(p("id") == ((3L, 0L, 3L)))
+    assert(p("s") == ((3L, 1L, 1L)))
+  }
+
   test("asof join: latest right ≤ left.ts per key, inclusive, inner drops unmatched") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
