@@ -116,4 +116,19 @@ object KeyDiff {
     */
   def summary(diffed: DataFrame): DataFrame =
     diffed.groupBy(StatusCol).count().orderBy(StatusCol)
+
+  /** Reconstruct a snapshot from a diff: the diff is lossless (both
+    * payloads are kept), so `patch(diff(old, new)) ≡ new` and
+    * `patch(diff(old, new), forward = false) ≡ old` — as multisets of
+    * rows. A CDC "apply changes" step for free; useful for shipping diffs
+    * instead of snapshots (the diff is usually a small fraction of the
+    * data).
+    */
+  def patch(diffed: DataFrame, forward: Boolean = true): DataFrame = {
+    val (dropStatus, takeCol) =
+      if (forward) ("removed", "new") else ("added", "old")
+    diffed.filter(col(StatusCol) =!= dropStatus)
+      .select(col(takeCol).as("__row"))
+      .select("__row.*")
+  }
 }

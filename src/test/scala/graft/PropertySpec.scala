@@ -94,6 +94,21 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: patch(diff(old, new)) reconstructs new; backward gives old") {
+    for (seed <- 1L to 5L) {
+      val a = sample(tableGen, seed)
+      val b = sample(tableGen, seed + 100)
+      val (da, db) = (toDf(a), toDf(b))
+      val d = KeyDiff.diff(da, db, Seq("id"))
+      val fwd = KeyDiff.patch(d)
+      val bwd = KeyDiff.patch(d, forward = false)
+      assert(fwd.exceptAll(db).isEmpty && db.exceptAll(fwd).isEmpty,
+        s"seed=$seed forward patch must equal new")
+      assert(bwd.exceptAll(da).isEmpty && da.exceptAll(bwd).isEmpty,
+        s"seed=$seed backward patch must equal old")
+    }
+  }
+
   test("property: minhash signature equality tracks shingle-set equality") {
     val docGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
       .map(_.mkString(" "))
