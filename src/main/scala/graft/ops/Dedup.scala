@@ -190,6 +190,28 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** End-to-end corpus cleaning — the composition these operators exist
+    * for: quality gate → exact dedup (keep lowest id per fingerprint) →
+    * near-dup removal (drop the higher id of every LSH candidate pair at
+    * or above `minEstJaccard`). Returns the surviving documents.
+    *
+    * Every stage is one of the scale-shaped primitives above: a
+    * projection filter, one uniform hash groupBy, one band bucket-join —
+    * the whole pipeline is 3 shuffles regardless of corpus size.
+    */
+  def cleanCorpus(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20, minEstJaccard: Double = 0.75): DataFrame = {
+    val quality = df.filter(size(TextAnalysis.tokens(col(textCol))) >= minTokens)
+    val keepExact = exactGroups(quality, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val exactKept = quality.join(keepExact, idCol)
+    val nearDupLosers = lshCandidates(
+      minhashSignatures(exactKept, idCol, textCol), idCol, bands = 4, rowsPerBand = 2)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("b_id").as(idCol)).distinct()
+    exactKept.join(nearDupLosers, Seq(idCol), "left_anti")
+  }
+
   /** n-gram Jaccard similarity pairs via shingle-join: explode distinct
     * shingles, join on the shingle, count shared per pair, and compute
     * |A∩B| / (|A| + |B| − |A∩B|). Pairs below `minJaccard` are dropped.
