@@ -233,6 +233,11 @@ object SparkEntry {
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("a_id", "b_id")),
+    "group_sketch" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
+        .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+      Dedup.groupSketch(sigs, Seq("lang")).orderBy("lang")
+    }),
     "corpus_clean" -> ((s, dir) =>
       Dedup.cleanCorpus(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "source", "n_chars")
@@ -532,6 +537,14 @@ object SparkEntry {
          |      CASE WHEN substr(h, j+1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
          |  THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
          |FROM h ORDER BY doc_id""".stripMargin,
+    "group_sketch" -> {
+      val mins = (1 to 8).map(i => s"min(sig[$i])").mkString(", ")
+      s"""WITH $toksCte, $shinglesCte, $sigsCte,
+         |j AS (SELECT d.lang, s.sig FROM sigs s
+         |      JOIN documents d ON s.doc_id = d.doc_id)
+         |SELECT lang, array_to_string([$mins], ',') AS sketch
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "corpus_clean" ->
       """WITH q AS (SELECT doc_id, text, lang, source, n_chars FROM (
         |    SELECT *, list_filter(regexp_split_to_array(text, ' +'),

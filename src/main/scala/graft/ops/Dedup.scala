@@ -86,6 +86,23 @@ object Dedup {
       numHashes: Int = 8, shingleWidth: Int = 3): DataFrame =
     df.select(col(idCol), minhashSignature(col(textCol), numHashes, shingleWidth).as("sig"))
 
+  /** Group-level MinHash sketch: the signature of a SET of documents is
+    * the elementwise minimum of their signatures — MinHash's defining
+    * mergeability, which is what makes sketches work at 100 TB (partial
+    * sketches combine associatively across partitions, map-side first,
+    * exactly like a sum). Expressed as k plain `min` aggregates over
+    * `element_at`, so it rides the standard partial/final HashAggregate.
+    */
+  def groupSketch(sigs: DataFrame, groupCols: Seq[String],
+      numHashes: Int = 8): DataFrame = {
+    val mins = (0 until numHashes).map(j =>
+      min(element_at(col("sig"), j + 1)).as(s"h$j"))
+    sigs.groupBy(groupCols.map(col): _*)
+      .agg(mins.head, mins.tail: _*)
+      .select((groupCols.map(col) :+
+        concat_ws(",", (0 until numHashes).map(j => col(s"h$j")): _*).as("sketch")): _*)
+  }
+
   /** LSH banding over a signature df: explode each signature into
     * `bands` buckets of `rowsPerBand` components, hash each band, and
     * self-join on (band, bandHash) to produce candidate pairs with

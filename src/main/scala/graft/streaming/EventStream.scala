@@ -60,6 +60,18 @@ object EventStream {
       .withColumn("duration_ms", col("end_ms") - col("start_ms"))
   }
 
+  /** Streaming exact deduplication — the streaming half of
+    * `Dedup.exactGroups`: `dropDuplicatesWithinWatermark` keeps the first
+    * row per content key and frees a key's state once the watermark
+    * passes its event time + horizon, so memory is O(keys per horizon),
+    * not O(stream). (Plain `dropDuplicates` on key-only columns would
+    * never expire state.)
+    */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // --- streaming sessionization (stateful) --------------------------------
 
   final case class SessionEvent(user_id: Long, ts_ms: Long)

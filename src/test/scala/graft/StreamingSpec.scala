@@ -100,6 +100,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2).getAs[Long]("user_id") == 2L)
   }
 
+  test("dedupStream drops repeated keys across micro-batches, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val in = mem.toDF().toDF("content_hash", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = graft.streaming.EventStream
+      .dedupStream(in, Seq("content_hash"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      mem.addData(("a", t0), ("a", t0 + 1000), ("b", t0))
+      q.processAllAvailable()
+      mem.addData(("a", t0 + 2000), ("c", t0 + 3000)) // later batch, same key
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("StreamDiff classifies keys across two streams like the batch diff") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
