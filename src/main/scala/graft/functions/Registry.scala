@@ -22,7 +22,9 @@ object Registry {
     "graft_shingles" -> (es => WordShingles(es(0), intLit(es(1), "width"))),
     "graft_simhash16" -> (es => SimHash16(es(0))),
     "graft_lsh_bucket" -> (es => LshBucket(es(0), intLit(es(1), "bits"))),
-    "graft_rolling_min" -> (es => RollingMinHash(es(0), intLit(es(1), "width"))))
+    "graft_rolling_min" -> (es => RollingMinHash(es(0), intLit(es(1), "width"))),
+    "graft_heavy_hitters" -> (es =>
+      HeavyHitters(es(0), intLit(es(1), "k")).toAggregateExpression()))
 
   /** Idempotent; call once per session before using the functions in SQL. */
   def install(spark: SparkSession): Unit =

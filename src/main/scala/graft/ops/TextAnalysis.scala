@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{graft => bridge}
 
-import graft.functions.RollingMinHash
+import graft.functions.{HeavyHitters, RollingMinHash}
 
 /** Text-analysis operators for a large-scale training-data pipeline:
   * tokenization, language ID, quality scoring, document fingerprinting.
@@ -94,6 +94,14 @@ object TextAnalysis {
       round(stopRatio, 4).as("stop_ratio"),
       round(score, 4).as("quality"))
   }
+
+  /** Heavy-hitters aggregate over a string column: Misra–Gries sketch
+    * with at most `k` counters per partial — the bounded-state way to get
+    * the vocabulary head at corpus scale (see
+    * [[graft.functions.HeavyHitters]] for the guarantees).
+    */
+  def heavyHitters(c: Column, k: Int): Column =
+    bridge.column(HeavyHitters(bridge.expression(c), k).toAggregateExpression())
 
   // --- fingerprinting -----------------------------------------------------
 

@@ -256,6 +256,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
+  test("heavy hitters: exact when distinct ≤ k; heavy item survives skew") {
+    import spark.implicits._
+    // exact regime: 3 distinct items, k = 10
+    val uniform = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(10)("c")
+    val exact = uniform.toDF("w")
+      .agg(TextAnalysis.heavyHitters(col("w"), 10).as("hh"))
+      .collect().head.getMap[String, Long](0)
+    assert(exact == Map("a" -> 40L, "b" -> 25L, "c" -> 10L))
+
+    // SQL path agrees with the Column path
+    graft.functions.Registry.install(spark)
+    uniform.toDF("w").createOrReplaceTempView("hh_words")
+    val viaSql = spark.sql("SELECT graft_heavy_hitters(w, 10) FROM hh_words")
+      .collect().head.getMap[String, Long](0)
+    assert(viaSql == exact)
+
+    // skewed regime: 1 item is 60% of n across many rare items, k = 4;
+    // MG guarantees any item with freq > n/(k+1) is present, count
+    // undercounts by at most n/(k+1)
+    val n = 1000
+    val skewed = (Seq.fill((n * 6) / 10)("hot") ++
+      (1 to (n * 4) / 10).map(i => s"rare$i")).toDF("w").repartition(8)
+    val hh = skewed.agg(TextAnalysis.heavyHitters(col("w"), 4).as("hh"))
+      .collect().head.getMap[String, Long](0)
+    assert(hh.contains("hot"), s"heavy item missing from $hh")
+    assert(hh("hot") >= (n * 6) / 10 - n / 5, s"undercount too large: $hh")
+    assert(hh.size <= 4)
+  }
+
   test("data profile: null and distinct counts per column in one pass") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")))
