@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, DataTests, Dedup, KeyDiff, Multimodal, Quantiles, Similarity, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, DataTests, Dedup, KeyDiff, Multimodal, Quantiles, RangeJoin, Similarity, TextAnalysis, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -167,6 +167,19 @@ object SparkEntry {
           unix_millis(col("r_ts")).as("p_ts_ms"),
           round(col("r_value"), 2).as("p_value"))
         .orderBy("event_id")
+    }),
+    "range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      RangeJoin.timeRangeJoin(clicks, purchases, Seq("user_id"),
+        "ts", "ts", lowerMs = 0L, upperMs = 600000L)
+        .select(col("event_id"), col("user_id"),
+          col("r_event_id").as("purchase_id"),
+          round(col("r_value"), 2).as("p_value"))
+        .orderBy("event_id", "purchase_id")
     }),
     "json_props" -> ((s, dir) =>
       t(s, dir, "events")
@@ -476,6 +489,17 @@ object SparkEntry {
         |  epoch_ms(b.ts) AS p_ts_ms, round(b.value, 2) AS p_value
         |FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
         |ORDER BY event_id""".stripMargin,
+    "range_join" ->
+      """WITH a AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |b AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT a.event_id, a.user_id, b.event_id AS purchase_id,
+        |  round(b.value, 2) AS p_value
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND epoch_ms(b.ts) >= epoch_ms(a.ts)
+        |  AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 600000
+        |ORDER BY a.event_id, purchase_id""".stripMargin,
     "json_props" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

@@ -147,9 +147,9 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(statuses == Map("a" -> "unchanged", "b" -> "removed", "c" -> "added"))
   }
 
-  test("avro write: flat round-trip through all three codecs") {
+  test("avro write: flat round-trip through all four codecs") {
     val src = avro(s"$fixtures/sample_avro/userdata1.avro")
-    for (codec <- Seq("null", "deflate", "snappy")) {
+    for (codec <- Seq("null", "deflate", "snappy", "zstandard")) {
       val out = java.nio.file.Files.createTempDirectory(s"avro-rt-$codec").toString
       src.write.format("avro").option("codec", codec).mode("overwrite").save(out)
       val back = avro(out)

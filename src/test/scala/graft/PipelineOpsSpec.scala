@@ -319,6 +319,34 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(outer.count(_.isNullAt(outer.head.fieldIndex("r_value"))) == 2)
   }
 
+  test("bucketed range join == naive range join (window edges inclusive)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 11:00:00")),
+      (3L, 8L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 7L, ts("2024-01-01 10:00:00"), 1.0), // == lower edge of e1
+      (11L, 7L, ts("2024-01-01 10:10:00"), 2.0), // == upper edge of e1
+      (12L, 7L, ts("2024-01-01 10:10:01"), 3.0), // just outside e1
+      (13L, 9L, ts("2024-01-01 10:05:00"), 4.0)) // wrong user
+      .toDF("event_id", "user_id", "ts", "value")
+    val bucketed = graft.ops.RangeJoin.timeRangeJoin(
+      left, right, Seq("user_id"), "ts", "ts", 0L, 600000L)
+      .select("event_id", "r_event_id").orderBy("event_id", "r_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bucketed == Seq((1L, 10L), (1L, 11L)))
+    val naive = left.as("a").join(right.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        unix_millis(col("b.ts")) >= unix_millis(col("a.ts")) &&
+        unix_millis(col("b.ts")) <= unix_millis(col("a.ts")) + 600000L)
+      .select(col("a.event_id"), col("b.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(bucketed == naive)
+  }
+
   test("multi-probe LSH recall dominates single-bucket recall") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 10)
