@@ -129,6 +129,25 @@ object SparkEntry {
         .agg(round(sum(revenue), 2).as("rev"))
         .orderBy(col("rev").desc, col("n_name"))
     }),
+    "semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      withOrders.select(lit("with_orders").as("bucket"), col("c_custkey"))
+        .unionByName(withoutOrders.select(lit("no_orders").as("bucket"), col("c_custkey")))
+        .groupBy("bucket").agg(count(lit(1)).as("n_customers"))
+        .orderBy("bucket")
+    }),
+    "pivot_status" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("n_f"),
+          col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy("o_orderpriority")),
     "rollup_sales" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -459,6 +478,20 @@ object SparkEntry {
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY rev DESC, n_name""".stripMargin,
+    "semi_anti" ->
+      """SELECT bucket, CAST(count(*) AS BIGINT) AS n_customers FROM (
+        |  SELECT 'with_orders' AS bucket, c_custkey FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'no_orders' AS bucket, c_custkey FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "rollup_sales" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
