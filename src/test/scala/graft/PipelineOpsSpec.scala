@@ -365,6 +365,23 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probe0.subsetOf(probe4) || recall(probe4) >= recall(probe0))
   }
 
+  test("IVF ANN: probing more cells raises recall; full probe = exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = hits(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    val probe2 = hits(Similarity.ivfTopK(q, e, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 2))
+    val probeAll = hits(Similarity.ivfTopK(q, e, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 8))
+    def recall(got: Set[(Long, Long)]) = (got & exact).size.toDouble / exact.size
+    assert(probeAll == exact, "probing every cell must equal brute force")
+    assert(recall(probe2) <= 1.0 && recall(probe2) >= 0.2,
+      s"probe2 recall=${recall(probe2)}")
+  }
+
   test("embedding near-dup pairs respect the threshold") {
     import spark.implicits._
     val e = Seq(
