@@ -109,6 +109,38 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("edge: diff against empty is all added / all removed; venn degenerates") {
+    val rows = sample(tableGen, 7L)
+    val df = toDf(rows)
+    val empty = toDf(Nil)
+    val allAdded = KeyDiff.diff(empty, df, Seq("id"))
+    assert(allAdded.filter(col(KeyDiff.StatusCol) =!= "added").isEmpty)
+    assert(allAdded.count() == rows.size)
+    val allRemoved = KeyDiff.diff(df, empty, Seq("id"))
+    assert(allRemoved.filter(col(KeyDiff.StatusCol) =!= "removed").isEmpty)
+    assert(VennDiff.intersection(df, empty).isEmpty)
+    assert(VennDiff.removed(df, empty).count() == rows.size)
+    assert(KeyDiff.diff(empty, empty, Seq("id")).isEmpty)
+  }
+
+  test("edge: native-typed keys (stringKeys=false) use SQL null semantics") {
+    import graft.core.DiffConfig
+    import spark.implicits._
+    val a = Seq((Some(1L), "x"), (None, "y")).toDF("id", "v")
+    val b = Seq((Some(1L), "x"), (None, "y")).toDF("id", "v")
+    // compat mode: null keys match → both rows unchanged
+    val compat = KeyDiff.diff(a, b, Seq("id"))
+    assert(compat.filter(col(KeyDiff.StatusCol) =!= "unchanged").count() == 0)
+    // native mode: NULL = NULL is not true → null-keyed rows never match,
+    // surfacing as one added + one removed
+    val native = KeyDiff.diff(a, b, Seq("id"), DiffConfig(stringKeys = false))
+    val byStatus = native.groupBy(KeyDiff.StatusCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.getOrElse("unchanged", 0L) == 1L)
+    assert(byStatus.getOrElse("added", 0L) == 1L)
+    assert(byStatus.getOrElse("removed", 0L) == 1L)
+  }
+
   test("property: minhash signature equality tracks shingle-set equality") {
     val docGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
       .map(_.mkString(" "))
