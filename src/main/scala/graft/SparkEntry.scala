@@ -179,8 +179,11 @@ object SparkEntry {
       val clicks = ev.filter(col("event_type") === "click")
         .select("event_id", "user_id", "ts")
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select("user_id", "ts", "value")
-      AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", "ts")
+        .select("event_id", "user_id", "ts", "value")
+      // tieBreak on the unique event id: if two purchases ever share a
+      // (user, ts), last-by-id wins deterministically on both engines
+      AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", "ts",
+        tieBreak = Seq("event_id"))
         .select(col("event_id"), col("user_id"),
           unix_millis(col("ts")).as("ts_ms"),
           unix_millis(col("r_ts")).as("p_ts_ms"),

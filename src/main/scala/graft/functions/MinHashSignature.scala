@@ -48,25 +48,9 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   @transient private lazy val seedPrefixes: Array[Array[Byte]] =
     Array.tabulate(numHashes)(j => (j.toString + "|").getBytes("UTF-8"))
 
-  /** Unsigned lexicographic byte compare — the digest-space equivalent of
-    * comparing lowercase hex strings.
-    */
-  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length && i < b.length) {
-      val x = a(i) & 0xff
-      val y = b(i) & 0xff
-      if (x != y) return x < y
-      i += 1
-    }
-    a.length < b.length
-  }
-
-  private def hex(bytes: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(bytes.length * 2)
-    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
-  }
+  // byte compare / hex shared with the other sketch nodes
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = SketchUtil.less(a, b)
+  private def hex(bytes: Array[Byte]): String = SketchUtil.hex(bytes)
 
   override def nullSafeEval(input: Any): Any = {
     val shingles = input.asInstanceOf[ArrayData]

@@ -13,13 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object DataTests {
 
-  /** Keys appearing more than once, with their multiplicity. Empty ⇒ pass. */
+  /** Keys appearing more than once, with their multiplicity. Empty ⇒ pass.
+    * Accepts dotted nested paths like [[KeyDiff.diff]] does; internal
+    * aliases are positional so a dotted name is never re-parsed as struct
+    * access (same fix as KeyDiff).
+    */
   def keyDuplicates(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val norm = keys.map(f => KeyDiff.compatKey(df(f)).as(f))
+    val alias = keys.indices.map(i => s"__k_$i")
+    val norm = keys.zip(alias).map { case (f, a) => KeyDiff.compatKey(df(f)).as(a) }
     df.select(norm.toIndexedSeq: _*)
-      .groupBy(keys.map(col).toIndexedSeq: _*)
+      .groupBy(alias.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
+      .select((keys.zip(alias).map { case (f, a) => col(a).as(f) } :+
+        col("dup_count")).toIndexedSeq: _*)
   }
 
   /** True iff `keys` is unique in `df` (reference `keyCollisionTest`). */

@@ -110,7 +110,12 @@ object Dedup {
     * (fraction of equal signature components).
     */
   def lshCandidates(sigs: DataFrame, idCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
+      bands: Int, rowsPerBand: Int, numHashes: Int = 8): DataFrame = {
+    // Guard against banding past the signature: an out-of-range slice()
+    // yields [], every document's band hash becomes md5("") and the
+    // self-join silently degenerates to the full n² cross product.
+    require(bands * rowsPerBand <= numHashes,
+      s"bands ($bands) × rowsPerBand ($rowsPerBand) exceeds signature width $numHashes")
     // Materialization barrier: without it Catalyst's CollapseProject
     // inlines the (expensive, interpreter-evaluated) signature expression
     // into every consumer — each band hash, each join side, the jaccard

@@ -39,7 +39,11 @@ object Quantiles {
     val gcols = groupCols.map(col)
     val w = Window.partitionBy(gcols: _*).orderBy(col("__v"))
     val wAll = Window.partitionBy(gcols: _*)
+    // SQL percentile/quantile_cont ignore nulls; without this filter null
+    // values would inflate __n and occupy the lowest ranks, shifting every
+    // bracketing position.
     val ranked = df.select((gcols :+ col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(w).cast("long") - 1L)
       .withColumn("__n", count(lit(1)).over(wAll))
 

@@ -107,8 +107,12 @@ object Similarity {
 
     val prep = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       array_to_vector(col(vecCol)).as("features"), l2Norm(col(vecCol)).as("cn"))
+    // Train the coarse quantizer on a bounded sample, not the full corpus:
+    // cell quality needs only a representative sample, and a full k-means
+    // pass per call would dominate at corpus scale.
+    val trainCap = math.max(nCells * 1000, 10000)
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
-      .fit(prep.select("features"))
+      .fit(prep.select("features").limit(trainCap))
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
 
     val assigned = model.transform(prep)

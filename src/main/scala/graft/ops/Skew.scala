@@ -28,10 +28,13 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
       saltFactor: Int): DataFrame = {
     require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
-    val payload = large.columns.filterNot(keys.contains)
-    // Deterministic salt from the payload: reproducible across retries
-    // (a rand()-based salt breaks task-retry idempotence).
-    val salt = pmod(xxhash64(payload.map(large(_)).toIndexedSeq: _*),
+    // Deterministic salt from the WHOLE row (keys included, so an
+    // all-key-columns join still has hash inputs): reproducible across
+    // task retries, unlike rand(). Caveat: rows that are full duplicates
+    // hash to the same salt — content-derived salting cannot spread
+    // identical rows; if the hot key's rows are literal duplicates,
+    // aggregate them to (row, count) first.
+    val salt = pmod(xxhash64(large.columns.map(large(_)).toIndexedSeq: _*),
       lit(saltFactor.toLong))
     val saltedLarge = large.withColumn("__salt", salt)
     val replicatedSmall = small.withColumn("__salt",

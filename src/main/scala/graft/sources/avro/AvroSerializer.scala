@@ -68,6 +68,8 @@ object AvroSerializer {
     dt match {
       case BooleanType | IntegerType | LongType | FloatType | DoubleType |
            DateType | TimestampType => identity
+      case ShortType => v => v.asInstanceOf[Short].toInt
+      case ByteType => v => v.asInstanceOf[Byte].toInt
       case StringType => v => v.asInstanceOf[UTF8String].toString
       case BinaryType => v => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
       case st: StructType =>

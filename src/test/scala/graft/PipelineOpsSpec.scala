@@ -57,8 +57,8 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = (base.take(9) ++ Seq("x1", "x2", "x3")).mkString(" ")
     val df = docs(1L -> a, 2L -> b)
     val sigs = Dedup.minhashSignatures(df, "doc_id", "text", numHashes = 64)
-    val pairs = Dedup.lshCandidates(sigs, "doc_id", bands = 32, rowsPerBand = 2)
-      .collect()
+    val pairs = Dedup.lshCandidates(sigs, "doc_id", bands = 32, rowsPerBand = 2,
+      numHashes = 64).collect()
     assert(pairs.length == 1)
     val est = pairs(0).getAs[Double]("est_jaccard")
     assert(math.abs(est - 7.0 / 13.0) < 0.2, s"est=$est true=${7.0 / 13.0}")
@@ -283,6 +283,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hh.contains("hot"), s"heavy item missing from $hh")
     assert(hh("hot") >= (n * 6) / 10 - n / 5, s"undercount too large: $hh")
     assert(hh.size <= 4)
+  }
+
+  test("quantiles ignore nulls like SQL percentile") {
+    import spark.implicits._
+    val df = Seq(("g", Some(10.0)), ("g", None), ("g", Some(20.0)), ("g", Some(30.0)))
+      .toDF("grp", "v")
+    val out = graft.ops.Quantiles.exact(df, Seq("grp"), "v", Seq("p50" -> 0.5))
+      .collect().head
+    assert(out.getAs[Double]("p50") == 20.0) // median of {10,20,30}, null ignored
+  }
+
+  test("keyDuplicates accepts dotted nested key paths like KeyDiff.diff") {
+    import spark.implicits._
+    val df = Seq((1L, ("a", 1)), (2L, ("a", 2)), (3L, ("b", 3)))
+      .toDF("id", "sub")
+      .select(col("id"), struct(col("sub._1").as("k"), col("sub._2").as("v")).as("sub"))
+    val dups = graft.ops.DataTests.keyDuplicates(df, Seq("sub.k")).collect()
+    assert(dups.length == 1)
+    assert(dups.head.getString(0) == "a" && dups.head.getLong(1) == 2L)
   }
 
   test("data profile: null and distinct counts per column in one pass") {
