@@ -159,6 +159,30 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("rev"), col("n"), col("gid"))
         .orderBy("gid", "l_returnflag", "l_linestatus")),
+    // SQL-surface path: authored via spark.sql over temp views — the same
+    // Catalyst plans as the DataFrame API, proving the engine's SQL
+    // entry point end-to-end (and covering the supplier/part tables).
+    "sql_supplier_rev" -> ((s, dir) => {
+      Tables.names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT n.n_name AS nation, sup.s_name AS supplier,
+          |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+          |FROM lineitem l
+          |JOIN supplier sup ON l.l_suppkey = sup.s_suppkey
+          |JOIN nation n ON sup.s_nationkey = n.n_nationkey
+          |GROUP BY n.n_name, sup.s_name
+          |ORDER BY rev DESC, supplier LIMIT 20""".stripMargin)
+    }),
+    "sql_part_stats" -> ((s, dir) => {
+      Tables.names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT p_brand, p_type,
+          |  CAST(count(*) AS BIGINT) AS n_parts,
+          |  round(avg(p_retailprice), 4) AS avg_price,
+          |  CAST(max(p_size) AS INTEGER) AS max_size
+          |FROM part GROUP BY p_brand, p_type
+          |ORDER BY p_brand, p_type""".stripMargin)
+    }),
     "window_rank" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -504,6 +528,21 @@ object SparkEntry {
         |    AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "sql_supplier_rev" ->
+      """SELECT n.n_name AS nation, sup.s_name AS supplier,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+        |FROM lineitem l
+        |JOIN supplier sup ON l.l_suppkey = sup.s_suppkey
+        |JOIN nation n ON sup.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_name, sup.s_name
+        |ORDER BY rev DESC, supplier LIMIT 20""".stripMargin,
+    "sql_part_stats" ->
+      """SELECT p_brand, p_type,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
+        |  round(avg(p_retailprice), 4) AS avg_price,
+        |  CAST(max(p_size) AS INTEGER) AS max_size
+        |FROM part GROUP BY p_brand, p_type
+        |ORDER BY p_brand, p_type""".stripMargin,
     "window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
