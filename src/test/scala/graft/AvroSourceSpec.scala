@@ -161,6 +161,49 @@ class AvroSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("avro write: partitionBy produces prunable directory layout") {
+    import spark.implicits._
+    val df = Seq((1L, "en", "aa"), (2L, "de", "bb"), (3L, "en", "cc"))
+      .toDF("id", "lang", "text")
+    val out = java.nio.file.Files.createTempDirectory("avro-part").toString
+    df.write.format("avro").partitionBy("lang").mode("overwrite").save(out)
+    val back = avro(out)
+    assert(back.count() == 3)
+    // partition pruning: the lang=en filter must reach the file index,
+    // reading only that directory
+    val pruned = back.filter(col("lang") === "en")
+    assert(pruned.count() == 2)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+      s"partition filter not applied:\n$scan")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("avro as a streaming file sink: writeStream lands readable container files") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = java.nio.file.Files.createTempDirectory("avro-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("avro-ckpt").toString
+    val q = mem.toDF().toDF("id", "text")
+      .writeStream.format("avro")
+      .option("checkpointLocation", ckpt)
+      .option("path", out).start()
+    try {
+      mem.addData((1L, "hello"), (2L, "world"))
+      q.processAllAvailable()
+      mem.addData((3L, "again"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = avro(out)
+    assert(back.count() == 3)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("hello", "world", "again"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+  }
+
   test("avro write: nested structs/arrays/maps round-trip") {
     val src = avro(s"$fixtures/fake_account_tc_guid_1/students.avro")
     val out = java.nio.file.Files.createTempDirectory("avro-rt-nested").toString
