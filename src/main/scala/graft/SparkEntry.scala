@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, DataTests, Dedup, KeyDiff, Multimodal, Quantiles, RangeJoin, Similarity, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, Chunking, DataTests, Dedup, KeyDiff, Multimodal, Quantiles, RangeJoin, Similarity, TextAnalysis, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -358,6 +358,17 @@ object SparkEntry {
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_ws"))
         .orderBy("doc_id")),
     // --- LLM-pipeline: vocabulary + embedding aggregation -----------------
+    "chunk_docs" -> ((s, dir) =>
+      Chunking.chunk(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk_text")).as("chunk_md5"),
+          col("chunk_n_tokens").cast("long").as("chunk_n_tokens"))
+        .orderBy("doc_id", "chunk_idx")),
+    "pack_bins" -> ((s, dir) =>
+      Chunking.pack(t(s, dir, "documents"), "doc_id", "text",
+        budgetTokens = 2000L, groupCols = Seq("lang"))
+        .orderBy("lang", "doc_id")),
     "vocab_top" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -820,6 +831,31 @@ object SparkEntry {
         |    AS frame_len,
         |  md5(substr(text, CAST(fi*256+1 AS INTEGER), 256)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "chunk_docs" ->
+      s"""WITH $toksCte,
+         |c AS (SELECT doc_id,
+         |  unnest(list_transform(
+         |    range(0, greatest(CAST(ceil(len(toks) / 24.0) AS BIGINT), 1)),
+         |    i -> {'idx': i,
+         |          'md5': md5(array_to_string(
+         |            list_slice(toks, i*24 + 1, i*24 + 32), ' ')),
+         |          'n': least(len(toks) - i*24, 32)})) u
+         |  FROM toks)
+         |SELECT doc_id, CAST(u.idx AS INTEGER) AS chunk_idx,
+         |  u.md5 AS chunk_md5, CAST(u.n AS BIGINT) AS chunk_n_tokens
+         |FROM c WHERE u.n > 0 ORDER BY doc_id, chunk_idx""".stripMargin,
+    "pack_bins" ->
+      s"""WITH $toksCte,
+         |n AS (SELECT t.doc_id, d.lang,
+         |  CAST(len(toks) AS BIGINT) n_tokens
+         |  FROM toks t JOIN documents d ON t.doc_id = d.doc_id),
+         |c AS (SELECT lang, doc_id, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) cum
+         |  FROM n)
+         |SELECT lang, doc_id, n_tokens,
+         |  CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS bin
+         |FROM c ORDER BY lang, doc_id""".stripMargin,
     "bpe_tokens" ->
       s"""WITH $toksCte
          |SELECT doc_id,

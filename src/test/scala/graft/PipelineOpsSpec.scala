@@ -285,6 +285,33 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hh.size <= 4)
   }
 
+  test("chunking: overlap carried between chunks, short docs = one chunk") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 10).map("t" + _).mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val chunks = graft.ops.Chunking.chunk(df, "doc_id", "text",
+      chunkTokens = 4, overlap = 2).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // doc 1: 10 tokens, stride 2 → starts 0,2,4,6,8 → 5 chunks
+    val d1 = chunks(1L).sortBy(_.getAs[Int]("chunk_idx"))
+    assert(d1.length == 5)
+    assert(d1(0).getAs[String]("chunk_text") == "t1 t2 t3 t4")
+    assert(d1(1).getAs[String]("chunk_text") == "t3 t4 t5 t6") // 2-token overlap
+    assert(d1.last.getAs[Int]("chunk_n_tokens") == 2) // partial tail kept
+    assert(chunks(2L).length == 1)
+    assert(chunks(2L).head.getAs[String]("chunk_text") == "a b")
+  }
+
+  test("packing: next-fit bins by running token count, deterministic order") {
+    import spark.implicits._
+    // four docs of 6 tokens each, budget 10: cum-n = 0,6,12,18 → bins 0,0,1,1
+    val df = (1 to 4).map(i => (i.toLong, Seq.fill(6)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bins = graft.ops.Chunking.pack(df, "doc_id", "text", budgetTokens = 10L)
+      .orderBy("doc_id").collect().map(_.getAs[Long]("bin")).toSeq
+    assert(bins == Seq(0L, 0L, 1L, 1L))
+  }
+
   test("quantiles ignore nulls like SQL percentile") {
     import spark.implicits._
     val df = Seq(("g", Some(10.0)), ("g", None), ("g", Some(20.0)), ("g", Some(30.0)))
