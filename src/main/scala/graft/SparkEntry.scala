@@ -358,6 +358,16 @@ object SparkEntry {
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_ws"))
         .orderBy("doc_id")),
     // --- LLM-pipeline: vocabulary + embedding aggregation -----------------
+    "sample_split" -> ((s, dir) => {
+      // downsample over-represented english to 50%, then assign
+      // deterministic 80/10/10 train/val/test — both md5-threshold based
+      val sampled = TextAnalysis.stratifiedSample(
+        t(s, dir, "documents"), "doc_id", "lang", Map("en" -> 0.5))
+      sampled.select(col("lang"),
+        TextAnalysis.assignSplit(col("doc_id"), 0.8, 0.1).as("split"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")
+    }),
     "chunk_docs" -> ((s, dir) =>
       Chunking.chunk(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 32, overlap = 8)
@@ -831,6 +841,21 @@ object SparkEntry {
         |    AS frame_len,
         |  md5(substr(text, CAST(fi*256+1 AS INTEGER), 256)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "sample_split" -> {
+      val en = TextAnalysis.hexThreshold(0.5)
+      val train = TextAnalysis.hexThreshold(0.8)
+      val valT = TextAnalysis.hexThreshold(0.9)
+      s"""WITH h AS (SELECT lang,
+         |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) hb FROM documents),
+         |sampled AS (SELECT * FROM h
+         |  WHERE hb < CASE WHEN lang = 'en' THEN '$en' ELSE 'g' END)
+         |SELECT lang,
+         |  CASE WHEN hb < '$train' THEN 'train'
+         |       WHEN hb < '$valT' THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM sampled GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+    },
     "chunk_docs" ->
       s"""WITH $toksCte,
          |c AS (SELECT doc_id,

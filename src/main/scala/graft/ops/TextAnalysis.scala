@@ -95,6 +95,45 @@ object TextAnalysis {
       round(score, 4).as("quality"))
   }
 
+  /** A rate in [0, 1] as an 8-hex-digit threshold: a row is "below the
+    * rate" iff the first 8 hex chars of md5(id) sort below it (hex
+    * lexicographic order == numeric order, so this is a uniform 32-bit
+    * draw). Stable across runs, engines, partitionings, and cluster
+    * sizes — the property seeded `rand()` sampling does NOT have (rand
+    * is per-partition-seeded; a repartition changes the sample).
+    */
+  def hexThreshold(rate: Double): String =
+    if (rate >= 1.0) "g" // sorts above every hex digit → keep all
+    else if (rate <= 0.0) "00000000"
+    else f"${(rate * 4294967296L).toLong}%08x"
+
+  def hashBucket(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 8)
+
+  /** Hash-based stratified sampling: per-stratum keep-rates applied as
+    * [[hexThreshold]] cuts on the id hash. Map-only, reproducible, exact
+    * per-row membership (a row is in or out forever — what dataset
+    * versioning needs).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (k, r)) => when(col(stratumCol) === k, lit(hexThreshold(r))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < thr)
+  }
+
+  /** Deterministic train/validation/test assignment from the same hash
+    * draw: [0, trainFrac) → train, [trainFrac, trainFrac+valFrac) → val,
+    * rest → test. Disjoint, exhaustive, reproducible.
+    */
+  def assignSplit(id: Column, trainFrac: Double, valFrac: Double): Column = {
+    val h = hashBucket(id)
+    when(h < hexThreshold(trainFrac), "train")
+      .when(h < hexThreshold(trainFrac + valFrac), "val")
+      .otherwise("test")
+  }
+
   /** Heavy-hitters aggregate over a string column: Misra–Gries sketch
     * with at most `k` counters per partial — the bounded-state way to get
     * the vocabulary head at corpus scale (see

@@ -285,6 +285,30 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hh.size <= 4)
   }
 
+  test("hash sampling: invariant under repartitioning, rates approximately honored") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val once = TextAnalysis.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0.3, "de" -> 0.9)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val reparted = TextAnalysis.stratifiedSample(df.repartition(13), "doc_id",
+      "lang", Map("en" -> 0.3, "de" -> 0.9)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(once == reparted) // the membership IS the dataset version
+    val enRate = once.count(_ % 2 == 0) / 1000.0
+    val deRate = once.count(_ % 2 == 1) / 1000.0
+    assert(math.abs(enRate - 0.3) < 0.06, s"en rate $enRate")
+    assert(math.abs(deRate - 0.9) < 0.06, s"de rate $deRate")
+
+    // splits are disjoint, exhaustive, and stable
+    val splits = df.select(col("doc_id"),
+      TextAnalysis.assignSplit(col("doc_id"), 0.8, 0.1).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum == 2000L)
+    assert(math.abs(splits("train") / 2000.0 - 0.8) < 0.05)
+  }
+
   test("chunking: overlap carried between chunks, short docs = one chunk") {
     import spark.implicits._
     val df = Seq((1L, (1 to 10).map("t" + _).mkString(" ")), (2L, "a b"))
