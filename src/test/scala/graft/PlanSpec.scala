@@ -87,6 +87,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       || p.contains("LessThan(vec_id,10)"), s"query filter should push down:\n$p")
   }
 
+  test("chunk_docs: chunking is map-only — no shuffle before the output sort") {
+    val p = plan("chunk_docs")
+    // exactly one exchange: the rangepartitioning for the final ORDER BY
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, s"chunking shuffled:\n$p")
+  }
+
+  test("sample_split: sampling filter is a scan-side projection, agg is partial") {
+    val p = plan("sample_split")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected only the groupBy shuffle:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
   test("events hourly agg: partial aggregation before the shuffle") {
     val p = plan("events_hourly")
     assert("HashAggregate".r.findAllIn(p).size >= 2)
