@@ -358,6 +358,10 @@ object SparkEntry {
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_ws"))
         .orderBy("doc_id")),
     // --- LLM-pipeline: vocabulary + embedding aggregation -----------------
+    "repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id") +: TextAnalysis.repetitionColumns(col("text")): _*)
+        .orderBy("doc_id")),
     "sample_split" -> ((s, dir) => {
       // downsample over-represented english to 50%, then assign
       // deterministic 80/10/10 train/val/test — both md5-threshold based
@@ -841,6 +845,20 @@ object SparkEntry {
         |    AS frame_len,
         |  md5(substr(text, CAST(fi*256+1 AS INTEGER), 256)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "repetition" ->
+      s"""WITH $toksCte,
+         |b AS (SELECT doc_id, toks,
+         |  CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(0, len(toks)-1),
+         |           i -> array_to_string(list_slice(toks, i+1, i+2), ' '))
+         |    ELSE [] END bigrams
+         |  FROM toks)
+         |SELECT doc_id,
+         |  round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+         |    / greatest(CAST(len(toks) AS DOUBLE), 1.0), 4) AS dup_token_ratio,
+         |  round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+         |    / greatest(CAST(len(bigrams) AS DOUBLE), 1.0), 4) AS dup_bigram_ratio
+         |FROM b ORDER BY doc_id""".stripMargin,
     "sample_split" -> {
       val en = TextAnalysis.hexThreshold(0.5)
       val train = TextAnalysis.hexThreshold(0.8)

@@ -142,6 +142,26 @@ object TextAnalysis {
   def heavyHitters(c: Column, k: Int): Column =
     bridge.column(HeavyHitters(bridge.expression(c), k).toAggregateExpression())
 
+  /** Repetition signals (Gopher/C4-style quality rules): fraction of
+    * duplicate tokens and of duplicate word bigrams — high values mark
+    * boilerplate/spam. Pure per-row projections; the keep/drop rule
+    * composes them with the length gate.
+    */
+  def repetitionColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(2)))))
+      .otherwise(array())
+    val nB = size(bigrams).cast("double")
+    Seq(
+      round(lit(1.0) - size(array_distinct(toks)).cast("double")
+        / greatest(n, lit(1.0)), 4).as("dup_token_ratio"),
+      round(lit(1.0) - size(array_distinct(bigrams)).cast("double")
+        / greatest(nB, lit(1.0)), 4).as("dup_bigram_ratio"))
+  }
+
   // --- fingerprinting -----------------------------------------------------
 
   /** Character n-grams of the raw text (the shingling behind winnowing
