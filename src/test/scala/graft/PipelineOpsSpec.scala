@@ -285,6 +285,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hh.size <= 4)
   }
 
+  test("cleanCorpus invariants: subset of input, no surviving near-dup pair") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cleaned = Dedup.cleanCorpus(docs, "doc_id", "text")
+    val inIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val outIds = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(outIds.subsetOf(inIds))
+    assert(outIds.nonEmpty)
+    // re-running LSH on the CLEANED corpus finds no pair at/above the
+    // removal threshold — the dedup actually deduplicated
+    val residual = Dedup.lshCandidates(
+      Dedup.minhashSignatures(cleaned, "doc_id", "text"), "doc_id", 4, 2)
+      .filter(col("est_jaccard") >= 0.75).count()
+    assert(residual == 0, s"$residual near-dup pairs survived cleaning")
+  }
+
+  test("map-typed columns: venn and diff are canonical under map entry order") {
+    import spark.implicits._
+    val a = Seq((1L, Map("x" -> 1, "y" -> 2))).toDF("id", "m")
+    val b = Seq((1L, Map("y" -> 2, "x" -> 1))).toDF("id", "m")
+    // same logical map, different entry order → must compare equal
+    assert(graft.ops.VennDiff.removed(a, b).isEmpty)
+    assert(graft.ops.VennDiff.intersection(a, b).count() == 1)
+    val d = graft.ops.KeyDiff.diff(a, b, Seq("id"))
+    assert(d.filter(col(graft.ops.KeyDiff.StatusCol) =!= "unchanged").isEmpty)
+  }
+
   test("hash sampling: invariant under repartitioning, rates approximately honored") {
     import spark.implicits._
     val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
