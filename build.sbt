@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 51-query bench loads hundreds of Janino-generated classes; the
+  // JDK-default 240 MB code cache fills after ~70 query executions, after
+  // which the JIT silently stops compiling and every NEWLY loaded
+  // generated class runs interpreted forever (measured: 10-50x slowdowns
+  // on queries late in the suite — lsh_pairs 1.1s -> 49s). Reserved, not
+  // committed, so the larger value costs address space only.
+  "-XX:ReservedCodeCacheSize=1g",
 )

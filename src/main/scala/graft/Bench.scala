@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
@@ -11,31 +13,55 @@ import org.apache.spark.sql.SparkSession
   * "run" in the time it takes to count rows). noop forces full
   * materialization of every output row with zero sink I/O — the honest
   * number.
+  *
+  * Env knobs:
+  *   - SPARK_GRAFT_SF_DIR      data dir to time (default /root/testdata/sf0.1)
+  *   - SPARK_GRAFT_WARMUP_DIR  small dir for the untimed JIT/codegen warmup
+  *                             pass (default /root/testdata/sf0.001)
+  *   - SPARK_GRAFT_QUERIES     comma-separated subset to run (default: all)
+  *   - SPARK_GRAFT_CPUS        local[N] threads == shuffle partitions
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Default 100-entry codegen cache thrashes across 51 queries (~3
+      // codegen units each, warmup + 2 timed runs): by the time a query is
+      // timed its warmup-compiled classes are evicted and Janino recompiles
+      // them inside the timed window. Size it to hold the whole suite.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // Warmup pass at the smallest SF: same plans → same generated code, so
     // JIT + codegen caches are hot before anything is timed. Without it the
     // first queries absorb multi-second compilation noise and run-to-run
-    // variance swamps real regressions.
-    queries.foreach { case (name, fn) =>
-      try fn(spark, "/root/testdata/sf0.001")
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // variance swamps real regressions. NonFatal only: an OOM or linkage
+    // error here must kill the run, not silently skip warmup.
+    if (new java.io.File(warmupDir).isDirectory) {
+      queries.foreach { case (_, fn) =>
+        try fn(spark, warmupDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case NonFatal(_) => () }
+      }
+    } else {
+      System.err.println(s"[bench] warmup dir $warmupDir missing — warmup SKIPPED; " +
+        "first timed runs will absorb JIT/codegen compilation noise")
     }
-    // Two timed runs, keep the min: the host VM shows multi-second CPU
-    // contention spikes that land on random queries; the min of two runs
-    // is the steady-state cost, which is what a regression check needs.
+    // Two timed runs per query; report BOTH (so a contended host is
+    // distinguishable from a regression) and keep the min as the headline:
+    // the host VM shows multi-second CPU contention spikes that land on
+    // random queries; the min of two runs is the steady-state cost, which
+    // is what a regression check needs.
     // A query that throws is reported as -1, NOT its time-to-failure —
     // an instant AnalysisException must read as a failure, never as a
     // speedup.
@@ -44,20 +70,24 @@ object Bench {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
+          catch { case NonFatal(e) =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+      val best = if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0
+      (name, best, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val runs = results.map { case (k, _, ts) =>
+      "\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+      s""""runs":$runs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,10 +1,7 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -25,18 +22,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * k × |shingles| times per row; this node runs the same k×|shingles|
   * md5 digests through one reused MessageDigest with zero intermediate
   * allocation — ~15× faster at sf0.1 — while remaining a pure projection
-  * (no shuffle; map-side at any scale). The node itself is
-  * CodegenFallback, which costs one boxed call per row, not per element —
-  * irrelevant next to the digest work it wraps.
+  * (no shuffle; map-side at any scale). Codegen via [[SketchCodegen]]:
+  * the enclosing Project stays inside whole-stage codegen and calls the
+  * kernel directly on the evaluated child value.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with SketchCodegen {
 
   require(numHashes > 0, s"numHashes must be positive, got $numHashes")
 
   override def prettyName: String = "graft_minhash"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = child.nullable
+  // null for a non-null input when the shingle set is empty or all-null:
+  // an empty set has no minimum, so the signature is undefined
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -44,7 +43,6 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       s"$prettyName requires array<string> shingles, got ${t.sql}")
   }
 
-  @transient private lazy val digest = MessageDigest.getInstance("MD5")
   @transient private lazy val seedPrefixes: Array[Array[Byte]] =
     Array.tabulate(numHashes)(j => (j.toString + "|").getBytes("UTF-8"))
 
@@ -56,6 +54,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     val shingles = input.asInstanceOf[ArrayData]
     val n = shingles.numElements()
     val mins = new Array[Array[Byte]](numHashes)
+    val digest = SketchUtil.threadMd5()
     var i = 0
     while (i < n) {
       if (!shingles.isNullAt(i)) {

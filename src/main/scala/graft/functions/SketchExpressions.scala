@@ -4,7 +4,8 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,6 +18,21 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[graft] object SketchUtil {
   def md5(): MessageDigest = MessageDigest.getInstance("MD5")
+
+  private val tlMd5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Per-thread reused digest, already reset. MessageDigest is not
+    * thread-safe and `getInstance` is a measurable per-row allocation in
+    * hot sketch loops — a ThreadLocal makes the kernels safe regardless of
+    * how the enclosing expression instance is shared across tasks.
+    */
+  def threadMd5(): MessageDigest = {
+    val md = tlMd5.get()
+    md.reset()
+    md
+  }
 
   def hexDigit(b: Int): Char = "0123456789abcdef".charAt(b & 0xf)
 
@@ -42,6 +58,48 @@ private[graft] object SketchUtil {
   }
 }
 
+/** Whole-stage-codegen adapter for the unary sketch kernels.
+  *
+  * The kernels' cost is digest/loop work inside an ordinary JVM method —
+  * regenerating that logic as Janino source would win nothing — but
+  * `CodegenFallback` is the wrong wrapper for them: it boxes the incoming
+  * row, re-enters the interpreted `eval` path per row, and (worse) makes
+  * every PARENT expression around the node interpreted too. This trait
+  * instead emits a direct call to the kernel on the already-evaluated
+  * child value, so the enclosing Project stays one fused
+  * whole-stage-codegen loop and only the kernel body itself runs as
+  * ordinary (JIT-compiled) JVM code.
+  *
+  * A kernel may return null for a non-null input (e.g. an empty shingle
+  * set has no MinHash); implementors must declare `nullable = true` in
+  * that case.
+  */
+private[graft] trait SketchCodegen extends UnaryExpression {
+
+  /** Public entry point for generated code: the interpreted kernel. */
+  final def evalInput(input: Any): Any = nullSafeEval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("kernel", this)
+    val childGen = child.genCode(ctx)
+    val res = ctx.freshName("kernelRes")
+    val javaType = CodeGenerator.javaType(dataType)
+    val boxedType = CodeGenerator.boxedType(dataType)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        $javaType ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+        if (!${childGen.isNull}) {
+          Object $res = $kernel.evalInput(${childGen.value});
+          if ($res != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = ($boxedType) $res;
+          }
+        }""")
+  }
+}
+
 /** Sign-random-projection LSH bucket id: bit j of the result is the sign
   * of Σ_d (±1)_{j,d} · v_d, with the hyperplane sign (±1)_{j,d} = high bit
   * of the first hex nibble of md5("j_d").
@@ -54,12 +112,14 @@ private[graft] object SketchUtil {
   * multiply-adds.
   */
 case class LshBucket(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with SketchCodegen {
 
   require(bits > 0 && bits < 63, s"bits must be in [1,62], got $bits")
 
   override def prettyName: String = "graft_lsh_bucket"
   override def dataType: DataType = LongType
+  // null for a non-null input when any vector element is null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -126,7 +186,7 @@ case class LshBucket(child: Expression, bits: Int)
   * per BIT (16×) through interpreted lambdas; this node digests each
   * token once and updates all 16 bit-sums in that pass.
   */
-case class SimHash16(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash16(child: Expression) extends UnaryExpression with SketchCodegen {
 
   override def prettyName: String = "graft_simhash16"
   override def dataType: DataType = LongType
@@ -141,7 +201,7 @@ case class SimHash16(child: Expression) extends UnaryExpression with CodegenFall
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
     val sums = new Array[Long](16)
-    val md = SketchUtil.md5()
+    val md = SketchUtil.threadMd5()
     var i = 0
     while (i < n) {
       if (!toks.isNullAt(i)) {
@@ -181,7 +241,7 @@ case class SimHash16(child: Expression) extends UnaryExpression with CodegenFall
   * position; this node walks the char windows once.
   */
 case class RollingMinHash(child: Expression, width: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with SketchCodegen {
 
   require(width > 0, s"width must be positive, got $width")
 
@@ -197,7 +257,7 @@ case class RollingMinHash(child: Expression, width: Int)
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String]
     val n = text.numChars()
-    val md = SketchUtil.md5()
+    val md = SketchUtil.threadMd5()
     var min: Array[Byte] = null
     if (n < width) {
       min = md.digest(text.getBytes)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{graft => bridge}
 
-import graft.functions.{HeavyHitters, RollingMinHash}
+import graft.functions.{HeavyHitters, RepetitionStats, RollingMinHash}
 
 /** Text-analysis operators for a large-scale training-data pipeline:
   * tokenization, language ID, quality scoring, document fingerprinting.
@@ -146,8 +146,26 @@ object TextAnalysis {
     * duplicate tokens and of duplicate word bigrams — high values mark
     * boilerplate/spam. Pure per-row projections; the keep/drop rule
     * composes them with the length gate.
+    *
+    * Counts come from the one-pass native [[RepetitionStats]] kernel (the
+    * HOF bigram formula it replaces — `transform(sequence…, slice)` — is
+    * quadratic per document in the interpreter); the ratio arithmetic
+    * stays here in the Column layer, mirrored exactly by the oracle.
     */
   def repetitionColumns(text: Column): Seq[Column] = {
+    val stats = bridge.column(RepetitionStats(bridge.expression(tokens(text))))
+    val n = stats.getField("n_tokens").cast("double")
+    val nDist = stats.getField("n_distinct_tokens").cast("double")
+    val nB = stats.getField("n_bigrams").cast("double")
+    val nBDist = stats.getField("n_distinct_bigrams").cast("double")
+    Seq(
+      round(lit(1.0) - nDist / greatest(n, lit(1.0)), 4).as("dup_token_ratio"),
+      round(lit(1.0) - nBDist / greatest(nB, lit(1.0)), 4).as("dup_bigram_ratio"))
+  }
+
+  /** The HOF formula [[repetitionColumns]] replaces — kept for
+    * differential testing of the native node. */
+  def repetitionColumnsHof(text: Column): Seq[Column] = {
     val toks = tokens(text)
     val n = size(toks).cast("double")
     val bigrams = when(size(toks) >= 2,

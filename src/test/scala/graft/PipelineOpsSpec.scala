@@ -212,6 +212,33 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 0)
   }
 
+  test("native RepetitionStats ≡ HOF formula on real corpus text") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextAnalysis.repetitionColumns(col("text"))
+    val b = TextAnalysis.repetitionColumnsHof(col("text"))
+    val n = df.select(
+      a.head.as("a1"), a.last.as("a2"), b.head.as("b1"), b.last.as("b2"))
+      .filter(not(col("a1") === col("b1") && col("a2") === col("b2"))).count()
+    assert(n == 0)
+  }
+
+  test("RepetitionStats edge cases: empty, single token, null tokens") {
+    import spark.implicits._
+    val df = Seq("", "word", "a a a a", "x y x y").toDF("text")
+    val rows = df.select(TextAnalysis.repetitionColumns(col("text")): _*)
+      .collect()
+    // "" -> 0 tokens: both ratios 1 - 0/1 = 1.0
+    assert(rows(0).getDouble(0) == 1.0 && rows(0).getDouble(1) == 1.0)
+    // "word" -> 1 token, 0 bigrams: token ratio 0, bigram ratio 1.0
+    assert(rows(1).getDouble(0) == 0.0 && rows(1).getDouble(1) == 1.0)
+    // "a a a a" -> 4 tokens 1 distinct; 3 bigrams 1 distinct
+    assert(rows(2).getDouble(0) == 0.75 &&
+      math.abs(rows(2).getDouble(1) - 0.6667) < 1e-9)
+    // "x y x y" -> 4 tokens 2 distinct; bigrams (x y, y x, x y) -> 3/2
+    assert(rows(3).getDouble(0) == 0.5 &&
+      math.abs(rows(3).getDouble(1) - 0.3333) < 1e-9)
+  }
+
   test("native LshBucket ≡ HOF formula on real embeddings") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val n = df.select(Similarity.lshBucket(col("embedding"), 4).as("a"),
