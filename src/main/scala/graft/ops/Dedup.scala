@@ -134,12 +134,22 @@ object Dedup {
       col("band"), col("bh"))
     val b = banded.select(col(idCol).as("b_id"), col("sig").as("b_sig"),
       col("band"), col("bh"))
+    // The jaccard estimate is identical for every banded copy of a pair
+    // (it only reads the two signatures), so aggregate the signatures
+    // through `first` — a plain codegen'd column move — and evaluate the
+    // (interpreter-bound HOF) estimate once per OUTPUT PAIR. The previous
+    // shape, first(round(zip_with…)), re-ran the HOF inside both the
+    // partial and final aggregate for every joined row (up to `bands` ×
+    // per pair, and 2× for partial+final).
     val estJaccard = round(
       size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
         m => m)).cast("double") / size(col("a_sig")).cast("double"), 4)
     a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("n_bands"), first(estJaccard).as("est_jaccard"))
+      .agg(count(lit(1)).as("n_bands"),
+        first(col("a_sig")).as("a_sig"), first(col("b_sig")).as("b_sig"))
+      .select(col("a_id"), col("b_id"), col("n_bands"),
+        estJaccard.as("est_jaccard"))
   }
 
   /** 16-bit SimHash from token md5s: bit j is set iff the majority of
@@ -252,10 +262,20 @@ object Dedup {
     // expression. Hash-partitioning BY THE SHINGLE also pre-aligns the
     // frequency groupBy and the pair join, so they run shuffle-free on
     // the reused exchange.
-    val sh = df.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), n)).as("s"))
+    // The explicit isNotNull matches the constraint the pair join infers
+    // on its branches; without it the frequency branch's subtree (no join,
+    // so nothing inferred) canonicalizes differently from the join
+    // branches' and ReuseExchange can't unify them.
+    val sh = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), n)).as("s"))
       .repartition(col("s"))
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("f"))
+    // count(id), not count(*): `id` is non-null so the value is identical,
+    // but referencing it stops column pruning from dropping `id` below
+    // THIS consumer's exchange — which would make the exchange
+    // non-identical to the other three consumers' and defeat ReuseExchange
+    // (the shingling would then run twice).
+    val rare = sh.groupBy("s").agg(count(col("id")).as("f"))
       .filter(col("f") <= maxShingleFreq).select("s")
     val pruned = sh.join(rare, "s")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))

@@ -28,6 +28,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  /** Plan with AQE off: exchange reuse is decided statically by the
+    * ReuseExchange rule and is visible in the plan string. (Under AQE the
+    * same dedup happens at runtime via the stage cache — keyed on the
+    * canonicalized exchange plan — but the pre-execution plan string shows
+    * neither, so the static plan is what a reuse assertion can pin.)
+    */
+  private def planNoAqe(name: String): String = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q1_agg: shipdate predicate is pushed into the parquet scan") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
@@ -104,5 +116,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("events_hourly")
     assert("HashAggregate".r.findAllIn(p).size >= 2)
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+
+  test("lsh_pairs: signature computed once below a reused exchange, no cartesian") {
+    val p = planNoAqe("lsh_pairs")
+    // the repartition(id) barrier materializes the signature exactly once;
+    // both self-join sides must read it back via ReusedExchange
+    assert(p.contains("ReusedExchange"), s"self-join sides must reuse one exchange:\n$p")
+    assert("graft_minhash".r.findAllIn(p).size == 1,
+      s"minhash must be evaluated exactly once, not inlined per consumer:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join must be an equi-join:\n$p")
+    // the jaccard HOF must sit ABOVE the pair aggregation (once per pair),
+    // not inside the partial/final aggregate (once per joined row)
+    assert(!plan("lsh_pairs").linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("zip_with")),
+      s"jaccard estimate leaked into the aggregate:\n$p")
+  }
+
+  test("ngram_jaccard: one shingle exchange feeds all consumers via reuse") {
+    val p = planNoAqe("ngram_jaccard")
+    // the exploded-shingle relation is consumed 4x (freq filter, both join
+    // sides, per-doc sizes); it must be ONE exchange + ReusedExchange, not
+    // four re-evaluations of the shingling expression
+    assert(p.contains("ReusedExchange"), s"shingle exchange must be reused:\n$p")
+    assert("graft_shingles".r.findAllIn(p).size == 1,
+      s"shingling must be evaluated exactly once:\n$p")
   }
 }
