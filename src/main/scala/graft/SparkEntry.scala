@@ -897,7 +897,7 @@ object SparkEntry {
       s"""WITH $toksCte,
          |c AS (SELECT doc_id,
          |  unnest(list_transform(
-         |    range(0, greatest(CAST(ceil(len(toks) / 24.0) AS BIGINT), 1)),
+         |    range(0, greatest(CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT), 1)),
          |    i -> {'idx': i,
          |          'md5': md5(array_to_string(
          |            list_slice(toks, i*24 + 1, i*24 + 32), ' ')),

@@ -18,14 +18,20 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and convert to a
-    * micros TimestampType column in place — the cast is a codegen'd
-    * projection, so pushdown/pruning on the other columns is unaffected.
+    * reader rejects at schema inference. Supplying an explicit schema that
+    * asks for the column as BIGINT makes the reader deliver the raw nanos
+    * — no session conf involved (the earlier
+    * `spark.sql.legacy.parquet.nanosAsLong` approach leaked a global
+    * setting that silently changed every later TIMESTAMP(NANOS) read in
+    * the session). The nanos→micros cast is a codegen'd projection, so
+    * pushdown/pruning on the other columns is unaffected.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$dir/events.parquet")
+    spark.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

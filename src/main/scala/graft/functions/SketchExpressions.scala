@@ -262,12 +262,35 @@ case class RollingMinHash(child: Expression, width: Int)
     if (n < width) {
       min = md.digest(text.getBytes)
     } else {
-      var i = 0
-      while (i <= n - width) {
-        md.reset()
-        val d = md.digest(text.substringSQL(i + 1, width).getBytes)
-        if (min == null || SketchUtil.less(d, min)) min = d
-        i += 1
+      val bytes = text.getBytes
+      if (bytes.length == n) {
+        // ASCII fast path: char windows == byte windows, so slide directly
+        // over the byte array and digest into two reusable 16-byte buffers
+        // (zero allocation per gram; the naive path costs a UTF8String
+        // substring + its byte copy + a fresh digest array per position).
+        var best = new Array[Byte](16)
+        var cur = new Array[Byte](16)
+        var first = true
+        var i = 0
+        while (i <= n - width) {
+          md.reset()
+          md.update(bytes, i, width)
+          md.digest(cur, 0, 16)
+          if (first || SketchUtil.less(cur, best)) {
+            val t = best; best = cur; cur = t
+            first = false
+          }
+          i += 1
+        }
+        min = best
+      } else {
+        var i = 0
+        while (i <= n - width) {
+          md.reset()
+          val d = md.digest(text.substringSQL(i + 1, width).getBytes)
+          if (min == null || SketchUtil.less(d, min)) min = d
+          i += 1
+        }
       }
     }
     UTF8String.fromString(SketchUtil.hex(min))

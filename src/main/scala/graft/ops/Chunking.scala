@@ -32,8 +32,16 @@ object Chunking {
       s"overlap must be in [0, chunkTokens), got $overlap/$chunkTokens")
     val stride = chunkTokens - overlap
     val toks = TextAnalysis.tokens(col(textCol))
-    // chunk starts: 0, stride, 2·stride, … while start < n (short docs → one chunk)
-    val nChunks = greatest(ceil(size(toks).cast("double") / stride).cast("int"), lit(1))
+    // chunk starts: 0, stride, 2·stride, … — but only while the chunk adds
+    // tokens not already covered by its predecessor. Chunk i contributes new
+    // tokens iff chunk i−1 ends before the document does, i.e.
+    // (i−1)·stride + chunkTokens < n ⟺ i·stride < n − overlap, so
+    // nChunks = ⌈(n − overlap) / stride⌉ (floored at 1 for short docs).
+    // The naive ⌈n / stride⌉ emits a final chunk lying entirely inside the
+    // previous one whenever the last stride-grid start lands within
+    // `overlap` of the end — duplicated training text.
+    val nChunks = greatest(
+      ceil((size(toks) - overlap).cast("double") / stride).cast("int"), lit(1))
     val chunks = transform(sequence(lit(0), nChunks - 1), i => struct(
       i.as("chunk_idx"),
       concat_ws(" ", slice(toks, i * stride + lit(1), lit(chunkTokens)))

@@ -109,10 +109,17 @@ object Similarity {
       array_to_vector(col(vecCol)).as("features"), l2Norm(col(vecCol)).as("cn"))
     // Train the coarse quantizer on a bounded sample, not the full corpus:
     // cell quality needs only a representative sample, and a full k-means
-    // pass per call would dominate at corpus scale.
+    // pass per call would dominate at corpus scale. The cap is taken by
+    // id-hash order, NOT `limit(trainCap)` alone: a bare limit takes the
+    // first rows in scan order, so a sorted/clustered corpus would train
+    // the quantizer on a biased prefix (one source, one date, …). Ordering
+    // by md5(id) is a deterministic uniform draw, and orderBy+limit plans
+    // as TakeOrdered (per-partition top-k, then a k-row merge — no global
+    // sort), so the sampling pass stays one linear scan at corpus scale.
     val trainCap = math.max(nCells * 1000, 10000)
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
-      .fit(prep.select("features").limit(trainCap))
+      .fit(prep.select(col("features"), md5(col("neighbor_id").cast("string")).as("__h"))
+        .orderBy("__h").limit(trainCap).select("features"))
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
 
     val assigned = model.transform(prep)

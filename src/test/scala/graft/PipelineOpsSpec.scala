@@ -364,19 +364,48 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("chunking: overlap carried between chunks, short docs = one chunk") {
     import spark.implicits._
-    val df = Seq((1L, (1 to 10).map("t" + _).mkString(" ")), (2L, "a b"))
+    val df = Seq((1L, (1 to 10).map("t" + _).mkString(" ")), (2L, "a b"),
+      (3L, (1 to 9).map("t" + _).mkString(" ")))
       .toDF("doc_id", "text")
     val chunks = graft.ops.Chunking.chunk(df, "doc_id", "text",
       chunkTokens = 4, overlap = 2).collect()
       .groupBy(_.getAs[Long]("doc_id"))
-    // doc 1: 10 tokens, stride 2 → starts 0,2,4,6,8 → 5 chunks
+    // doc 1: 10 tokens, stride 2 → starts 0,2,4,6 (start 8 would re-cover
+    // tokens 9-10 already in chunk 3 — the duplicated-tail case) → 4 chunks
     val d1 = chunks(1L).sortBy(_.getAs[Int]("chunk_idx"))
-    assert(d1.length == 5)
+    assert(d1.length == 4)
     assert(d1(0).getAs[String]("chunk_text") == "t1 t2 t3 t4")
     assert(d1(1).getAs[String]("chunk_text") == "t3 t4 t5 t6") // 2-token overlap
-    assert(d1.last.getAs[Int]("chunk_n_tokens") == 2) // partial tail kept
+    assert(d1.last.getAs[String]("chunk_text") == "t7 t8 t9 t10") // full tail
     assert(chunks(2L).length == 1)
     assert(chunks(2L).head.getAs[String]("chunk_text") == "a b")
+    // doc 3: 9 tokens → starts 0,2,4,6; genuine partial tail t7 t8 t9 kept
+    val d3 = chunks(3L).sortBy(_.getAs[Int]("chunk_idx"))
+    assert(d3.length == 4)
+    assert(d3.last.getAs[String]("chunk_text") == "t7 t8 t9")
+    assert(d3.last.getAs[Int]("chunk_n_tokens") == 3)
+  }
+
+  test("chunking: every chunk contributes tokens no earlier chunk covered") {
+    import spark.implicits._
+    // sweep lengths around the stride grid, incl. the n=56/32/8 case from
+    // the round-1 advisory (start 48 lies within overlap of the end)
+    val docs = (50 to 60).map(n => (n.toLong, (1 to n).map("w" + _).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val rows = graft.ops.Chunking.chunk(df, "doc_id", "text",
+      chunkTokens = 32, overlap = 8).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (n, cs) =>
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      var covered = 0 // tokens 1..covered already emitted
+      sorted.foreach { r =>
+        val toks = r.getAs[String]("chunk_text").split(" ")
+        val last = toks.last.drop(1).toInt
+        assert(last > covered,
+          s"doc $n chunk ${r.getAs[Int]("chunk_idx")} adds no new tokens")
+        covered = last
+      }
+      assert(covered == n.toInt, s"doc $n: tokens ${covered + 1}..$n never emitted")
+    }
   }
 
   test("packing: next-fit bins by running token count, deterministic order") {
