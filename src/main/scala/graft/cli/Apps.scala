@@ -31,11 +31,16 @@ object Report {
     df.limit(limit).collect().foreach(r => println(s"$color  $r$Reset"))
   }
 
+  /** All four buckets, reference order and colors — green added, red
+    * removed, yellow changed, plain (white) unchanged
+    * (`/root/reference/src/index.js:143-153`).
+    */
   def printKeyDiff(d: DataFrame, limit: Int = 20): Unit = {
     val s = col(KeyDiff.StatusCol)
     bucket("added", Green, d.filter(s === "added"), limit)
     bucket("removed", Red, d.filter(s === "removed"), limit)
     bucket("changed", Yellow, d.filter(s === "changed"), limit)
+    bucket("unchanged", Reset, d.filter(s === "unchanged"), limit)
     KeyDiff.summary(d).collect().foreach { r =>
       println(s"${r.getString(0)}: ${r.getLong(1)} rows")
     }

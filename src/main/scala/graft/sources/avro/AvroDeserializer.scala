@@ -58,8 +58,25 @@ object AvroDeserializer {
         case many if many.map(_.getType).toSet == Set(FLOAT, DOUBLE) =>
           { case null => null; case n: Number => n.doubleValue() }
         case many =>
-          throw new UnsupportedOperationException(
-            s"complex Avro union not supported: ${many.map(_.getType).mkString("|")}")
+          // Mixed union decoded as a member struct (see
+          // AvroSchemaConverter.unionToSqlType): resolve the runtime value
+          // to its union branch, convert with that branch's converter, and
+          // emit a row with only that member set.
+          val st = dt.asInstanceOf[StructType]
+          val branchConvs: Array[Any => Any] = many.zipWithIndex.map {
+            case (b, i) => converter(b, st.fields(i).dataType)
+          }.toArray
+          // resolveUnion needs the union WITHOUT the null branch removed —
+          // build one of just the non-null members so indexes line up.
+          val nonNullUnion = Schema.createUnion(many.asJava)
+          val generic = org.apache.avro.generic.GenericData.get()
+          v => if (v == null) null
+          else {
+            val i = generic.resolveUnion(nonNullUnion, v)
+            val out = new Array[Any](branchConvs.length)
+            out(i) = branchConvs(i)(v)
+            new GenericInternalRow(out)
+          }
       }
     case (NULL, _) => _ => null
     case (BOOLEAN, BooleanType) => identity

@@ -71,8 +71,16 @@ object AvroSchemaConverter {
       case many if many.map(_.getType).toSet == Set(FLOAT, DOUBLE) =>
         SchemaType(DoubleType, nullable)
       case many =>
-        throw new UnsupportedOperationException(
-          s"complex Avro union not supported: ${many.map(_.getType).mkString("|")}")
+        // Genuinely mixed union (e.g. ["string","long","null"]): decode as
+        // a member struct `struct<member0: T0, member1: T1, …>` with
+        // exactly one non-null member per value — the same mapping
+        // spark-avro uses, covering the full avsc union lattice the
+        // reference accepts (`/root/reference/src/index.js:335-352`
+        // delegates to avsc). Every member is nullable by construction.
+        val fields = many.zipWithIndex.map { case (b, i) =>
+          StructField(s"member$i", toSqlType(b).dataType, nullable = true)
+        }
+        SchemaType(StructType(fields.toArray), nullable)
     }
   }
 

@@ -204,6 +204,65 @@ class AvroSourceSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
   }
 
+  test("mixed union [string,long,null] decodes as a member struct") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schemaJson =
+      """{"type":"record","name":"u","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"val","type":["string","long","null"]}]}""".stripMargin
+    val schema = new Schema.Parser().parse(schemaJson)
+    val dir = java.nio.file.Files.createTempDirectory("avro-union").toFile
+    val f = new java.io.File(dir, "u.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    def rec(id: Long, v: Any): GenericRecord = {
+      val r = new GenericData.Record(schema)
+      r.put("id", id); r.put("val", v); r
+    }
+    w.append(rec(1L, "a")); w.append(rec(2L, 7L)); w.append(rec(3L, null))
+    w.close()
+
+    val df = avro(f.getPath)
+    val vt = df.schema("val")
+    assert(vt.dataType.typeName == "struct" && vt.nullable)
+    val st = vt.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st.fieldNames.toSeq == Seq("member0", "member1"))
+    assert(st("member0").dataType.typeName == "string")
+    assert(st("member1").dataType.typeName == "long")
+    val rows = df.orderBy("id")
+      .selectExpr("id", "val.member0", "val.member1", "val IS NULL AS vnull")
+      .collect()
+    assert(rows(0).getString(1) == "a" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getLong(2) == 7L)
+    assert(rows(2).getBoolean(3)) // null branch → whole struct null
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("AvroTables.load wires cfg.schema as the reader schema (O19)") {
+    val cfgSchema =
+      """{"type":"record","name":"kylosample","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"first_name","type":"string"},
+        |{"name":"email","type":"string"}]}""".stripMargin
+    // cfg.schema alone: decoded columns = reader schema's, not the writer's 13
+    val df = graft.io.AvroTables.load(spark,
+      s"$fixtures/sample_avro/userdata1.avro", DiffConfig(schema = Some(cfgSchema)))
+    assert(df.columns.toSeq == Seq("id", "first_name", "email"))
+    assert(df.count() == 1000)
+    assert(df.filter(col("id") === 1).select("first_name").collect()
+      .head.getString(0) == "Amanda")
+    // schema + keep/ignore compose: projection applies on top of the override
+    val df2 = graft.io.AvroTables.load(spark,
+      s"$fixtures/sample_avro/userdata1.avro",
+      DiffConfig(schema = Some(cfgSchema), ignoreFields = Some(Seq("email"))))
+    assert(df2.columns.toSeq == Seq("id", "first_name"))
+    // no cfg: plain full-schema load
+    assert(graft.io.AvroTables.load(spark,
+      s"$fixtures/sample_avro/userdata1.avro").columns.length == 13)
+  }
+
   test("avro write: nested structs/arrays/maps round-trip") {
     val src = avro(s"$fixtures/fake_account_tc_guid_1/students.avro")
     val out = java.nio.file.Files.createTempDirectory("avro-rt-nested").toString

@@ -115,6 +115,25 @@ class CoreDiffSpec extends AnyFunSuite {
     assert(statuses == Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("printKeyDiff prints all four buckets with counts (reference parity)") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val neu = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "v")
+    val d = KeyDiff.diff(old, neu, Seq("id"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      graft.cli.Report.printKeyDiff(d)
+    }
+    val text = out.toString("UTF-8")
+    // the reference prints added/removed/updated/unchanged, in that order
+    // (/root/reference/src/index.js:143-153)
+    for (b <- Seq("added", "removed", "changed", "unchanged"))
+      assert(text.contains(s"== $b: 1 rows"), s"missing bucket $b in:\n$text")
+    assert(text.indexOf("== added") < text.indexOf("== removed"))
+    assert(text.indexOf("== removed") < text.indexOf("== changed"))
+    assert(text.indexOf("== changed") < text.indexOf("== unchanged"))
+  }
+
   test("every declared query runs at sf0.001 and oracle keys are a subset") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, "/root/testdata/sf0.001")
