@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing here — binary schema, typed `Dataset`
   * encoders, `mapPartitions` batch shape, frame explosion — is real and
-  * tested. The *decoder itself* is a clearly-marked deterministic STUB
-  * ([[StubCodec]]): the image/audio libraries are not in this
-  * environment, so the stub derives pseudo-features from the payload
-  * bytes. Swapping in a real decoder (javax.imageio / ffmpeg bindings)
-  * changes only the body of [[StubCodec.decode]]; every plan shape stays
-  * identical.
+  * tested. Two decoders share it:
+  *  - [[ImageCodec]] / [[extractImageFeatures]]: REAL image decode via
+  *    javax.imageio (pure JRE — PNG/JPEG/BMP/GIF), returning true pixel
+  *    dimensions; undecodable payloads are kept and flagged (-1, -1).
+  *  - [[StubCodec]] / [[extractFeatures]]: deterministic pseudo-features
+  *    from the payload bytes, used by the oracle-hashed queries (their
+  *    payloads are text bytes, and DuckDB can recompute the stub).
+  * Audio/video would follow the same split; those codecs are not in this
+  * environment, so only the frame-window sampler covers them.
   *
   * Scale posture:
   *  - payloads stay in executors end-to-end (no driver collect);
@@ -69,6 +72,43 @@ object Multimodal {
       (sum, width, height)
     }
   }
+
+  /** ====== Real image decoder =============================================
+    * javax.imageio is pure-JRE (no native libs), so actual PNG/JPEG/BMP/GIF
+    * bytes CAN be decoded in this sandbox. Used by
+    * [[extractImageFeatures]]; the oracle-hashed queries stay on
+    * [[StubCodec]] because their payloads are text bytes, not images.
+    */
+  object ImageCodec {
+    // ImageIO's default disk-backed stream cache would add a temp-file
+    // create/delete per decode — pure overhead for byte-array inputs.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Decode real image bytes to (width, height); None when the payload
+      * is not a decodable image (wrong magic, truncated, unsupported).
+      */
+    def decode(payload: Array[Byte]): Option[(Int, Int)] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        .map(img => (img.getWidth, img.getHeight))
+      catch { case _: java.io.IOException => None }
+  }
+
+  /** [[extractFeatures]] with the real [[ImageCodec]]: true pixel
+    * dimensions for decodable payloads, (-1, -1) for undecodable ones
+    * (kept, not dropped — a corrupt-payload audit needs the row). Same
+    * mapPartitions batch shape; `byte_sum` stays as a cheap payload
+    * checksum.
+    */
+  def extractImageFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        var sum = 0L
+        var i = 0
+        while (i < r.payload.length) { sum += r.payload(i) & 0xff; i += 1 }
+        val (w, h) = ImageCodec.decode(r.payload).getOrElse((-1, -1))
+        MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong, sum, w, h)
+      }
+    }
 
   /** Build a media table from the documents corpus: the UTF-8 text bytes
     * stand in for an encoded media payload (same plumbing, fake content).

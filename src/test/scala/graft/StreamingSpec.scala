@@ -206,4 +206,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f1.map(_.frame_len).toSeq == Seq(256, 88))
     assert(new String(f1.head.frame, "UTF-8") == "a" * 256)
   }
+
+  test("multimodal: real PNG bytes decode to true dimensions via javax.imageio") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800) // non-trivial pixel so the encoder has content
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png(40, 25)),
+      Multimodal.MediaRow(2L, "image", png(7, 300)),
+      Multimodal.MediaRow(3L, "image", "not an image".getBytes("UTF-8")))
+      .toDS()
+    val feats = Multimodal.extractImageFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).width == 40 && feats(1L).height == 25)
+    assert(feats(2L).width == 7 && feats(2L).height == 300)
+    // undecodable payload is kept and flagged, not dropped
+    assert(feats(3L).width == -1 && feats(3L).height == -1)
+    assert(feats(3L).n_bytes == 12L)
+  }
 }
