@@ -237,6 +237,49 @@ object SparkEntry {
           round(col("r_value"), 2).as("p_value"))
         .orderBy("event_id", "purchase_id")
     }),
+    "asof_outer" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      // outer variant: clicks with no prior purchase kept with null p_*
+      AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", "ts",
+        inner = false, tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("r_ts")).as("p_ts_ms"),
+          round(col("r_value"), 2).as("p_value"))
+        .orderBy("event_id")
+    }),
+    "heavy_hitters" -> ((s, dir) =>
+      // k=16 > the 5 distinct event types, so the Misra–Gries sketch holds
+      // EXACT counts (no decrement ever fires) and the result is
+      // oracle-hashable — while still exercising the full partial/merge/
+      // serialize path of the TypedImperativeAggregate.
+      t(s, dir, "events")
+        .agg(TextAnalysis.heavyHitters(col("event_type"), 16).as("hh"))
+        .select(explode(col("hh")).as(Seq("item", "cnt")))
+        .orderBy("item")),
+    "salted_join" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      val brands = t(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.ops.Skew.saltedJoin(items, brands, Seq("l_partkey"), saltFactor = 8)
+        .groupBy("p_brand")
+        .agg(round(sum(revenue), 2).as("rev"), count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+    "ivf_topk" -> ((s, dir) => {
+      // k-means cells are not reproducible across engines → no oracle SQL;
+      // the driver records the weaker rows-only check, and PipelineOpsSpec
+      // holds the recall-vs-brute-force gate.
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rn")
+    }),
     "json_props" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
@@ -608,6 +651,24 @@ object SparkEntry {
         |  epoch_ms(b.ts) AS p_ts_ms, round(b.value, 2) AS p_value
         |FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
         |ORDER BY event_id""".stripMargin,
+    "asof_outer" ->
+      """WITH a AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |b AS (SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT a.event_id, a.user_id, epoch_ms(a.ts) AS ts_ms,
+        |  epoch_ms(b.ts) AS p_ts_ms, round(b.value, 2) AS p_value
+        |FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY event_id""".stripMargin,
+    "heavy_hitters" ->
+      """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1 ORDER BY item""".stripMargin,
+    "salted_join" ->
+      """SELECT p.p_brand,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
     "range_join" ->
       """WITH a AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),
