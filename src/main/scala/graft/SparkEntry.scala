@@ -129,6 +129,46 @@ object SparkEntry {
         .agg(round(sum(revenue), 2).as("rev"))
         .orderBy(col("rev").desc, col("n_name"))
     }),
+    "q7_volume" -> ((s, dir) => {
+      // Scale shape: tag + FILTER the dimension sides down to the two
+      // nations BEFORE touching lineitem — Catalyst cannot push the OR'd
+      // cross-side pair predicate below the joins itself, so composing it
+      // this way is the difference between scanning 2/25ths of suppliers'
+      // lineitems and scanning all of them.
+      val nations = Seq("NATION_1", "NATION_2")
+      val supN = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name").isin(nations: _*))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val custN = broadcast(t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name").isin(nations: _*))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation")))
+      t(s, dir, "lineitem")
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(custN, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(revenue), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    "q10_returns" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(revenue), 2).as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
     "semi_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -356,6 +396,13 @@ object SparkEntry {
         .orderBy("doc_id")),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("a_id", "b_id")),
+    "simhash64" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+    "simhash64_pairs" -> ((s, dir) =>
+      Dedup.simhash64Pairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("a_id", "b_id")),
     // --- LLM-pipeline: text analysis --------------------------------------
     "lang_id" -> ((s, dir) => {
@@ -651,6 +698,30 @@ object SparkEntry {
         |  epoch_ms(b.ts) AS p_ts_ms, round(b.value, 2) AS p_value
         |FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
         |ORDER BY event_id""".stripMargin,
+    "q7_volume" ->
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |        l.l_extendedprice * (1 - l.l_discount) AS volume
+        |      FROM lineitem l
+        |      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |      JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |      JOIN customer c ON c.c_custkey = o.o_custkey
+        |      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) sub
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q10_returns" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  n.n_name
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "asof_outer" ->
       """WITH a AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),
@@ -782,6 +853,44 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars FROM k
         |WHERE doc_id NOT IN (SELECT b_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
+    "simhash64" ->
+      s"""WITH $toksCte,
+         |h AS (SELECT doc_id, list_transform(toks, t -> md5(t)) hs FROM toks),
+         |bb AS (SELECT doc_id, list_transform(range(0, 64), j ->
+         |  CASE WHEN list_sum(list_transform(hs, h ->
+         |    CASE WHEN ((strpos('0123456789abcdef', substr(h, (j//2)+1, 1)) - 1)
+         |        >> (j%2)) & 1 = 1
+         |    THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) bits FROM h)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0,63), j ->
+         |    bits[j+1] * (CAST(1 AS BIGINT) << j))) AS BIGINT)
+         |  + CASE WHEN bits[64] = 1 THEN -9223372036854775808
+         |         ELSE CAST(0 AS BIGINT) END AS simhash
+         |FROM bb ORDER BY doc_id""".stripMargin,
+    "simhash64_pairs" ->
+      s"""WITH $toksCte,
+         |h AS (SELECT doc_id, list_transform(toks, t -> md5(t)) hs FROM toks),
+         |bb AS (SELECT doc_id, list_transform(range(0, 64), j ->
+         |  CASE WHEN list_sum(list_transform(hs, h ->
+         |    CASE WHEN ((strpos('0123456789abcdef', substr(h, (j//2)+1, 1)) - 1)
+         |        >> (j%2)) & 1 = 1
+         |    THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) bits FROM h),
+         |s AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0,63), j ->
+         |    bits[j+1] * (CAST(1 AS BIGINT) << j))) AS BIGINT)
+         |  + CASE WHEN bits[64] = 1 THEN -9223372036854775808
+         |         ELSE CAST(0 AS BIGINT) END AS sh
+         |FROM bb),
+         |banded AS (SELECT doc_id, sh, unnest(range(0,4)) band FROM s),
+         |bv AS (SELECT doc_id, sh, band,
+         |  (sh >> CAST(band*16 AS INTEGER)) & 65535 AS v FROM banded),
+         |cand AS (SELECT a.doc_id a_id, b.doc_id b_id,
+         |    min(bit_count(CAST(xor(a.sh, b.sh) AS BIT))) hamming
+         |  FROM bv a JOIN bv b ON a.band = b.band AND a.v = b.v
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, CAST(hamming AS INTEGER) AS hamming FROM cand
+         |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
     "simhash_pairs" ->
       s"""WITH $toksCte,
          |h AS (SELECT doc_id, list_transform(toks, t -> md5(t)) hs FROM toks),

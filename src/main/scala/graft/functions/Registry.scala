@@ -21,8 +21,10 @@ object Registry {
     "graft_minhash" -> (es => MinHashSignature(es(0), intLit(es(1), "numHashes"))),
     "graft_shingles" -> (es => WordShingles(es(0), intLit(es(1), "width"))),
     "graft_simhash16" -> (es => SimHash16(es(0))),
+    "graft_simhash64" -> (es => SimHash64(es(0))),
     "graft_lsh_bucket" -> (es => LshBucket(es(0), intLit(es(1), "bits"))),
     "graft_rolling_min" -> (es => RollingMinHash(es(0), intLit(es(1), "width"))),
+    "graft_repetition" -> (es => RepetitionStats(es(0))),
     "graft_heavy_hitters" -> (es =>
       HeavyHitters(es(0), intLit(es(1), "k")).toAggregateExpression()))
 

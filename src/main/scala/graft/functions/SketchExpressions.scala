@@ -231,6 +231,62 @@ case class SimHash16(child: Expression) extends UnaryExpression with SketchCodeg
     copy(child = newChild)
 }
 
+/** 64-bit SimHash over a token array — the production-width variant of
+  * [[SimHash16]] (16 bits saturate on small-vocabulary corpora: at
+  * sf0.01 the 16-bit sketch collides 555 doc pairs at Hamming 0, while
+  * 64 bits leave only the one true duplicate pair).
+  *
+  * Bit j (0..63) draws from md5 hex char j/2, bit j%2 of the nibble —
+  * two independent bits per hex char across all 32 chars, one digest per
+  * token. Sign convention matches SimHash16: bit set iff the ±1-weighted
+  * token count is strictly positive. Bit 63 makes the result negative
+  * (signed long) — harmless, both engines shift arithmetically and mask.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with SketchCodegen {
+
+  override def prettyName: String = "graft_simhash64"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val sums = new Array[Long](64)
+    val md = SketchUtil.threadMd5()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        md.reset()
+        val digest = md.digest(toks.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 64) {
+          val c = j >> 1 // hex char index 0..31
+          val nib = if ((c & 1) == 0) (digest(c >> 1) >> 4) & 0xf
+                    else digest(c >> 1) & 0xf
+          sums(j) += (if (((nib >> (j & 1)) & 1) == 1) 1L else -1L)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Rolling fingerprint: minimum md5 over all `width`-character substrings
   * of the text (whole text when shorter) — the 1-hash degenerate MinHash
   * of character shingles used for winnowing-style dedup.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{graft => bridge}
 
-import graft.functions.{MinHashSignature, SimHash16, WordShingles}
+import graft.functions.{MinHashSignature, SimHash16, SimHash64, WordShingles}
 
 /** Deduplication operators for a training-data pipeline: exact
   * (hash-groupBy), MinHash + LSH banding, SimHash, and n-gram Jaccard.
@@ -208,6 +208,46 @@ object Dedup {
       lit(b).as("band"),
       shiftright(col("sh"), b * width)
         .bitwiseAND(lit((1L << width) - 1L)).as("v")))
+    val banded = sh.select(col("id"), col("sh"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.v"))
+    val a = banded.select(col("id").as("a_id"), col("sh").as("a_sh"),
+      col("band"), col("v"))
+    val b = banded.select(col("id").as("b_id"), col("sh").as("b_sh"),
+      col("band"), col("v"))
+    a.join(b, Seq("band", "v")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(min(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+        .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit SimHash — the production-width sketch (see
+    * [[graft.functions.SimHash64]]); 16 bits saturate on small
+    * vocabularies, 64 bits separate everything but true near-dups.
+    */
+  def simhash64(text: Column): Column =
+    bridge.column(SimHash64(bridge.expression(TextAnalysis.tokens(text))))
+
+  /** SimHash near-dup pairs over the 64-bit sketch: 4×16-bit bands give
+    * lossless candidate recall for Hamming ≤ 3 (pigeonhole — same
+    * argument as [[simhashPairs]], wider hash). 16-bit band values keep
+    * 65536 bucket keys per band, so bucket sizes — and the Σ bucket² join
+    * cost — stay tiny even on corpora where the 16-bit sketch collapses
+    * to a handful of saturated buckets.
+    */
+  def simhash64Pairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val bands = 4
+    require(maxHamming <= bands - 1,
+      s"4x16-bit banding only guarantees recall for Hamming <= ${bands - 1}")
+    // same CollapseProject barrier as simhashPairs: one sketch evaluation
+    // below the exchange, reused by both join sides
+    val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+      .repartition(col("id"))
+    val bandStructs = (0 until bands).map(b => struct(
+      lit(b).as("band"),
+      shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("v")))
     val banded = sh.select(col("id"), col("sh"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.band"), col("bk.v"))

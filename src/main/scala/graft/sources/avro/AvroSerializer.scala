@@ -47,6 +47,9 @@ object AvroSerializer {
       case TimestampType =>
         org.apache.avro.LogicalTypes.timestampMicros()
           .addToSchema(Schema.create(Schema.Type.LONG))
+      case d: DecimalType =>
+        org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
       case s: StructType => toAvroSchema(s, path)
       case ArrayType(et, containsNull) =>
         Schema.createArray(fieldSchema(et, containsNull, s"${path}_item"))
@@ -72,6 +75,11 @@ object AvroSerializer {
       case ByteType => v => v.asInstanceOf[Byte].toInt
       case StringType => v => v.asInstanceOf[UTF8String].toString
       case BinaryType => v => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case _: DecimalType =>
+        val conv = new org.apache.avro.Conversions.DecimalConversion
+        v => conv.toBytes(
+          v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal,
+          target, target.getLogicalType)
       case st: StructType =>
         val conv = rowConverter(st, target)
         v => conv(v.asInstanceOf[InternalRow])

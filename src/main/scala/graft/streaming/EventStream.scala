@@ -72,6 +72,26 @@ object EventStream {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-duplicate deduplication: project each document to its
+    * 64-bit SimHash (a pure map-side expression — nothing about the
+    * sketch needs batch semantics) and keep the first document per sketch
+    * within the watermark horizon. Sketch equality = Hamming 0, which at
+    * 64 bits means "same content modulo negligible noise" (see
+    * [[graft.functions.SimHash64]]); banded Hamming>0 matching needs an
+    * any-band OR that per-key streaming state cannot express — route
+    * those through the batch [[graft.ops.Dedup.simhash64Pairs]] on the
+    * deduped stream's sink instead.
+    *
+    * State is O(distinct sketches per horizon), expired by the watermark —
+    * the same bound as [[dedupStream]].
+    */
+  def nearDupDedupStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("__sh", graft.ops.Dedup.simhash64(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sh")
+      .drop("__sh")
+
   // --- streaming sessionization (stateful) --------------------------------
 
   final case class SessionEvent(user_id: Long, ts_ms: Long)

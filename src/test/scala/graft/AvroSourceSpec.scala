@@ -263,6 +263,27 @@ class AvroSourceSpec extends AnyFunSuite {
       s"$fixtures/sample_avro/userdata1.avro").columns.length == 13)
   }
 
+  test("avro write: decimal/date/timestamp logical types round-trip") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, BigDecimal("12345.67"), "2024-03-01", "2024-03-01 12:34:56.789"),
+      (2L, BigDecimal("-0.01"), "1999-12-31", "1999-12-31 23:59:59.999"))
+      .toDF("id", "amount", "d", "ts")
+      .select(col("id"),
+        col("amount").cast("decimal(10,2)").as("amount"),
+        col("d").cast("date").as("d"),
+        col("ts").cast("timestamp").as("ts"))
+    val out = java.nio.file.Files.createTempDirectory("avro-logical").toString
+    df.write.format("avro").mode("overwrite").save(out)
+    val back = avro(out)
+    // logical types survive the round-trip as the same Catalyst types
+    assert(back.schema("amount").dataType.typeName == "decimal(10,2)")
+    assert(back.schema("d").dataType.typeName == "date")
+    assert(back.schema("ts").dataType.typeName == "timestamp")
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("avro write: nested structs/arrays/maps round-trip") {
     val src = avro(s"$fixtures/fake_account_tc_guid_1/students.avro")
     val out = java.nio.file.Files.createTempDirectory("avro-rt-nested").toString

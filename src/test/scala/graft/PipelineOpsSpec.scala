@@ -94,6 +94,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.forall(_.getAs[Int]("hamming") == 0))
   }
 
+  test("simhash64Pairs: lossless pigeonhole recall for Hamming <= 3 (vs brute force)") {
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = docsDf.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+    // brute-force truth: every pair at Hamming <= 3
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val truth = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = Dedup.simhash64Pairs(docsDf, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // 4x16 banding guarantees every Hamming<=3 pair shares a full band —
+    // the banded join must return EXACTLY the brute-force set
+    assert(banded == truth, s"banded=${banded.size} truth=${truth.size}")
+    assert(truth.nonEmpty, "fixture should contain at least one near-dup pair")
+  }
+
   test("ngram jaccard: self-similar pair scores 1.0, threshold filters the rest") {
     val df = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "v w x y z")
     val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", minJaccard = 0.5)

@@ -118,6 +118,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
   }
 
+  test("q7_volume: nation-filtered dims broadcast; lineitem scanned once") {
+    val p = plan("q7_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"supplier/customer nation tags must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"lineitem must be scanned exactly once:\n$p")
+  }
+
+  test("q10_returns: returnflag filter pushed to scan, top-20 is TakeOrdered") {
+    val p = plan("q10_returns")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"),
+      s"returnflag not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
   test("lsh_pairs: signature computed once below a reused exchange, no cartesian") {
     val p = planNoAqe("lsh_pairs")
     // the repartition(id) barrier materializes the signature exactly once;

@@ -122,6 +122,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("nearDupDedupStream keeps first doc per simhash64 across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val in = mem.toDF().toDF("doc_id", "text", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = graft.streaming.EventStream
+      .nearDupDedupStream(in, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      val boiler = "the quick brown fox jumps over the lazy dog again and again"
+      mem.addData((1L, boiler, t0), (2L, "completely different content here", t0))
+      q.processAllAvailable()
+      // identical doc in a later micro-batch → dropped by sketch state
+      mem.addData((3L, boiler, t0 + 5000), (4L, "yet another novel document", t0 + 5000))
+      q.processAllAvailable()
+      val got = spark.table("neardup_stream").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 4L))
+      // batch/stream agreement: same op over the same rows as a batch df
+      val batch = Seq((1L, boiler, t0), (2L, "completely different content here", t0),
+        (3L, boiler, t0 + 5000), (4L, "yet another novel document", t0 + 5000))
+        .toDF("doc_id", "text", "ts_ms")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withColumn("sh", graft.ops.Dedup.simhash64(col("text")))
+      val batchKept = batch.groupBy("sh").agg(min("doc_id").as("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(batchKept == got)
+    } finally q.stop()
+  }
+
   test("StreamDiff classifies keys across two streams like the batch diff") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
