@@ -336,6 +336,20 @@ object SparkEntry {
           round(col("p50"), 4).as("p50"),
           round(col("p90"), 4).as("p90"))
         .orderBy("l_returnflag")),
+    "quantiles_approx" -> ((s, dir) =>
+      // The scale path Quantiles.scala documents: Greenwald–Khanna sketch,
+      // mergeable partials, parallelism NOT bounded by group count (the
+      // exact form's limit). No oracle — GK and DuckDB's t-digest disagree
+      // in the last digits by design → driver rows-only check.
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.9)), lit(10000)).as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 2).as("p25"),
+          round(element_at(col("ps"), 2), 2).as("p50"),
+          round(element_at(col("ps"), 3), 2).as("p90"))
+        .orderBy("l_returnflag")),
     "distinct_users" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy("event_type")
