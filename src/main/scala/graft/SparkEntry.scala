@@ -411,6 +411,18 @@ object SparkEntry {
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("a_id", "b_id")),
+    "dedup_clusters" -> ((s, dir) => {
+      // transitive near-dup clusters over the LSH candidate pairs at the
+      // cleanCorpus threshold: the pair list says who touches whom; the
+      // component says which GROUP survives as one representative
+      val pairs = Dedup.lshCandidates(
+        Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", bands = 4, rowsPerBand = 2)
+        .filter(col("est_jaccard") >= 0.75)
+      Dedup.components(pairs, "a_id", "b_id")
+        .select(col("a_id").as("doc_id"), col("comp"))
+        .orderBy("doc_id")
+    }),
     "simhash64" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
@@ -867,6 +879,27 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars FROM k
         |WHERE doc_id NOT IN (SELECT b_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $toksCte, $shinglesCte, $sigsCte,
+         |bands AS (SELECT doc_id, sig, b.band,
+         |  md5(array_to_string(list_slice(sig, band*2+1, band*2+2), ',')) bh
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+         |pairs AS (SELECT a.doc_id AS a_id, c.doc_id AS b_id,
+         |  round(CAST(min(len(list_filter(range(1, 9),
+         |    i -> a.sig[i] = c.sig[i]))) AS DOUBLE) / 8.0, 4) AS est_jaccard
+         |FROM bands a JOIN bands c
+         |  ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
+         |GROUP BY a.doc_id, c.doc_id),
+         |good AS (SELECT a_id, b_id FROM pairs WHERE est_jaccard >= 0.75),
+         |edges AS (SELECT a_id s, b_id d FROM good
+         |  UNION SELECT b_id, a_id FROM good),
+         |walk AS (
+         |  SELECT s AS id, s AS comp FROM edges
+         |  UNION
+         |  SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id
+         |)
+         |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS comp
+         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
     "simhash64" ->
       s"""WITH $toksCte,
          |h AS (SELECT doc_id, list_transform(toks, t -> md5(t)) hs FROM toks),

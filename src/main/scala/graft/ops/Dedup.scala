@@ -284,6 +284,57 @@ object Dedup {
     exactKept.join(nearDupLosers, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over a candidate-pair edge list: every node
+    * gets the MINIMUM id in its component — the transitive closure of
+    * pairwise near-duplicate links, which is what picking one
+    * representative per duplicate CLUSTER (not per pair) requires. A
+    * chain a–b, b–c labels all three `a` even though (a,c) was never a
+    * candidate pair.
+    *
+    * Algorithm: iterative min-label propagation — labels flow across
+    * edges, `groupBy(id).min(comp)` per round — which is the standard
+    * DataFrame-native connected components (each round = one broadcast-or
+    * -shuffle join + one aggregate; rounds needed = graph diameter, and
+    * near-dup graphs are shallow clusters, so 3–5 rounds in practice).
+    * `localCheckpoint` truncates the growing lineage each round —
+    * without it the plan doubles per iteration and Catalyst analysis
+    * time, not the data, becomes the bottleneck (on a cluster use
+    * `checkpoint` with a reliable dir instead). The convergence probe is
+    * a `limit(1).count()` on changed labels: O(first change found), not
+    * a full count.
+    *
+    * Output: (`idCol`, `comp`) for every node that appears in some pair;
+    * docs in no pair are their own singleton component by definition and
+    * are omitted (join back with a coalesce default when needed).
+    */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as(aCol)).distinct()
+      .withColumn("comp", col(aCol))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaEdge = edges.join(labels.withColumnRenamed(aCol, "src"), "src")
+        .select(col("dst").as(aCol), col("comp"))
+      val next = labels.union(viaEdge)
+        .groupBy(aCol).agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "__old"), aCol)
+        .filter(col("comp") =!= col("__old"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    require(converged, s"components did not converge in $maxIter rounds " +
+      "(graph diameter exceeds maxIter; raise it)")
+    labels
+  }
+
   /** n-gram Jaccard similarity pairs via shingle-join: explode distinct
     * shingles, join on the shingle, count shared per pair, and compute
     * |A∩B| / (|A| + |B| − |A∩B|). Pairs below `minJaccard` are dropped.

@@ -113,6 +113,18 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(truth.nonEmpty, "fixture should contain at least one near-dup pair")
   }
 
+  test("components: transitive chains collapse to the min id, disjoint stay apart") {
+    import spark.implicits._
+    // chain 1-2-3-4 (no direct 1-3, 1-4, 2-4 edges), pair 10-11, and a
+    // chain 20-21-22 given in "reversed" orientation
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (21L, 20L), (22L, 21L)).toDF("a_id", "b_id")
+    val got = graft.ops.Dedup.components(pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("ngram jaccard: self-similar pair scores 1.0, threshold filters the rest") {
     val df = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "v w x y z")
     val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", minJaccard = 0.5)
