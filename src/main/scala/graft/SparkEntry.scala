@@ -431,6 +431,17 @@ object SparkEntry {
       Dedup.simhash64Pairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("a_id", "b_id")),
     // --- LLM-pipeline: text analysis --------------------------------------
+    "winnow" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.winnow(col("text")).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          md5(concat_ws(",", col("fps"))).as("fp_digest"))
+        .orderBy("doc_id")),
+    "winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("a_id", "b_id")),
     "lang_id" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
       t(s, dir, "documents").select(
@@ -879,6 +890,40 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars FROM k
         |WHERE doc_id NOT IN (SELECT b_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
+    "winnow" ->
+      """WITH g AS (SELECT doc_id,
+        |  CASE WHEN length(text) < 8 THEN [md5(text)]
+        |    ELSE list_transform(range(0, length(text)-8+1),
+        |           i -> md5(substr(text, i+1, 8)))
+        |  END hs FROM documents),
+        |wmins AS (SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(
+        |    range(0, greatest(len(hs) - 4 + 1, 1)),
+        |    i -> list_min(list_slice(hs, i+1, i+least(4, len(hs))))))) fps
+        |  FROM g)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+        |  md5(array_to_string(fps, ',')) AS fp_digest
+        |FROM wmins ORDER BY doc_id""".stripMargin,
+    "winnow_overlap" ->
+      """WITH g AS (SELECT doc_id,
+        |  CASE WHEN length(text) < 8 THEN [md5(text)]
+        |    ELSE list_transform(range(0, length(text)-8+1),
+        |           i -> md5(substr(text, i+1, 8)))
+        |  END hs FROM documents),
+        |wmins AS (SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    range(0, greatest(len(hs) - 4 + 1, 1)),
+        |    i -> list_min(list_slice(hs, i+1, i+least(4, len(hs)))))) fps
+        |  FROM g),
+        |fp AS (SELECT doc_id, unnest(fps) f FROM wmins),
+        |rare AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 10),
+        |fpr AS (SELECT fp.doc_id, fp.f FROM fp JOIN rare USING (f)),
+        |pairs AS (SELECT a.doc_id a_id, b.doc_id b_id,
+        |  CAST(count(*) AS BIGINT) shared
+        |  FROM fpr a JOIN fpr b ON a.f = b.f AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, shared FROM pairs WHERE shared >= 10
+        |ORDER BY a_id, b_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $toksCte, $shinglesCte, $sigsCte,
          |bands AS (SELECT doc_id, sig, b.band,

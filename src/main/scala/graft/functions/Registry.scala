@@ -25,6 +25,8 @@ object Registry {
     "graft_lsh_bucket" -> (es => LshBucket(es(0), intLit(es(1), "bits"))),
     "graft_rolling_min" -> (es => RollingMinHash(es(0), intLit(es(1), "width"))),
     "graft_repetition" -> (es => RepetitionStats(es(0))),
+    "graft_winnow" -> (es => WinnowedFingerprints(es(0),
+      intLit(es(1), "k"), intLit(es(2), "w"))),
     "graft_heavy_hitters" -> (es =>
       HeavyHitters(es(0), intLit(es(1), "k")).toAggregateExpression()))
 

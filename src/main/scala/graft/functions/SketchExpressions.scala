@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -284,6 +284,82 @@ case class SimHash64(child: Expression) extends UnaryExpression with SketchCodeg
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): the
+  * DISTINCT set of per-window minima over a sliding window of `w`
+  * consecutive char-`k`-gram md5s, returned as a sorted hex array.
+  * [[RollingMinHash]] is the single-window degenerate case; winnowing
+  * keeps ~2/(w+1) of all gram hashes while guaranteeing any shared
+  * substring of length ≥ k+w−1 contributes at least one COMMON
+  * fingerprint to both documents — the density/recall contract that makes
+  * it the standard local-overlap (plagiarism-style) detector. Downstream,
+  * overlap detection is explode + equi-join on the fingerprint — the same
+  * skew-safe bucket-join shape as the shingle join, at winnowed density.
+  *
+  * Value-set semantics: the distinct window-min VALUES are emitted
+  * (positions discarded), which is engine-order-independent and lets the
+  * DuckDB oracle mirror the construction exactly.
+  *
+  * Texts shorter than `k` collapse to one whole-text fingerprint; gram
+  * counts smaller than `w` use a single window over all grams.
+  */
+case class WinnowedFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with SketchCodegen {
+
+  require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+
+  override def prettyName: String = "graft_winnow"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String]
+    val n = text.numChars()
+    val md = SketchUtil.threadMd5()
+    if (n < k) {
+      return new GenericArrayData(
+        Array[Any](UTF8String.fromString(SketchUtil.hex(md.digest(text.getBytes)))))
+    }
+    val nGrams = n - k + 1
+    val hashes = new Array[Array[Byte]](nGrams)
+    val bytes = text.getBytes
+    val ascii = bytes.length == n
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      if (ascii) md.update(bytes, i, k)
+      else md.update(text.substringSQL(i + 1, k).getBytes)
+      hashes(i) = md.digest()
+      i += 1
+    }
+    // sliding-window minima via monotonic deque: O(nGrams) total
+    val winW = math.min(w, nGrams)
+    val deque = new java.util.ArrayDeque[Int]()
+    val out = new java.util.TreeSet[String]()
+    i = 0
+    while (i < nGrams) {
+      while (!deque.isEmpty && !SketchUtil.less(hashes(deque.peekLast()), hashes(i)))
+        deque.pollLast() // drop ≥ current from the back (ties keep either — value-set semantics)
+      deque.addLast(i)
+      if (deque.peekFirst() <= i - winW) deque.pollFirst()
+      if (i >= winW - 1) out.add(SketchUtil.hex(hashes(deque.peekFirst())))
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowedFingerprints =
     copy(child = newChild)
 }
 

@@ -284,6 +284,33 @@ object Dedup {
     exactKept.join(nearDupLosers, Seq(idCol), "left_anti")
   }
 
+  /** Local-overlap candidate pairs over winnowed fingerprints: explode
+    * each document's winnowing set ([[TextAnalysis.winnow]]), equi-join
+    * on the fingerprint, keep pairs sharing at least `minShared` — the
+    * plagiarism-style shared-substring detector. Identical plan shape to
+    * [[ngramJaccardPairs]] (one exchange on the fingerprint, reused by
+    * the frequency filter and both join sides) at winnowed density
+    * (~2/(w+1) of the gram hashes), and the same stop-fingerprint
+    * frequency cap bounds the worst bucket: a boilerplate fingerprint in
+    * `maxFpFreq`+1 docs would otherwise cost freq² join rows.
+    */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Long = 10L,
+      maxFpFreq: Long = 10L): DataFrame = {
+    val fp = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.winnow(col(textCol), k, w)).as("f"))
+      .repartition(col("f"))
+    val rare = fp.groupBy("f").agg(count(col("id")).as("cnt"))
+      .filter(col("cnt") <= maxFpFreq).select("f")
+    val pruned = fp.join(rare, "f")
+    pruned.select(col("id").as("a_id"), col("f"))
+      .join(pruned.select(col("id").as("b_id"), col("f")), "f")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Connected components over a candidate-pair edge list: every node
     * gets the MINIMUM id in its component — the transitive closure of
     * pairwise near-duplicate links, which is what picking one

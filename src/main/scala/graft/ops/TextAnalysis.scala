@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{graft => bridge}
 
-import graft.functions.{HeavyHitters, RepetitionStats, RollingMinHash}
+import graft.functions.{HeavyHitters, RepetitionStats, RollingMinHash, WinnowedFingerprints}
 
 /** Text-analysis operators for a large-scale training-data pipeline:
   * tokenization, language ID, quality scoring, document fingerprinting.
@@ -205,4 +205,24 @@ object TextAnalysis {
     */
   def rollingMinHof(text: Column, n: Int): Column =
     array_min(transform(charGrams(text, n), g => md5(g)))
+
+  /** Winnowing fingerprint set (sorted distinct window minima of char
+    * `k`-gram md5s over windows of `w`) — see
+    * [[graft.functions.WinnowedFingerprints]] for the density/recall
+    * contract. [[Dedup.winnowOverlapPairs]] is the pair-join consumer.
+    */
+  def winnow(text: Column, k: Int = 8, w: Int = 4): Column =
+    bridge.column(WinnowedFingerprints(bridge.expression(text), k, w))
+
+  /** The expression-level formula [[WinnowedFingerprints]] replaces
+    * (differential tests only).
+    */
+  def winnowHof(text: Column, k: Int, w: Int): Column = {
+    val hs = when(length(text) < k, array(md5(text)))
+      .otherwise(transform(sequence(lit(0), length(text) - k),
+        i => md5(text.substr(i + lit(1), lit(k)))))
+    array_sort(array_distinct(transform(
+      sequence(lit(0), greatest(size(hs) - w, lit(0))),
+      i => array_min(slice(hs, i + lit(1), least(lit(w), size(hs)))))))
+  }
 }

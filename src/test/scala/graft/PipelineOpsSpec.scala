@@ -208,6 +208,23 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 0)
   }
 
+  test("native WinnowedFingerprints ≡ HOF formula on real corpus text") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = df.select(
+      graft.ops.TextAnalysis.winnow(col("text"), 8, 4).as("a"),
+      graft.ops.TextAnalysis.winnowHof(col("text"), 8, 4).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(n == 0)
+    // short-text edge cases: below k → whole-text gram; grams below w
+    import spark.implicits._
+    val edge = Seq((1L, "tiny"), (2L, "exactly8!"), (3L, "")).toDF("doc_id", "text")
+    val m = edge.select(
+      graft.ops.TextAnalysis.winnow(col("text"), 8, 4).as("a"),
+      graft.ops.TextAnalysis.winnowHof(col("text"), 8, 4).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(m == 0)
+  }
+
   test("native MinHashSignature ≡ HOF formula on real corpus text") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = df.select(
