@@ -169,6 +169,27 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
+    "q18_large" -> ((s, dir) => {
+      // the aggregated-subquery semi-join shape: find the ~0.1% of orders
+      // over the quantity threshold FIRST (one partial-agg pass over
+      // lineitem), left_semi the orders fact against that tiny set, and
+      // only then join customers and re-aggregate. The semi-join output
+      // is small enough that everything after the having-filter is cheap.
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("qty"))
+        .filter(col("qty") > 300)
+        .select("l_orderkey")
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === big("l_orderkey"), "left_semi")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(round(sum("l_quantity"), 2).as("total_qty"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
     "semi_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -759,6 +780,18 @@ object SparkEntry {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |WHERE l.l_returnflag = 'R'
         |GROUP BY 1, 2, 4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q18_large" ->
+      """WITH big AS (SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  o.o_orderdate, o.o_totalprice,
+        |  round(sum(l.l_quantity), 2) AS total_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "asof_outer" ->
       """WITH a AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),

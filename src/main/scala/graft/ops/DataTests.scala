@@ -33,6 +33,39 @@ object DataTests {
   def keyUniqueness(df: DataFrame, keys: Seq[String]): Boolean =
     keyDuplicates(df, keys).isEmpty
 
+  /** Schema diff between two snapshots — the structural companion to the
+    * row-level [[KeyDiff]]: which columns were added, removed, or changed
+    * type between an old and a new file. Pure metadata (no data scan, no
+    * job); nested struct fields are compared by dotted path so a type
+    * change three levels down surfaces as its own row, mirroring how the
+    * reference's per-row field diff reports nested paths.
+    *
+    * Output: (column, old_type, new_type, status ∈ added|removed|changed
+    * |unchanged), ordered by column.
+    */
+  def schemaDiff(oldDf: DataFrame, newDf: DataFrame): Seq[(String, String, String, String)] = {
+    def flatten(prefix: String,
+        st: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+      st.fields.toSeq.flatMap { f =>
+        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case s: org.apache.spark.sql.types.StructType => flatten(path, s)
+          case dt => Seq(path -> dt.simpleString)
+        }
+      }
+    val o = flatten("", oldDf.schema).toMap
+    val n = flatten("", newDf.schema).toMap
+    (o.keySet ++ n.keySet).toSeq.sorted.map { c =>
+      (o.get(c), n.get(c)) match {
+        case (Some(t), None) => (c, t, null, "removed")
+        case (None, Some(t)) => (c, null, t, "added")
+        case (Some(t1), Some(t2)) if t1 == t2 => (c, t1, t2, "unchanged")
+        case (Some(t1), Some(t2)) => (c, t1, t2, "changed")
+        case (None, None) => throw new IllegalStateException("unreachable")
+      }
+    }
+  }
+
   /** Per-column profile — row count, null count, exact distinct count —
     * in ONE aggregation pass (Catalyst plans the multi-distinct via a
     * single Expand, so the table is scanned once however many columns are

@@ -115,6 +115,23 @@ class CoreDiffSpec extends AnyFunSuite {
     assert(statuses == Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("schemaDiff classifies added/removed/changed/unchanged incl. nested paths") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 1.0, (1, "x"))).toDF("id", "keep", "drop", "sub")
+    val neu = Seq((1L, "a", true, (1L, "x"))).toDF("id", "keep", "extra", "sub")
+      .select(col("id"), col("keep"), col("extra"),
+        struct(col("sub._1").as("_1"), col("sub._2").as("_2")).as("sub"))
+    val d = DataTests.schemaDiff(old, neu)
+      .map { case (c, o, n, s) => c -> ((o, n, s)) }.toMap
+    assert(d("id") == (("bigint", "bigint", "unchanged")))
+    assert(d("keep") == (("string", "string", "unchanged")))
+    assert(d("drop") == (("double", null, "removed")))
+    assert(d("extra") == ((null, "boolean", "added")))
+    // nested struct field type change surfaces at its dotted path
+    assert(d("sub._1") == (("int", "bigint", "changed")))
+    assert(d("sub._2") == (("string", "string", "unchanged")))
+  }
+
   test("printKeyDiff prints all four buckets with counts (reference parity)") {
     import spark.implicits._
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")

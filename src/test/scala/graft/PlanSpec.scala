@@ -150,6 +150,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"jaccard estimate leaked into the aggregate:\n$p")
   }
 
+  test("winnow_overlap: one fingerprint exchange feeds freq filter and both join sides") {
+    val p = planNoAqe("winnow_overlap")
+    assert(p.contains("ReusedExchange"), s"fingerprint exchange must be reused:\n$p")
+    assert("graft_winnow".r.findAllIn(p).size == 1,
+      s"winnowing must be evaluated exactly once:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("ngram_jaccard: one shingle exchange feeds all consumers via reuse") {
     val p = planNoAqe("ngram_jaccard")
     // the exploded-shingle relation is consumed 4x (freq filter, both join
