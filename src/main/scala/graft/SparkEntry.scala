@@ -429,6 +429,10 @@ object SparkEntry {
       Dedup.cleanCorpus(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
+    "corpus_clean_cc" -> ((s, dir) =>
+      Dedup.cleanCorpusTransitive(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("a_id", "b_id")),
@@ -890,6 +894,48 @@ object SparkEntry {
          |SELECT lang, array_to_string([$mins], ',') AS sketch
          |FROM j GROUP BY lang ORDER BY lang""".stripMargin
     },
+    "corpus_clean_cc" ->
+      """WITH RECURSIVE q AS (SELECT doc_id, text, lang, source, n_chars FROM (
+        |    SELECT *, list_filter(regexp_split_to_array(text, ' +'),
+        |      t -> t <> '') toks FROM documents)
+        |  WHERE len(toks) >= 20),
+        |keep AS (SELECT min(doc_id) doc_id FROM q GROUP BY md5(text)),
+        |k AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+        |toks2 AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, ' +'), t -> t <> '') toks
+        |  FROM k),
+        |sh2 AS (SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3
+        |    THEN list_distinct(list_transform(range(0, len(toks)-2),
+        |           i -> array_to_string(list_slice(toks, i+1, i+3), ' ')))
+        |    ELSE [array_to_string(toks, ' ')] END shingles
+        |  FROM toks2),
+        |sigs2 AS (SELECT doc_id, list_transform(range(0, 8), j ->
+        |  list_min(list_transform(shingles,
+        |    s -> md5(CAST(j AS VARCHAR) || '|' || s)))) sig
+        |  FROM sh2),
+        |bands2 AS (SELECT doc_id, sig, b.band,
+        |  md5(array_to_string(list_slice(sig, band*2+1, band*2+2), ',')) bh
+        |  FROM sigs2 CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+        |pairs AS (SELECT a.doc_id a_id, c.doc_id b_id,
+        |  round(CAST(min(len(list_filter(range(1, 9),
+        |    i -> a.sig[i] = c.sig[i]))) AS DOUBLE) / 8.0, 4) est
+        |  FROM bands2 a JOIN bands2 c
+        |    ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
+        |  GROUP BY a.doc_id, c.doc_id),
+        |good AS (SELECT a_id, b_id FROM pairs WHERE est >= 0.75),
+        |edges AS (SELECT a_id s, b_id d FROM good
+        |  UNION SELECT b_id, a_id FROM good),
+        |walk AS (
+        |  SELECT s AS id, s AS comp FROM edges
+        |  UNION
+        |  SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.id
+        |),
+        |labels AS (SELECT id, min(comp) comp FROM walk GROUP BY id),
+        |losers AS (SELECT id FROM labels WHERE comp <> id)
+        |SELECT doc_id, lang, source, n_chars FROM k
+        |WHERE doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
     "corpus_clean" ->
       """WITH q AS (SELECT doc_id, text, lang, source, n_chars FROM (
         |    SELECT *, list_filter(regexp_split_to_array(text, ' +'),

@@ -362,6 +362,29 @@ object Dedup {
     labels
   }
 
+  /** [[cleanCorpus]] with TRANSITIVE near-dup removal: one survivor per
+    * connected component of the candidate-pair graph, not per pair. The
+    * pairwise rule keeps every local minimum — a V-shaped cluster
+    * (2–10, 3–10) keeps both 2 and 3 even though they are transitively
+    * linked through 10; the component rule keeps only the component
+    * minimum. Costs the extra [[components]] iteration rounds over the
+    * (tiny) pair list; everything up to the pair list is identical.
+    */
+  def cleanCorpusTransitive(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20, minEstJaccard: Double = 0.75): DataFrame = {
+    val quality = df.filter(size(TextAnalysis.tokens(col(textCol))) >= minTokens)
+    val keepExact = exactGroups(quality, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val exactKept = quality.join(keepExact, idCol)
+    val pairs = lshCandidates(
+      minhashSignatures(exactKept, idCol, textCol), idCol, bands = 4, rowsPerBand = 2)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    val losers = components(pairs, "a_id", "b_id")
+      .filter(col("a_id") =!= col("comp"))
+      .select(col("a_id").as(idCol))
+    exactKept.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** n-gram Jaccard similarity pairs via shingle-join: explode distinct
     * shingles, join on the shingle, count shared per pair, and compute
     * |A∩B| / (|A| + |B| − |A∩B|). Pairs below `minJaccard` are dropped.

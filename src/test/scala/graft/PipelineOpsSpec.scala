@@ -113,6 +113,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(truth.nonEmpty, "fixture should contain at least one near-dup pair")
   }
 
+  test("cleanCorpusTransitive keeps one survivor per component (V-shaped cluster)") {
+    import spark.implicits._
+    // docs 2 and 3 are both near-dups of 10 but not of each other at the
+    // 0.75 signature threshold: a V-shaped cluster. The pairwise rule
+    // keeps both local minima (2 and 3); the transitive rule keeps only
+    // the component min. Construct via targeted token edits on a long
+    // base text so the MinHash estimate lands where needed.
+    val base = (1 to 60).map("w" + _)
+    def doc(edits: Map[Int, String]) =
+      base.zipWithIndex.map { case (w, i) => edits.getOrElse(i, w) }.mkString(" ")
+    // Edit positions found by replaying the md5 minhash family offline:
+    // est(2,10)=0.875, est(3,10)=0.75 (both candidates at >= 0.75),
+    // est(2,3)=0.625 (below threshold) — a V with no 2-3 edge.
+    val d2 = doc(Map.empty)
+    val d10 = doc(Map(3 -> "XX"))
+    val d3 = doc(Map(3 -> "XX", 9 -> "YY"))
+    val df = Seq((2L, d2), (10L, d10), (3L, d3)).toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidates(
+      Dedup.minhashSignatures(df, "doc_id", "text"), "doc_id",
+      bands = 4, rowsPerBand = 2)
+      .filter(col("est_jaccard") >= 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 10L), (3L, 10L)), s"expected V shape, got $pairs")
+    val pairwise = Dedup.cleanCorpus(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val transitive = Dedup.cleanCorpusTransitive(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pairwise == Set(2L, 3L)) // both local minima survive
+    assert(transitive == Set(2L))   // one survivor per component
+  }
+
   test("components: transitive chains collapse to the min id, disjoint stay apart") {
     import spark.implicits._
     // chain 1-2-3-4 (no direct 1-3, 1-4, 2-4 edges), pair 10-11, and a
