@@ -456,6 +456,14 @@ object SparkEntry {
       Dedup.simhash64Pairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("a_id", "b_id")),
     // --- LLM-pipeline: text analysis --------------------------------------
+    "text_norm" -> ((s, dir) => {
+      val norm = TextAnalysis.normalizeText(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(norm).as("norm_md5"),
+          length(norm).cast("long").as("n_chars_norm"))
+        .orderBy("doc_id")
+    }),
     "winnow" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -969,6 +977,13 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars FROM k
         |WHERE doc_id NOT IN (SELECT b_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
+    "text_norm" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |       ' +', ' ', 'g')) norm FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_md5,
+        |  CAST(length(norm) AS BIGINT) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
     "winnow" ->
       """WITH g AS (SELECT doc_id,
         |  CASE WHEN length(text) < 8 THEN [md5(text)]

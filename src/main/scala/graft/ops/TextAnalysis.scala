@@ -180,6 +180,17 @@ object TextAnalysis {
         / greatest(nB, lit(1.0)), 4).as("dup_bigram_ratio"))
   }
 
+  /** Canonical text normalization for dedup/fingerprinting: lowercase,
+    * strip everything outside [a-z0-9 ], collapse whitespace runs, trim.
+    * Pure codegen'd projection (lower/regexp_replace/trim); feeding
+    * [[graft.ops.Dedup.exactGroups]] a normalized column turns it into
+    * normalization-aware dedup ("same text modulo case/punctuation").
+    * Mirrored exactly by the DuckDB oracle.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   // --- fingerprinting -----------------------------------------------------
 
   /** Character n-grams of the raw text (the shingling behind winnowing

@@ -164,6 +164,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("normalizeText: case/punct/whitespace-insensitive, enables normalized dedup") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello,  World! "), (2L, "hello world"), (3L, "HELLO-WORLD"),
+      (4L, "different text")).toDF("doc_id", "text")
+    val norm = df.select(col("doc_id"),
+      graft.ops.TextAnalysis.normalizeText(col("text")).as("n"))
+    val vals = norm.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(vals(1L) == "hello world" && vals(2L) == "hello world")
+    assert(vals(3L) == "helloworld") // dash stripped, no space inserted
+    // normalization-aware exact dedup groups 1 and 2 together
+    val groups = graft.ops.Dedup.exactGroups(
+      norm.withColumnRenamed("n", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("group_size"))
+      .toMap
+    assert(groups(1L) == 2L)
+  }
+
   test("langId picks the language with most marker hits, en-first on ties") {
     val df = docs(
       1L -> "the cat of the house is big and small",
