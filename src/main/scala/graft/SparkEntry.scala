@@ -499,6 +499,16 @@ object SparkEntry {
         e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rn")
     }),
+    "embed_q8" -> ((s, dir) => {
+      val qz = Similarity.quantize8(col("embedding"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), qz.getField("scale").as("scale"),
+          qz.getField("q").as("qv"))
+        .select(col("vec_id"), round(col("scale"), 8).as("scale_r"),
+          md5(concat_ws(",", col("qv"))).as("q_digest"),
+          array_max(transform(col("qv"), x => abs(x))).as("q_max"))
+        .orderBy("vec_id")
+    }),
     "ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(
@@ -1161,6 +1171,18 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, neighbor_id) rn FROM p)
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "embed_q8" ->
+      """WITH s AS (SELECT vec_id,
+        |  greatest(list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS scale,
+        |  embedding FROM embeddings),
+        |q AS (SELECT vec_id, round(scale, 8) AS scale_r,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) qv
+        |  FROM s)
+        |SELECT vec_id, scale_r, md5(array_to_string(qv, ',')) AS q_digest,
+        |  CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     "ann_lsh" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v,

@@ -154,6 +154,29 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rn")
   }
 
+  /** Symmetric int8 scalar quantization of an embedding: per-vector
+    * scale = max|x|/127, elements → floor(x/scale + 0.5) in [-127, 127].
+    * The standard 4× memory/IO reduction for corpus-scale vector search —
+    * at 100 TB the embedding column dominates the scan, and int8 recall
+    * loss at rerank depth is negligible (cosine error ~1%; see the
+    * accuracy test). `floor(x + 0.5)` instead of `round` because its
+    * half-up behavior is bit-identical between Spark and DuckDB, which
+    * keeps the quantized values oracle-hashable.
+    *
+    * Output: struct(scale double, q array<long>). Approximate cosine
+    * between quantized vectors: dot(qa, qb) · scale_a · scale_b /
+    * (‖a‖‖b‖) — dequantization is two scalar multiplies per PAIR, not
+    * per element.
+    */
+  def quantize8(vec: Column): Column = {
+    val scale = greatest(
+      array_max(transform(vec, x => abs(x.cast("double")))), lit(1e-12)) / 127.0
+    struct(
+      scale.as("scale"),
+      transform(vec, x =>
+        floor(x.cast("double") / scale + lit(0.5)).cast("long")).as("q"))
+  }
+
   /** Deterministic ±1 hyperplane component for (plane j, dimension d):
     * +1 iff the high bit of the first md5 hex nibble of "j_d" is set.
     * Reproducible on any engine with md5 — no RNG state to ship.

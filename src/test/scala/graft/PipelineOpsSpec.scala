@@ -283,6 +283,34 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 0)
   }
 
+  test("quantize8: max element hits ±127, quantized cosine within 2% of exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qz = Similarity.quantize8(col("embedding"))
+    val q = e.select(col("vec_id"), col("embedding"),
+      qz.getField("scale").as("scale"), qz.getField("q").as("qv"))
+    // every vector's largest quantized magnitude is exactly 127
+    val maxes = q.select(array_max(transform(col("qv"), x => abs(x))).as("m"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(maxes == Set(127L))
+    // pair 100 vectors with their successor; compare exact vs quantized cos
+    val a = q.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("k"), col("embedding").as("ea"),
+        col("scale").as("sa"), col("qv").as("qa"))
+    val b = q.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+      .select((col("vec_id") - 100).as("k"), col("embedding").as("eb"),
+        col("scale").as("sb"), col("qv").as("qb"))
+    val qdot = aggregate(zip_with(col("qa"), col("qb"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val pairs = a.join(b, "k").select(
+      (Similarity.dot(col("ea"), col("eb")) /
+        (Similarity.l2Norm(col("ea")) * Similarity.l2Norm(col("eb")))).as("exact"),
+      (qdot * col("sa") * col("sb") /
+        (Similarity.l2Norm(col("ea")) * Similarity.l2Norm(col("eb")))).as("approx"))
+    val maxErr = pairs.select(max(abs(col("exact") - col("approx"))))
+      .collect().head.getDouble(0)
+    assert(maxErr < 0.02, s"int8 cosine error too large: $maxErr")
+  }
+
   test("native DotProduct ≡ HOF formula on real embeddings") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val n = df.select(
