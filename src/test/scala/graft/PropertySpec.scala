@@ -161,4 +161,33 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ds(0) != ds(1), s"seed=$seed disjoint docs must differ")
     }
   }
+
+  test("property: components is idempotent and partition-invariant") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 3L), (9L, 10L), (10L, 6L))
+      .toDF("a_id", "b_id")
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      Dedup.components(df, "a_id", "b_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = labelMap(pairs)
+    // idempotence: feeding (id, comp) pairs back yields the same labels
+    val again = labelMap(
+      labels.toSeq.filter { case (id, c) => id != c }.toDF("a_id", "b_id"))
+    assert(again.forall { case (id, c) => labels(id) == c || id == c })
+    // partition invariance: same labels from any input layout
+    assert(labelMap(pairs.repartition(7)) == labels)
+    // ground truth for this graph
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L,
+      5L -> 5L, 6L -> 5L, 9L -> 5L, 10L -> 5L))
+  }
+
+  test("property: simhash64 pairs are invariant under input repartitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      Dedup.simhash64Pairs(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val base = pairSet(docs)
+    assert(pairSet(docs.repartition(13)) == base)
+    assert(pairSet(docs.coalesce(1)) == base)
+  }
 }
