@@ -122,6 +122,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("AnnStream: streaming candidates == batch lshTopK candidate set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = corpus.filter(col("vec_id") < 5)
+    // batch truth: same composition over the same rows
+    val batch = graft.streaming.AnnStream.annCandidates(
+      corpus, queries, "vec_id", "embedding", bits = 4, probes = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    // stream the corpus through in two micro-batches
+    val rows = corpus.select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val in = mem.toDF().toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val q = graft.streaming.AnnStream.annCandidates(
+      in, queries, "vec_id", "embedding", bits = 4, probes = 1)
+      .writeStream.format("memory").queryName("ann_stream")
+      .outputMode("append").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ann_stream").collect()
+        .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+      assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("nearDupDedupStream keeps first doc per simhash64 across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
