@@ -79,15 +79,30 @@ object Bench {
       val best = if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0
       (name, best, times)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // The harness captures only the TAIL of the build output (≈2000 chars)
+    // and parses the JSON line out of it; sbt prints a trailing
+    // "[success] Total time…" line after us. So the headline line must be
+    // COMPACT: 2-decimal seconds, no per-run arrays. Full-precision times
+    // and both raw runs (contention vs regression evidence) go to a side
+    // file instead.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, _, ts) =>
       "\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs":$runs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    val runsOut = sys.env.getOrElse("SPARK_GRAFT_RUNS_OUT", "bench_runs.json")
+    try {
+      val w = new java.io.PrintWriter(runsOut, "UTF-8")
+      try w.println(s"""{"runs":$runs,"sf":"$sfDir"}""") finally w.close()
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] could not write $runsOut: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -80,17 +80,34 @@ object Multimodal {
     * [[StubCodec]] because their payloads are text bytes, not images.
     */
   object ImageCodec {
-    // ImageIO's default disk-backed stream cache would add a temp-file
-    // create/delete per decode — pure overhead for byte-array inputs.
-    javax.imageio.ImageIO.setUseCache(false)
-
     /** Decode real image bytes to (width, height); None when the payload
       * is not a decodable image (wrong magic, truncated, unsupported).
+      *
+      * A memory-backed ImageInputStream is constructed per decode instead
+      * of flipping `ImageIO.setUseCache(false)`: the flag is JVM-global
+      * (it would silently change behavior for every other ImageIO user in
+      * the executor process), while the explicit stream gets the same
+      * no-temp-file decode path with zero shared state.
+      *
+      * NonFatal (not just IOException): plugin readers throw
+      * RuntimeExceptions on malformed payloads (IllegalArgumentException,
+      * CMMException, ArrayIndexOutOfBounds in the JPEG reader); a corrupt
+      * payload must flag (-1,-1), never kill the task.
       */
-    def decode(payload: Array[Byte]): Option[(Int, Int)] =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    def decode(payload: Array[Byte]): Option[(Int, Int)] = {
+      val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try Option(javax.imageio.ImageIO.read(stream))
         .map(img => (img.getWidth, img.getHeight))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
+      // ImageIO.read(ImageInputStream) closes the stream on success; the
+      // explicit close covers the failure paths (second close throws
+      // IOException("closed") — swallow it).
+      finally {
+        try stream.close()
+        catch { case _: java.io.IOException => () }
+      }
+    }
   }
 
   /** [[extractFeatures]] with the real [[ImageCodec]]: true pixel

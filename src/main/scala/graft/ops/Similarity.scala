@@ -171,10 +171,17 @@ object Similarity {
   def quantize8(vec: Column): Column = {
     val scale = greatest(
       array_max(transform(vec, x => abs(x.cast("double")))), lit(1e-12)) / 127.0
-    struct(
-      scale.as("scale"),
-      transform(vec, x =>
-        floor(x.cast("double") / scale + lit(0.5)).cast("long")).as("q"))
+    // Bind the scale as a lambda variable (a 1-element transform) so the
+    // per-element lambda references the BOUND value: interpreted HOFs have
+    // no cross-iteration CSE, so inlining `scale` into the element lambda
+    // would re-run the array_max scan for every element — O(d²) per vector.
+    element_at(
+      transform(array(scale), s =>
+        struct(
+          s.as("scale"),
+          transform(vec, x =>
+            floor(x.cast("double") / s + lit(0.5)).cast("long")).as("q"))),
+      1)
   }
 
   /** Deterministic ±1 hyperplane component for (plane j, dimension d):
