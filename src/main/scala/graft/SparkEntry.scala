@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, Chunking, DataTests, Dedup, KeyDiff, Multimodal, Quantiles, RangeJoin, Similarity, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, Chunking, DataTests, Decontam, Dedup, KeyDiff, Multimodal, Quantiles, RangeJoin, Relevance, Similarity, TextAnalysis, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -190,6 +190,26 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
     }),
+    "q4_priority" -> ((s, dir) => {
+      // the EXISTS shape: per-priority order counts where some lineitem
+      // shipped >90 days after the order date. left_semi with the extra
+      // non-equi predicate keeps lineitem out of the aggregate entirely.
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+    "q6_forecast" -> ((s, dir) =>
+      // the pure scan-filter-agg shape: every predicate must reach the
+      // parquet scan (PushedFilters), output is a single global aggregate
+      t(s, dir, "lineitem")
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))),
     "semi_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -492,6 +512,43 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id") +: TextAnalysis.fingerprintColumns(col("text")): _*)
         .orderBy("doc_id")),
+    "decontam" -> ((s, dir) => {
+      // eval/benchmark set = every 37th doc; report each remaining doc's
+      // shingle overlap with it (the pre-training hygiene pass)
+      val docs = t(s, dir, "documents")
+      Decontam.overlapReport(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "bm25_search" -> ((s, dir) =>
+      Relevance.bm25(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("join", "window", "vector"))),
+    "redact_pii" -> ((s, dir) => {
+      // the corpus text carries no PII, so the query plants a synthetic
+      // email/URL/IP per row (doc_id-derived, oracle-reproducible) and
+      // verifies detection counts + the redacted-text digest
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or https://ex.example.org/d/"),
+        col("doc_id").cast("string"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+      t(s, dir, "documents")
+        .select(col("doc_id").as("doc_id"), aug.as("text"))
+        .select(col("doc_id") +: TextAnalysis.piiCounts(col("text")) :+
+          md5(TextAnalysis.redactPii(col("text"))).as("red_md5"): _*)
+        .orderBy("doc_id")
+    }),
+    "lang_id_char" -> ((s, dir) => {
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langIdChar(padded).as("pred_lang"),
+        TextAnalysis.langScoreChar(padded, TextAnalysis.langMarkers.head._2)
+          .as("en_occ"))
+        .orderBy("doc_id")
+    }),
     // --- LLM-pipeline: embedding similarity search ------------------------
     "ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -875,6 +932,76 @@ object SparkEntry {
         |  round(sqrt(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "decontam" ->
+      s"""WITH $toksCte, $shinglesCte,
+         |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+         |ev AS (SELECT doc_id AS eval_id, s FROM ex WHERE doc_id % 37 = 0),
+         |tr AS (SELECT doc_id, s FROM ex WHERE doc_id % 37 <> 0)
+         |SELECT tr.doc_id,
+         |  CAST(count(DISTINCT tr.s) AS BIGINT) AS n_shingles_hit,
+         |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+         |FROM tr JOIN ev ON tr.s = ev.s
+         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    "bm25_search" ->
+      s"""WITH $toksCte,
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) dl FROM toks),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) n,
+         |         CAST(sum(dl) AS DOUBLE) / count(*) avgdl FROM dl),
+         |tf AS (SELECT doc_id, t term, CAST(count(*) AS DOUBLE) tf
+         |  FROM (SELECT doc_id, unnest(toks) t FROM toks)
+         |  WHERE t IN ('join','window','vector') GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY 1)
+         |SELECT tf.doc_id, round(sum(
+         |    ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+         |    tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+         |  ), 4) AS bm25
+         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "redact_pii" -> {
+      val Seq((emailRe, emailTok), (urlRe, urlTok), (ipRe, ipTok)) =
+        graft.ops.TextAnalysis.piiPatterns
+      s"""WITH aug AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id
+         |    || '@mail.example.com or https://ex.example.org/d/' || doc_id
+         |    || ' from 10.0.' || (doc_id % 256) || '.7' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$urlRe')) AS BIGINT) AS n_url,
+         |  CAST(len(regexp_extract_all(text, '$ipRe')) AS BIGINT) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$emailRe', '$emailTok', 'g'),
+         |    '$urlRe', '$urlTok', 'g'),
+         |    '$ipRe', '$ipTok', 'g')) AS red_md5
+         |FROM aug ORDER BY doc_id""".stripMargin
+    },
+    "lang_id_char" -> {
+      def occ(m: String) =
+        s"CAST((length(pt) - length(replace(pt, ' $m ', ''))) // length(' $m ') AS BIGINT)"
+      val score = graft.ops.TextAnalysis.langMarkers
+        .map { case (l, ms) => l -> ms.map(occ).mkString("(", " + ", ")") }.toMap
+      val langs = graft.ops.TextAnalysis.langMarkers.map(_._1)
+      val whens = langs.init.zipWithIndex.map { case (l, i) =>
+        val conds = langs.drop(i + 1)
+          .map(l2 => s"${score(l)} >= ${score(l2)}").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      s"""WITH p AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM documents)
+         |SELECT doc_id, CASE $whens ELSE '${langs.last}' END AS pred_lang,
+         |  ${score("en")} AS en_occ
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     "dedup_exact" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS group_size

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance scoring: BM25 (Robertson/Spärck Jones) over the
+  * whitespace-token index — the standard lexical ranking function for
+  * corpus search and retrieval-based data curation (e.g. "pull the docs
+  * most relevant to a target domain mix").
+  *
+  * No reference counterpart; extended scope per the pipeline charter.
+  *
+  * Scale shape (per 100 TB corpus):
+  *  - document lengths are a map-side projection;
+  *  - the corpus-level scalars (N, avgdl) are one tiny all-reduce row,
+  *    cross-joined back as a broadcast;
+  *  - term frequencies touch only docs containing a query term (the
+  *    isin filter runs at scan, before the groupBy shuffle);
+  *  - document frequencies aggregate the already-tiny tf relation and
+  *    come back as a broadcast join.
+  * Net: one full corpus scan, shuffles only over matched (doc, term)
+  * rows. For many queries at once, `terms` becomes a query table joined
+  * instead of a literal filter — same shape.
+  */
+object Relevance {
+
+  /** BM25 scores for `terms` against every matching document; top `topK`
+    * by rounded score (doc-id tie-break). k1/b are the classic defaults.
+    *
+    * Output: (idCol, bm25) — bm25 rounded to 4 decimals AFTER the final
+    * per-doc sum so the oracle's IEEE summation order can't flip a ulp.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val dl = docs.select(col(idCol), size(toks).cast("long").as("dl"))
+    // corpus scalars: exact integer sum / count, then one double division —
+    // bit-identical on any engine, unlike avg()'s engine-specific summation
+    val st = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs.select(col(idCol), explode(toks).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val score = idf * col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    tf.join(broadcast(df), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(st))
+      .groupBy(idCol)
+      .agg(round(sum(score), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
+}

@@ -180,6 +180,75 @@ object TextAnalysis {
         / greatest(nB, lit(1.0)), 4).as("dup_bigram_ratio"))
   }
 
+  // --- PII redaction ------------------------------------------------------
+
+  /** Redaction patterns, ordered: emails before URLs before IPs (an IP
+    * inside a URL is consumed by the URL rule). Written in the common
+    * subset of Java regex and RE2 ([.] instead of \\. etc.) so the DuckDB
+    * oracle can reuse them verbatim.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^ ]+" -> "<URL>",
+    "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}" -> "<IP>")
+
+  /** Scrub emails/URLs/IPs to placeholder tokens — the text-cleaning pass
+    * an LLM corpus runs before training. Pure codegen'd regexp_replace
+    * chain (global replace on both engines), map-side at any scale.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (re, token)) =>
+      regexp_replace(acc, re, token)
+    }
+
+  /** Match counts per PII class (audit columns for the redaction pass). */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    size(regexp_extract_all(text, lit(piiPatterns(0)._1), lit(0)))
+      .cast("long").as("n_email"),
+    size(regexp_extract_all(text, lit(piiPatterns(1)._1), lit(0)))
+      .cast("long").as("n_url"),
+    size(regexp_extract_all(text, lit(piiPatterns(2)._1), lit(0)))
+      .cast("long").as("n_ip"))
+
+  // --- char-marker language ID -------------------------------------------
+
+  /** Occurrences of a literal marker inside the space-padded text, via the
+    * length-difference trick: (len(t) − len(replace(t, m, ''))) / len(m).
+    * Non-overlapping left-to-right replacement on both engines, so the
+    * count is engine-identical; no tokenization pass needed — this is the
+    * substring-profile variant of LID that survives texts where
+    * whitespace tokenization is wrong (CJK, concatenated scripts).
+    */
+  def markerOccurrences(padded: Column, marker: String): Column = {
+    val m = s" $marker "
+    ((length(padded) - length(regexp_replace(padded,
+      java.util.regex.Pattern.quote(m), ""))) / lit(m.length)).cast("long")
+  }
+
+  /** Char-marker language score: total occurrences of the language's
+    * markers (token-boundary-padded) in the text. Unlike [[langScore]]'s
+    * distinct-token-set intersection, repeated markers count every time —
+    * a frequency profile, not a set profile.
+    */
+  def langScoreChar(padded: Column, markers: Seq[String]): Column =
+    markers.map(markerOccurrences(padded, _)).reduce(_ + _)
+
+  /** Predicted language from char-marker frequencies: argmax over
+    * [[langMarkers]], ties broken by fixed order (same CASE-chain shape
+    * as [[langId]] so the oracle mirrors it literally). Text must be
+    * space-padded by the caller (`concat(lit(" "), text, lit(" "))`) so
+    * edge tokens match.
+    */
+  def langIdChar(padded: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> langScoreChar(padded, m) }
+    scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), elseCol) =>
+        val later = scores.drop(i + 1).map(_._2)
+        if (later.isEmpty) elseCol
+        else when(later.map(s >= _).reduce(_ && _), lang).otherwise(elseCol)
+    }
+  }
+
   /** Canonical text normalization for dedup/fingerprinting: lowercase,
     * strip everything outside [a-z0-9 ], collapse whitespace runs, trim.
     * Pure codegen'd projection (lower/regexp_replace/trim); feeding

@@ -668,4 +668,72 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.length == 1)
     assert((pairs(0).getAs[Long]("a_id"), pairs(0).getAs[Long]("b_id")) == (0L, 1L))
   }
+
+  test("decontam: report flags exactly the docs removeContaminated drops") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon",   // shares a 3-gram with eval
+      2L -> "one two three four five",          // clean
+      3L -> "zz alpha beta gamma yy")           // shares the same 3-gram
+    val eval = docs(100L -> "alpha beta gamma something else")
+    val report = ops.Decontam.overlapReport(corpus, eval, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles_hit"), r.getAs[Long]("n_eval_docs"))).toMap
+    assert(report.keySet == Set(1L, 3L))
+    assert(report(1L) == (1L, 1L) && report(3L) == (1L, 1L))
+    val kept = ops.Decontam.removeContaminated(corpus, eval, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(2L), "clean corpus = corpus minus reported docs")
+  }
+
+  test("bm25: repeated query term outranks single occurrence; rare term outranks common") {
+    val df = docs(
+      1L -> "spark spark spark filler filler filler",
+      2L -> "spark filler filler filler filler filler",
+      3L -> "filler common common filler filler filler",
+      4L -> "common filler filler filler filler filler",
+      5L -> "common nothing here at all present")
+    val scores = ops.Relevance.bm25(df, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(scores.keySet == Set(1L, 2L))
+    assert(scores(1L) > scores(2L), "higher tf must score higher at equal dl")
+    // df(spark)=2 < df(common)=3 ⇒ idf(spark) > idf(common); same tf/dl
+    val both = ops.Relevance.bm25(df, "doc_id", "text", Seq("spark", "common"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(both(2L) > both(4L), "rarer term must carry higher idf at equal tf/dl")
+  }
+
+  test("redactPii scrubs every pattern it counts") {
+    val df = docs(
+      1L -> "mail me at a.b+c@x-corp.io or https://x.io/path?q=1 from 192.168.0.1",
+      2L -> "no pii in this row at all")
+    val red = df.select(col("doc_id"),
+      TextAnalysis.redactPii(col("text")).as("red"))
+    // counts on the REDACTED text must be zero for every class
+    val residue = red.select(
+      TextAnalysis.piiCounts(col("red")).reduce(_ + _).as("n")).collect()
+    assert(residue.forall(_.getAs[Long]("n") == 0L))
+    val r1 = red.filter(col("doc_id") === 1L).head().getAs[String]("red")
+    assert(r1.contains("<EMAIL>") && r1.contains("<URL>") && r1.contains("<IP>"))
+    val r2 = red.filter(col("doc_id") === 2L).head().getAs[String]("red")
+    assert(r2 == "no pii in this row at all", "pii-free text passes unchanged")
+  }
+
+  test("langIdChar scores marker frequency, not distinct presence") {
+    val df = docs(
+      1L -> "der hund und die katze und das haus ist gross",
+      2L -> "the the the the of and is a")
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val out = df.select(col("doc_id"),
+      TextAnalysis.langIdChar(padded).as("pred"),
+      TextAnalysis.langScoreChar(padded, Seq("the")).as("the_occ"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred"), r.getAs[Long]("the_occ"))).toMap
+    assert(out(1L)._1 == "de")
+    assert(out(2L)._1 == "en")
+    // adjacent repeats share their separating space, so non-overlapping
+    // left-to-right replace sees ' the ' at positions 0 and 8 only —
+    // 2 hits, not 4. Both engines agree on this; the undercount on
+    // adjacent runs is inherent to the length-diff occurrence trick.
+    assert(out(2L)._2 == 2L)
+  }
 }
