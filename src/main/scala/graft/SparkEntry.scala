@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, Chunking, DataTests, Decontam, Dedup, KeyDiff, Multimodal, Quantiles, RangeJoin, Relevance, Similarity, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, KeyDiff, Multimodal, Quantiles, RangeJoin, Relevance, Similarity, TextAnalysis, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -210,6 +210,19 @@ object SparkEntry {
         .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
           count(lit(1)).as("n"))),
+    "bloom_join" -> ((s, dir) => {
+      // large-large join with the probe side bloom-pruned before its
+      // shuffle: lineitem rows whose order is not urgent drop at the scan.
+      // The oracle is the PLAIN join — false positives must not survive.
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      BloomJoin.join(t(s, dir, "lineitem"), urgent,
+          "l_orderkey", "o_orderkey", expectedKeys = 20000L)
+        .groupBy("l_returnflag")
+        .agg(round(sum(revenue), 2).as("rev"), count(lit(1)).as("n_items"))
+        .orderBy("l_returnflag")
+    }),
     "semi_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -372,6 +385,17 @@ object SparkEntry {
     "quantiles" -> ((s, dir) =>
       Quantiles.exact(t(s, dir, "lineitem"), Seq("l_returnflag"),
         "l_extendedprice", Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+        .select(col("l_returnflag"),
+          round(col("p25"), 4).as("p25"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"))
+        .orderBy("l_returnflag")),
+    "quantiles_hist" -> ((s, dir) =>
+      // the distinct-value-histogram exact form on a LOW-cardinality
+      // measure (l_quantity: 50 distinct in 600k rows) — the shape where
+      // the sequential window shrinks from rows to distinct values
+      Quantiles.exactHistogram(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_quantity", Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
         .select(col("l_returnflag"),
           round(col("p25"), 4).as("p25"),
           round(col("p50"), 4).as("p50"),
@@ -914,6 +938,12 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "quantiles_hist" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "distinct_users" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -932,6 +962,13 @@ object SparkEntry {
         |  round(sqrt(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "bloom_join" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l

@@ -552,6 +552,21 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getAs[Double]("p50") == 20.0) // median of {10,20,30}, null ignored
   }
 
+  test("histogram quantiles == row quantiles, including duplicate-heavy groups") {
+    import spark.implicits._
+    // duplicates make the occupancy ranges span >1 rank, and a p falls
+    // inside one (lo and hi both covered) as well as between two values
+    val rows = Seq.tabulate(101)(i => ("a", (i % 5).toDouble)) ++
+      Seq.tabulate(7)(i => ("b", i.toDouble)) ++ Seq(("c", 42.0))
+    val df = rows.toDF("grp", "v")
+    val ps = Seq("p10" -> 0.1, "p50" -> 0.5, "p77" -> 0.77, "p100" -> 1.0)
+    def fetch(r: DataFrame) = r.orderBy("grp").collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4))).toSeq
+    assert(fetch(graft.ops.Quantiles.exactHistogram(df, Seq("grp"), "v", ps)) ==
+      fetch(graft.ops.Quantiles.exact(df, Seq("grp"), "v", ps)))
+  }
+
   test("keyDuplicates accepts dotted nested key paths like KeyDiff.diff") {
     import spark.implicits._
     val df = Seq((1L, ("a", 1)), (2L, ("a", 2)), (3L, ("b", 3)))
@@ -667,6 +682,23 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pairs = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.95).collect()
     assert(pairs.length == 1)
     assert((pairs(0).getAs[Long]("a_id"), pairs(0).getAs[Long]("b_id")) == (0L, 1L))
+  }
+
+  test("bloom prefilter keeps every matching key and the composed join is exact") {
+    import spark.implicits._
+    val probe = (1L to 2000L).map(i => (i, s"p$i")).toDF("k", "pv")
+    val build = (1L to 2000L by 20).map(i => (i, s"b$i")).toDF("bk", "bv")
+    val pre = ops.BloomJoin.prefilter(probe, build, "k", "bk",
+      expectedKeys = 100L, fpp = 0.05)
+    val preKeys = pre.collect().map(_.getAs[Long]("k")).toSet
+    val buildKeys = build.collect().map(_.getAs[Long]("bk")).toSet
+    assert(buildKeys.subsetOf(preKeys), "bloom filters must never drop a match")
+    assert(preKeys.size < 2000, "a disjoint-majority probe must actually shrink")
+    val composed = ops.BloomJoin.join(probe, build, "k", "bk", expectedKeys = 100L)
+      .select("k", "pv", "bk", "bv").collect().toSet
+    val plain = probe.join(build, col("k") === col("bk"))
+      .select("k", "pv", "bk", "bv").collect().toSet
+    assert(composed == plain, "false positives must not survive the join")
   }
 
   test("decontam: report flags exactly the docs removeContaminated drops") {
