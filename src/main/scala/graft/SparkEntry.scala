@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, KeyDiff, Multimodal, Quantiles, RangeJoin, Relevance, Similarity, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Relevance, Similarity, TextAnalysis, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -374,6 +374,17 @@ object SparkEntry {
         e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rn")
     }),
+    "pq_topk" -> ((s, dir) => {
+      // PQ-compressed ANN shortlist (32x smaller corpus vectors, decode
+      // once per row, exact rerank downstream). k-means codebooks aren't
+      // reproducible across engines → rows-only driver check, recall
+      // gated in PipelineOpsSpec.
+      val e = t(s, dir, "embeddings")
+      val model = ProductQuant.train(e, "vec_id", "embedding", k = 64)
+      ProductQuant.pqTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5, model)
+        .orderBy("query_id", "rn")
+    }),
     "json_props" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
@@ -633,6 +644,14 @@ object SparkEntry {
         .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "split")
     }),
+    "mix_quota" -> ((s, dir) =>
+      // curriculum mixing: every source downsampled toward a 600-token
+      // quota, keep-rate derived from the measured per-source totals
+      TextAnalysis.tokenQuotaSample(t(s, dir, "documents"),
+          "doc_id", "text", "source", quotaTokens = 600L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("source")),
     "chunk_docs" -> ((s, dir) =>
       Chunking.chunk(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 32, overlap = 8)
@@ -938,6 +957,21 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "mix_quota" ->
+      """WITH tl AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(regexp_split_to_array(text, ' +'),
+        |    t -> t <> '')) AS BIGINT) n_tok
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) tot
+        |  FROM tl GROUP BY 1),
+        |r AS (SELECT tl.doc_id, tl.source, tl.n_tok, 600.0 / tot.tot AS rate,
+        |  printf('%08x', CAST(floor(600.0 / tot.tot * 4294967296) AS BIGINT)) thr
+        |  FROM tl JOIN tot USING (source)),
+        |kept AS (SELECT * FROM r
+        |  WHERE rate >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thr)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     "quantiles_hist" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,

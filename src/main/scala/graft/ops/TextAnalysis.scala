@@ -134,6 +134,34 @@ object TextAnalysis {
       .otherwise("test")
   }
 
+  /** Token-quota curriculum sampling: downsample each stratum (source,
+    * domain, language…) to ≈ `quotaTokens` tokens by computing the
+    * stratum's keep-rate FROM THE DATA (quota / measured tokens) and
+    * applying it as the same md5-threshold membership rule as
+    * [[stratifiedSample]] — the op behind "hit this domain mix" corpus
+    * curricula.
+    *
+    * Fully distributed: the per-stratum totals are a tiny broadcast
+    * aggregate and the hex threshold is computed IN the row expression
+    * (`lower(lpad(hex(floor(rate·2³²)), 8, '0'))`), so no rate ever
+    * round-trips through the driver. Membership stays per-row
+    * deterministic: re-running with a bigger quota only ADDS docs (the
+    * hash draw is fixed), which is what incremental curriculum rebuilds
+    * need.
+    */
+  def tokenQuotaSample(docs: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, quotaTokens: Long): DataFrame = {
+    val tl = docs.select(col(idCol), col(stratumCol),
+      size(tokens(col(textCol))).cast("long").as("n_tok"))
+    val tot = tl.groupBy(stratumCol)
+      .agg(sum(col("n_tok")).cast("double").as("__tot"))
+    val rate = lit(quotaTokens.toDouble) / col("__tot")
+    val thr = lower(lpad(hex(floor(rate * lit(4294967296L)).cast("long")), 8, "0"))
+    tl.join(broadcast(tot), stratumCol)
+      .filter(rate >= 1.0 || hashBucket(col(idCol)) < thr)
+      .drop("__tot")
+  }
+
   /** Heavy-hitters aggregate over a string column: Misra–Gries sketch
     * with at most `k` counters per partial — the bounded-state way to get
     * the vocabulary head at corpus scale (see

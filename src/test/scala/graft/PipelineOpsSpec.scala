@@ -674,6 +674,43 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"probe2 recall=${recall(probe2)}")
   }
 
+  test("PQ: determinism, 32x shape, decode fidelity, recall over random order") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m1 = ops.ProductQuant.train(e, "vec_id", "embedding")
+    val m2 = ops.ProductQuant.train(e, "vec_id", "embedding")
+    assert(m1.codebook.sameElements(m2.codebook), "training must be deterministic")
+    assert(m1.m * m1.dsub == 64 && m1.codebook.length == m1.m * m1.k * m1.dsub)
+    // encode → decode must reconstruct something closer than an arbitrary
+    // other vector: mean cosine(v, decode(encode(v))) well above cross-pair
+    import org.apache.spark.sql.functions.{avg, col}
+    val fid = e.select(ops.Similarity.cosine(col("embedding"),
+      ops.ProductQuant.decode(
+        ops.ProductQuant.encode(col("embedding"), m1), m1)).as("c"))
+      .agg(avg("c")).head().getDouble(0)
+    // synthetic embeddings are near-random (no cluster structure for the
+    // codebooks to exploit), so reconstruction fidelity is bounded by the
+    // m·log2(k)=32-bit budget — the meaningful floor is "far above the
+    // ~0.0 cosine of unrelated random vectors", not "near 1"
+    assert(fid > 0.5, s"mean reconstruction cosine $fid too low")
+    // PQ is a shortlist generator, not a final ranker: on near-random
+    // vectors the true top-5 are separated by noise-level margins no
+    // 32-bit code can rank. The operative metric is SHORTLIST recall —
+    // the exact top-5 caught in the PQ top-20 for full-precision rerank.
+    val q = e.filter(col("vec_id") < 10)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = hits(ops.Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    val short16 = hits(ops.ProductQuant.pqTopK(q, e, "vec_id", "embedding", 20, m1))
+    val m64 = ops.ProductQuant.train(e, "vec_id", "embedding", k = 64)
+    val short64 = hits(ops.ProductQuant.pqTopK(q, e, "vec_id", "embedding", 20, m64))
+    def recall(s: Set[(Long, Long)]) = (s & exact).size.toDouble / exact.size
+    info(s"shortlist recall@20: k=16 ${recall(short16)}, k=64 ${recall(short64)}")
+    assert(recall(short16) >= 0.3, s"k=16 shortlist recall ${recall(short16)}")
+    assert(recall(short64) >= 0.6,
+      s"k=64 shortlist recall ${recall(short64)} — larger codebook must rank better")
+  }
+
   test("embedding near-dup pairs respect the threshold") {
     import spark.implicits._
     val e = Seq(
@@ -748,6 +785,22 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.contains("<EMAIL>") && r1.contains("<URL>") && r1.contains("<IP>"))
     val r2 = red.filter(col("doc_id") === 2L).head().getAs[String]("red")
     assert(r2 == "no pii in this row at all", "pii-free text passes unchanged")
+  }
+
+  test("tokenQuotaSample: quota growth is monotone and full quota keeps everything") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i =>
+      (i, ("w " * (i % 10 + 1).toInt).trim, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    def kept(quota: Long): Set[Long] =
+      graft.ops.TextAnalysis.tokenQuotaSample(df, "doc_id", "text", "source", quota)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    val small = kept(100L)
+    val big = kept(300L)
+    assert(small.subsetOf(big),
+      "raising the quota must only ADD docs (fixed hash draw)")
+    assert(small.nonEmpty && small.size < big.size)
+    assert(kept(100000L).size == 200, "quota above total keeps every doc")
   }
 
   test("langIdChar scores marker frequency, not distinct presence") {
