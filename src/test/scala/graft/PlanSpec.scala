@@ -167,4 +167,66 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("graft_shingles".r.findAllIn(p).size == 1,
       s"shingling must be evaluated exactly once:\n$p")
   }
+
+  test("q6_forecast: every predicate reaches the parquet scan") {
+    val p = plan("q6_forecast")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    // the plan printer elides long filter lists ("LessThanOrEqu…"), so
+    // assert on the untruncated prefix: both columns present and the
+    // range comparison reaching the scan
+    assert(pushed.contains("IsNotNull(l_discount)")
+      && pushed.contains("IsNotNull(l_quantity)")
+      && pushed.contains("GreaterThanOrEqual(l_discount,0.05)"),
+      s"scan-filter-agg must push its predicates: $pushed")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_orderkey") && !read.contains("l_shipdate"),
+      s"scan reads unneeded columns: $read")
+  }
+
+  test("q4_priority: EXISTS compiles to a semi join, not an aggregate-dedup") {
+    val p = plan("q4_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("decontam: eval shingle side broadcasts; corpus side never shuffles before the probe") {
+    val p = plan("decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast (map-side probe at corpus scale):\n$p")
+  }
+
+  test("bm25: corpus scalars and doc frequencies ride broadcasts") {
+    val p = plan("bm25_search")
+    assert("Broadcast".r.findAllIn(p).size >= 2,
+      s"df and (n, avgdl) must broadcast, not shuffle the tf relation twice:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
+  test("bloom_join: probe side is filtered by the bloom BEFORE the join") {
+    val p = plan("bloom_join")
+    val filterLine = p.linesIterator.find(_.contains("graft_bloom_might_contain"))
+    assert(filterLine.isDefined, s"bloom probe missing from plan:\n$p")
+    // the probe filter must appear in a Filter node over the lineitem scan,
+    // i.e. below the join — not as a post-join residual
+    val idx = p.indexOf("graft_bloom_might_contain")
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && idx > joinIdx,
+      s"bloom filter should sit on the probe branch (printed below the join):\n$p")
+  }
+
+  test("mix_quota: stratum totals broadcast back; sampling filter is row-local") {
+    val p = plan("mix_quota")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-stratum totals are tiny and must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pq_topk: corpus decoded once per row below the broadcast query join") {
+    val p = plan("pq_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set should broadcast:\n$p")
+    // decode must appear once (corpus projection), not per joined pair
+    assert("graft_pq_decode".r.findAllIn(p).size == 1,
+      s"PQ decode must be a corpus-side projection, not a per-pair expression:\n$p")
+  }
 }
