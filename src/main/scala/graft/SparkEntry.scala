@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Relevance, Similarity, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Relevance, Similarity, TextAnalysis, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -426,6 +426,18 @@ object SparkEntry {
           round(element_at(col("ps"), 2), 2).as("p50"),
           round(element_at(col("ps"), 3), 2).as("p90"))
         .orderBy("l_returnflag")),
+    "hll_users" -> ((s, dir) => {
+      // materialize per-(event_type, day) HLL sketches, then answer the
+      // per-type distinct-user question from sketch bytes alone — the
+      // store-once / re-aggregate-forever shape. Estimates are
+      // DataSketches-specific → rows-only driver check; mergeability and
+      // accuracy vs exact are asserted in PipelineOpsSpec.
+      val daily = DistinctSketch.sketch(
+        t(s, dir, "events").withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "user_id")
+      DistinctSketch.estimate(daily, Seq("event_type"))
+        .orderBy("event_type")
+    }),
     "distinct_users" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy("event_type")

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable approximate-distinct sketches (Apache DataSketches HLL,
+  * via Spark's `hll_sketch_agg` family): the cardinality analogue of the
+  * MinHash group sketch ([[Dedup.groupSketch]]).
+  *
+  * Why sketch COLUMNS instead of `approx_count_distinct`: the sketch is
+  * a value you can store. A pipeline materializes per-(partition, day)
+  * sketches once, then answers "distinct users over any day range /
+  * rollup level" by unioning the stored sketches — no second scan of the
+  * raw events. That re-aggregation property is what makes distinct
+  * counting tractable at 100 TB: the raw-event scan happens once per
+  * ingest, every later question touches only sketch bytes (~KB per
+  * group at lgK=12, ±~1.6% standard error).
+  *
+  * Union-of-parts ≡ sketch-of-whole for HLL (register-wise max), so
+  * splitting by day costs no accuracy — asserted exactly in the spec.
+  */
+object DistinctSketch {
+
+  /** Per-group HLL sketch of `valueCol` (binary column, storable). */
+  def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol)).as("sketch"))
+
+  /** Re-aggregate stored sketches to a coarser grouping and estimate:
+    * union is register-wise max — mergeable, associative, lossless w.r.t.
+    * the finer sketches.
+    */
+  def estimate(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("approx_distinct"))
+}

@@ -92,6 +92,35 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__sh")
       .drop("__sh")
 
+  /** Stream-stream interval join — the streaming form of
+    * [[graft.ops.RangeJoin]]'s click→purchase attribution: each click
+    * joins the purchases of the same user landing in
+    * [click, click + `windowMinutes`]. Both sides carry watermarks and
+    * the join condition bounds event time in BOTH directions, which is
+    * what lets Spark expire join state: a click older than
+    * watermark − window can never match a future purchase and is dropped
+    * from the buffer, so state is O(events per horizon), not O(stream).
+    *
+    * Same column contract as the batch range join (epoch-millis output),
+    * so stream and batch results are comparable row-for-row; batch runs
+    * of this exact function ignore the watermarks and produce the join
+    * directly.
+    */
+  def intervalJoinStream(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 10, watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("ts") &&
+          col("p_ts") <= col("ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("event_id"), col("user_id"), col("purchase_id"),
+        round(col("value"), 2).as("p_value"))
+  }
+
   // --- streaming sessionization (stateful) --------------------------------
 
   final case class SessionEvent(user_id: Long, ts_ms: Long)

@@ -787,6 +787,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2 == "no pii in this row at all", "pii-free text passes unchanged")
   }
 
+  test("HLL sketches: union-of-parts == sketch-of-whole, estimate near exact") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i % 700, if (i % 2 == 0) "a" else "b", i % 5))
+      .toDF("user_id", "typ", "day")
+    // union of per-day sketches must give the SAME estimate as one
+    // whole-data sketch: HLL union is register-wise max, so the split
+    // loses nothing
+    val daily = graft.ops.DistinctSketch.sketch(df, Seq("typ", "day"), "user_id")
+    val merged = graft.ops.DistinctSketch.estimate(daily, Seq("typ"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val whole = graft.ops.DistinctSketch.estimate(
+      graft.ops.DistinctSketch.sketch(df, Seq("typ"), "user_id"), Seq("typ"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == whole, s"merged=$merged whole=$whole")
+    val exact = df.groupBy("typ").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(math.abs(merged(t) - n).toDouble / n < 0.05,
+        s"estimate ${merged(t)} vs exact $n for $t")
+    }
+  }
+
   test("tokenQuotaSample: quota growth is monotone and full quota keeps everything") {
     import spark.implicits._
     val df = (1L to 200L).map(i =>

@@ -122,6 +122,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("intervalJoinStream: two MemoryStreams == the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    def ts(minOffset: Int) = new java.sql.Timestamp(base + minOffset * 60000L)
+    // clicks at t+0/t+5 for users 1,2; purchases inside and outside the
+    // 10-minute window, plus a wrong-user purchase
+    val clicks = Seq((100L, 1L, ts(0)), (101L, 2L, ts(5)))
+    val purchases = Seq(
+      (200L, 1L, ts(4), 10.0),   // match: click 100 (+4 min)
+      (201L, 1L, ts(20), 20.0),  // no: outside window
+      (202L, 2L, ts(5), 30.0),   // match: click 101 (+0 min)
+      (203L, 3L, ts(6), 40.0))   // no: user without click
+    val cDf = clicks.toDF("event_id", "user_id", "ts")
+    val pDf = purchases.toDF("event_id", "user_id", "ts", "value")
+    val batch = EventStream.intervalJoinStream(cDf, pDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(batch == Set((100L, 1L, 200L, 10.0), (101L, 2L, 202L, 30.0)))
+
+    val cMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val pMem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val q = EventStream.intervalJoinStream(
+      cMem.toDF().toDF("event_id", "user_id", "ts"),
+      pMem.toDF().toDF("event_id", "user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("ij_stream")
+      .outputMode("append").start()
+    try {
+      // clicks land a micro-batch before their purchases — the join
+      // buffer must hold them until the matching side arrives
+      cMem.addData(clicks.toIndexedSeq: _*)
+      q.processAllAvailable()
+      pMem.addData(purchases.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ij_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("AnnStream: streaming candidates == batch lshTopK candidate set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
