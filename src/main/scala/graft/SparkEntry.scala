@@ -210,6 +210,43 @@ object SparkEntry {
         .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
           count(lit(1)).as("n"))),
+    "q14_promo" -> ((s, dir) => {
+      // conditional-aggregate share: one joined scan, both sums in the
+      // same partial aggregate, ratio + rounding above the agg
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-03-01")))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0)))
+            / sum(rev), 4).as("promo_share"),
+          count(lit(1)).as("n"))
+    }),
+    "q19_disjunct" -> ((s, dir) => {
+      // disjunctive cross-table predicate: Catalyst must extract the
+      // per-side common factors (brand IN set, quantity envelope) for
+      // pushdown while keeping the OR as the join residual
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 30) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 40)
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n"))
+    }),
+    "moving_avg" -> ((s, dir) => {
+      val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val frame = order.rowsBetween(-3, 0)
+      t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          round(avg(col("value")).over(frame), 4).as("mov_avg"),
+          row_number().over(order).cast("long").as("rn"))
+        .orderBy("user_id", "rn")
+    }),
     "bloom_join" -> ((s, dir) => {
       // large-large join with the probe side bloom-pruned before its
       // shuffle: lineitem rows whose order is not urgent drop at the scan.
@@ -1008,6 +1045,29 @@ object SparkEntry {
         |  round(sqrt(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q14_promo" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-03-01'""".stripMargin,
+    "q19_disjunct" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity >= 1 AND l.l_quantity <= 30)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+        |       AND l.l_quantity >= 10 AND l.l_quantity <= 40)""".stripMargin,
+    "moving_avg" ->
+      """SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS BIGINT) AS rn
+        |FROM events WHERE user_id < 50 ORDER BY user_id, rn""".stripMargin,
     "bloom_join" ->
       """SELECT l_returnflag,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,

@@ -240,35 +240,61 @@ object TextAnalysis {
 
   // --- char-marker language ID -------------------------------------------
 
-  /** Occurrences of a literal marker inside the space-padded text, via the
-    * length-difference trick: (len(t) − len(replace(t, m, ''))) / len(m).
-    * Non-overlapping left-to-right replacement on both engines, so the
-    * count is engine-identical; no tokenization pass needed — this is the
-    * substring-profile variant of LID that survives texts where
-    * whitespace tokenization is wrong (CJK, concatenated scripts).
-    */
-  def markerOccurrences(padded: Column, marker: String): Column = {
-    val m = s" $marker "
-    ((length(padded) - length(regexp_replace(padded,
-      java.util.regex.Pattern.quote(m), ""))) / lit(m.length)).cast("long")
-  }
-
   /** Char-marker language score: total occurrences of the language's
-    * markers (token-boundary-padded) in the text. Unlike [[langScore]]'s
-    * distinct-token-set intersection, repeated markers count every time —
-    * a frequency profile, not a set profile.
+    * markers (token-boundary-padded) in the text — non-overlapping
+    * left-to-right matches. Unlike [[langScore]]'s distinct-token-set
+    * intersection, repeated markers count every time — a frequency
+    * profile, not a set profile; no tokenization pass needed, so this
+    * variant survives texts where whitespace tokenization is wrong (CJK,
+    * concatenated scripts). One native pass over the text
+    * ([[graft.functions.MarkerCounts]]) instead of a compiled-regex pass
+    * per marker.
     */
-  def langScoreChar(padded: Column, markers: Seq[String]): Column =
-    markers.map(markerOccurrences(padded, _)).reduce(_ + _)
+  def langScoreChar(padded: Column, markers: Seq[String]): Column = {
+    val counts = bridge.column(graft.functions.MarkerCounts(
+      bridge.expression(padded), markers.map(m => s" $m ")))
+    markers.indices.map(i => element_at(counts, i + 1)).reduce(_ + _)
+  }
 
   /** Predicted language from char-marker frequencies: argmax over
     * [[langMarkers]], ties broken by fixed order (same CASE-chain shape
     * as [[langId]] so the oracle mirrors it literally). Text must be
     * space-padded by the caller (`concat(lit(" "), text, lit(" "))`) so
-    * edge tokens match.
+    * edge tokens match. The per-language scores all slice ONE
+    * [[graft.functions.MarkerCounts]] array — identical subtrees, so
+    * codegen's subexpression elimination evaluates the scan once per row.
     */
   def langIdChar(padded: Column): Column = {
-    val scores = langMarkers.map { case (l, m) => l -> langScoreChar(padded, m) }
+    val all = bridge.column(graft.functions.MarkerCounts(
+      bridge.expression(padded),
+      langMarkers.flatMap(_._2).map(m => s" $m ")))
+    val offsets = langMarkers.scanLeft(0)(_ + _._2.length)
+    val scores = langMarkers.zipWithIndex.map { case ((l, ms), li) =>
+      l -> ms.indices.map(i => element_at(all, offsets(li) + i + 1)).reduce(_ + _)
+    }
+    scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), elseCol) =>
+        val later = scores.drop(i + 1).map(_._2)
+        if (later.isEmpty) elseCol
+        else when(later.map(s >= _).reduce(_ && _), lang).otherwise(elseCol)
+    }
+  }
+
+  /** The regexp-trick formula the native [[graft.functions.MarkerCounts]]
+    * kernel replaces — (len(t) − len(replace(t, m, ''))) / len(m), the
+    * same count the DuckDB oracle computes. Kept for differential tests.
+    */
+  def markerOccurrencesHof(padded: Column, marker: String): Column = {
+    val m = s" $marker "
+    ((length(padded) - length(regexp_replace(padded,
+      java.util.regex.Pattern.quote(m), ""))) / lit(m.length)).cast("long")
+  }
+
+  def langScoreCharHof(padded: Column, markers: Seq[String]): Column =
+    markers.map(markerOccurrencesHof(padded, _)).reduce(_ + _)
+
+  def langIdCharHof(padded: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> langScoreCharHof(padded, m) }
     scores.zipWithIndex.foldRight(lit(scores.last._1)) {
       case (((lang, s), i), elseCol) =>
         val later = scores.drop(i + 1).map(_._2)

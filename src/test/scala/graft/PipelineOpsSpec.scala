@@ -825,6 +825,18 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept(100000L).size == 200, "quota above total keeps every doc")
   }
 
+  test("MarkerCounts kernel == regexp length-diff formula on the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val diff = docs.select(
+      TextAnalysis.langIdChar(padded).as("fast"),
+      TextAnalysis.langIdCharHof(padded).as("hof"),
+      TextAnalysis.langScoreChar(padded, Seq("the", "und")).as("s_fast"),
+      TextAnalysis.langScoreCharHof(padded, Seq("the", "und")).as("s_hof"))
+      .filter(col("fast") =!= col("hof") || col("s_fast") =!= col("s_hof"))
+    assert(diff.count() == 0, "native kernel must equal the regexp formula")
+  }
+
   test("langIdChar scores marker frequency, not distinct presence") {
     val df = docs(
       1L -> "der hund und die katze und das haus ist gross",
