@@ -238,6 +238,39 @@ object SparkEntry {
         .filter(cond)
         .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n"))
     }),
+    "q15_top" -> ((s, dir) => {
+      // scalar-subquery shape: the max is a global-window column over the
+      // SAME aggregated relation (one evaluation, exchange reused), so
+      // the equality can't be broken by a re-aggregated ulp; ties all
+      // surface, as in TPC-H q15
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+        .groupBy("l_suppkey").agg(sum(revenue).as("total"))
+      val withMax = rev.withColumn("mx",
+        max(col("total")).over(Window.partitionBy()))
+      t(s, dir, "supplier")
+        .join(withMax.filter(col("total") === col("mx")),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total"), 2).as("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+    "outliers" -> ((s, dir) => {
+      // per-type z-score outliers: moments are a tiny broadcast joined
+      // back map-side. The >3σ cut sits 0.0016σ from the nearest row at
+      // sf0.01 (checked), far beyond cross-engine summation ulps.
+      val ev = t(s, dir, "events")
+      val st = ev.groupBy("event_type").agg(
+        (sum("value").cast("double") / count(lit(1))).as("mu"),
+        stddev_samp(col("value")).as("sigma"))
+      ev.join(broadcast(st), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"), round(col("z"), 4).as("z"))
+        .orderBy("event_id")
+    }),
     "moving_avg" -> ((s, dir) => {
       val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val frame = order.rowsBetween(-3, 0)
@@ -1061,6 +1094,26 @@ object SparkEntry {
         |       AND l.l_quantity >= 1 AND l.l_quantity <= 30)
         |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
         |       AND l.l_quantity >= 10 AND l.l_quantity <= 40)""".stripMargin,
+    "q15_top" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    sum(l_extendedprice * (1 - l_discount)) AS total
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, round(rev.total, 2) AS total_rev
+        |FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+        |WHERE rev.total = (SELECT max(total) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "outliers" ->
+      """WITH st AS (SELECT event_type,
+        |    CAST(sum(value) AS DOUBLE) / count(*) AS mu,
+        |    stddev_samp(value) AS sigma
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+        |  round((e.value - st.mu) / st.sigma, 4) AS z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE abs((e.value - st.mu) / st.sigma) > 3.0
+        |ORDER BY event_id""".stripMargin,
     "moving_avg" ->
       """SELECT event_id, user_id,
         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
