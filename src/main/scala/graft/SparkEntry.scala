@@ -238,6 +238,15 @@ object SparkEntry {
         .filter(cond)
         .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n"))
     }),
+    "corr_matrix" -> ((s, dir) =>
+      // pairwise Pearson correlations in ONE partial-aggregable pass —
+      // corr's moments are mergeable, so this is a single map-side-
+      // combined aggregate however wide the table gets
+      t(s, dir, "lineitem").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("q_price"),
+        round(corr(col("l_quantity"), col("l_discount")), 4).as("q_disc"),
+        round(corr(col("l_extendedprice"), col("l_discount")), 4).as("price_disc"),
+        count(lit(1)).as("n"))),
     "q15_top" -> ((s, dir) => {
       // scalar-subquery shape: the max is a global-window column over the
       // SAME aggregated relation (one evaluation, exchange reused), so
@@ -1094,6 +1103,12 @@ object SparkEntry {
         |       AND l.l_quantity >= 1 AND l.l_quantity <= 30)
         |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
         |       AND l.l_quantity >= 10 AND l.l_quantity <= 40)""".stripMargin,
+    "corr_matrix" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 4) AS q_price,
+        |  round(corr(l_quantity, l_discount), 4) AS q_disc,
+        |  round(corr(l_extendedprice, l_discount), 4) AS price_disc,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem""".stripMargin,
     "q15_top" ->
       """WITH rev AS (SELECT l_suppkey,
         |    sum(l_extendedprice * (1 - l_discount)) AS total

@@ -83,3 +83,33 @@ object VennDiffApp {
     spark.stop()
   }
 }
+
+/** `corpus_clean <docsParquet> <outParquet> [--transitive]` — the
+  * end-to-end training-corpus cleaning pipeline (quality gate → exact
+  * dedup → LSH near-dup removal; `--transitive` switches the last stage
+  * to connected-component survivors) as a spark-submit-able batch job:
+  * parquet in, cleaned parquet + a printed keep/drop summary out.
+  * Extended-scope CLI — the reference has no corpus surface.
+  */
+object CorpusCleanApp {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: CorpusCleanApp <docsParquet> <outParquet> [--transitive]")
+    val in = args(0)
+    val out = args(1)
+    val transitive = args.contains("--transitive")
+    val spark = Report.session()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(in)
+    val cleaned =
+      if (transitive) graft.ops.Dedup.cleanCorpusTransitive(docs, "doc_id", "text")
+      else graft.ops.Dedup.cleanCorpus(docs, "doc_id", "text")
+    cleaned.write.mode("overwrite").parquet(out)
+    val nIn = docs.count()
+    val nOut = spark.read.parquet(out).count()
+    println(s"corpus_clean: kept $nOut of $nIn docs " +
+      f"(${100.0 * nOut / math.max(nIn, 1L)}%.1f%%) -> $out" +
+      (if (transitive) " [transitive]" else ""))
+    spark.stop()
+  }
+}

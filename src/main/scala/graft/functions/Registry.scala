@@ -16,6 +16,11 @@ object Registry {
     e.eval().asInstanceOf[Number].intValue()
   }
 
+  private def strLit(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().toString
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_minhash" -> (es => MinHashSignature(es(0), intLit(es(1), "numHashes"))),
@@ -28,7 +33,13 @@ object Registry {
     "graft_winnow" -> (es => WinnowedFingerprints(es(0),
       intLit(es(1), "k"), intLit(es(2), "w"))),
     "graft_heavy_hitters" -> (es =>
-      HeavyHitters(es(0), intLit(es(1), "k")).toAggregateExpression()))
+      HeavyHitters(es(0), intLit(es(1), "k")).toAggregateExpression()),
+    // markers as one pipe-delimited literal ('|' can't occur in a
+    // space-padded word marker); BloomMightContain / PqEncode / PqDecode
+    // stay Column-only — their filter bytes / codebooks are runtime
+    // artifacts, not SQL literals
+    "graft_marker_counts" -> (es =>
+      MarkerCounts(es(0), strLit(es(1), "markers").split('|').toSeq)))
 
   /** Idempotent; call once per session before using the functions in SQL. */
   def install(spark: SparkSession): Unit =

@@ -381,18 +381,23 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  graft_minhash(graft_shingles(
         |    filter(split(text, ' +'), t -> t != ''), 3), 8) AS sig,
         |  graft_simhash16(filter(split(text, ' +'), t -> t != '')) AS sh,
-        |  graft_rolling_min(text, 8) AS rm
+        |  graft_rolling_min(text, 8) AS rm,
+        |  graft_marker_counts(concat(' ', text, ' '), ' the | of ') AS mc
         |FROM docs_sql ORDER BY doc_id""".stripMargin).collect()
     val viaCols = spark.table("docs_sql").select(
       col("doc_id"),
       Dedup.minhashSignature(col("text"), 8, 3).as("sig"),
       Dedup.simhash16(col("text")).as("sh"),
-      TextAnalysis.fingerprintColumns(col("text")).last)
+      TextAnalysis.fingerprintColumns(col("text")).last,
+      org.apache.spark.sql.graft.column(graft.functions.MarkerCounts(
+        org.apache.spark.sql.graft.expression(
+          concat(lit(" "), col("text"), lit(" "))),
+        Seq(" the ", " of "))).as("mc"))
       .orderBy("doc_id").collect()
     assert(viaSql.map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2),
-      r.getString(3))).toSeq ==
+      r.getString(3), r.getSeq[Long](4))).toSeq ==
       viaCols.map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2),
-        r.getString(3))).toSeq)
+        r.getString(3), r.getSeq[Long](4))).toSeq)
   }
 
   test("saltedJoin == plain inner join (including hot-key duplicates)") {
@@ -752,6 +757,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val kept = ops.Decontam.removeContaminated(corpus, eval, "doc_id", "text")
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(kept == Set(2L), "clean corpus = corpus minus reported docs")
+  }
+
+  test("removeContaminated is idempotent and quota sampling survives repartition") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon", 2L -> "one two three four five",
+      3L -> "zz alpha beta gamma yy", 4L -> "six seven eight nine ten")
+    val eval = docs(100L -> "alpha beta gamma something else")
+    val once = ops.Decontam.removeContaminated(corpus, eval, "doc_id", "text")
+    val twice = ops.Decontam.removeContaminated(once, eval, "doc_id", "text")
+    assert(once.collect().map(_.getLong(0)).toSet ==
+      twice.collect().map(_.getLong(0)).toSet,
+      "cleaning an already-clean corpus must change nothing")
+
+    // membership is a pure function of (id, stratum totals) — physical
+    // layout must not matter (the property seeded rand() lacks)
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, "w x y z", if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    def kept(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.ops.TextAnalysis.tokenQuotaSample(d, "doc_id", "text", "source", 200L)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept(df) == kept(df.repartition(7, col("doc_id"))))
   }
 
   test("bm25: repeated query term outranks single occurrence; rare term outranks common") {
