@@ -454,13 +454,14 @@ object SparkEntry {
         .orderBy("query_id", "rn")
     }),
     "pq_topk" -> ((s, dir) => {
-      // PQ-compressed ANN shortlist (32x smaller corpus vectors, decode
-      // once per row, exact rerank downstream). k-means codebooks aren't
-      // reproducible across engines → rows-only driver check, recall
-      // gated in PipelineOpsSpec.
+      // PQ-compressed ANN shortlist (32x smaller corpus vectors) scored
+      // by true ADC: per-query lookup tables, m lookups per pair, no
+      // reconstruction. k-means codebooks aren't reproducible across
+      // engines → rows-only driver check; recall + ADC==decode-path
+      // equality gated in PipelineOpsSpec.
       val e = t(s, dir, "embeddings")
       val model = ProductQuant.train(e, "vec_id", "embedding", k = 64)
-      ProductQuant.pqTopK(
+      ProductQuant.pqTopKAdc(
         e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5, model)
         .orderBy("query_id", "rn")
     }),

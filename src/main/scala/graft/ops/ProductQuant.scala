@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{graft => bridge}
 
-import graft.functions.{PqDecode, PqEncode}
+import graft.functions.{AdcLookupSum, AdcTable, PqDecode, PqEncode}
 
 /** Product quantization for corpus-scale embedding storage: the third
   * rung of the compression ladder (float32 → int8
@@ -107,12 +107,12 @@ object ProductQuant {
     bridge.column(PqDecode(bridge.expression(codes),
       model.codebook, model.m, model.k, model.dsub))
 
-  /** Top-k by asymmetric distance: the corpus side lives as PQ codes and
-    * is decoded ONCE per row (not per pair) before the broadcast-query
-    * scoring pass — identical join/topk shape to
+  /** Top-k via reconstruct-then-dot: the corpus side lives as PQ codes
+    * and is decoded ONCE per row (not per pair) before the
+    * broadcast-query scoring pass — identical join/topk shape to
     * [[Similarity.bruteForceTopK]], with the corpus scan reading ~3% of
-    * the bytes. Rerank the returned short-list against full-precision
-    * vectors when exact order matters.
+    * the bytes. The ADC form below is the production arrangement; this
+    * one exists as its readable differential twin.
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, kNN: Int, model: PqModel): DataFrame = {
@@ -126,6 +126,54 @@ object ProductQuant {
     val scored = approx.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(
         Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= kNN)
+      .select("query_id", "neighbor_id", "cos", "rn")
+  }
+
+  /** Σ_sub table[sub·k + codes[sub]] as a Column. */
+  private def lookupSum(codes: Column, table: Column, model: PqModel): Column =
+    bridge.column(AdcLookupSum(bridge.expression(codes),
+      bridge.expression(table), model.k))
+
+  /** Top-k by true asymmetric distance computation (ADC): each query
+    * precomputes its `m·k` subvector·centroid dot table ONCE
+    * ([[graft.functions.AdcTable]], broadcast side), and scoring a
+    * corpus code is `m` table lookups ([[graft.functions.AdcLookupSum]])
+    * — no reconstruction, no per-pair full-dimension arithmetic. The
+    * reconstructed-vector norm comes from the model-constant
+    * per-centroid squared-norm table the same way (‖decode(codes)‖² =
+    * Σ_sub ‖centroid‖², subspaces are disjoint coordinates).
+    *
+    * Scores equal [[pqTopK]]'s up to summation-order ulps (both round to
+    * 4 decimals before ranking; equality is asserted in the spec on this
+    * corpus). Per-pair cost drops dims→m (64→8 here).
+    */
+  def pqTopKAdc(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, kNN: Int, model: PqModel): DataFrame = {
+    val normTable: Seq[Double] = (0 until model.m * model.k).map { i =>
+      val base = i * model.dsub
+      var s = 0.0
+      var j = 0
+      while (j < model.dsub) {
+        val x = model.codebook(base + j).toDouble
+        s += x * x
+        j += 1
+      }
+      s
+    }
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      encode(col(vecCol), model).as("codes"))
+      .withColumn("cn", sqrt(lookupSum(col("codes"),
+        typedLit(normTable), model)))
+    val q = queries.select(col(idCol).as("query_id"),
+      bridge.column(AdcTable(bridge.expression(col(vecCol).cast("array<float>")),
+        model.codebook, model.m, model.k, model.dsub)).as("tbl"),
+      Similarity.l2Norm(col(vecCol)).as("qn"))
+    val scored = codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(
+        lookupSum(col("codes"), col("tbl"), model) / (col("qn") * col("cn")), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= kNN)

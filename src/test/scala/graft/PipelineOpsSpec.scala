@@ -709,6 +709,10 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val short16 = hits(ops.ProductQuant.pqTopK(q, e, "vec_id", "embedding", 20, m1))
     val m64 = ops.ProductQuant.train(e, "vec_id", "embedding", k = 64)
     val short64 = hits(ops.ProductQuant.pqTopK(q, e, "vec_id", "embedding", 20, m64))
+    // ADC (lookup-table) scoring must reproduce the reconstruct-then-dot
+    // results exactly at the rounded-ranking level
+    val adc64 = hits(ops.ProductQuant.pqTopKAdc(q, e, "vec_id", "embedding", 20, m64))
+    assert(adc64 == short64, "ADC and decode-path rankings must agree")
     def recall(s: Set[(Long, Long)]) = (s & exact).size.toDouble / exact.size
     info(s"shortlist recall@20: k=16 ${recall(short16)}, k=64 ${recall(short64)}")
     assert(recall(short16) >= 0.3, s"k=16 shortlist recall ${recall(short16)}")
