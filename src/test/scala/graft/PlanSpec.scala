@@ -221,12 +221,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("pq_topk: corpus decoded once per row below the broadcast query join") {
+  test("pq_topk: ADC table built once on the broadcast side, codes encoded once per row") {
     val p = plan("pq_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query set should broadcast:\n$p")
-    // decode must appear once (corpus projection), not per joined pair
-    assert("graft_pq_decode".r.findAllIn(p).size == 1,
-      s"PQ decode must be a corpus-side projection, not a per-pair expression:\n$p")
+    // the per-query lookup table is a broadcast-side projection — once,
+    // never recomputed per joined pair
+    assert("graft_pq_adc_table".r.findAllIn(p).size == 1,
+      s"ADC table must be a query-side projection, not a per-pair expression:\n$p")
+    // corpus codes feed both the norm and the score from ONE encode
+    assert("graft_pq_encode".r.findAllIn(p).size == 1,
+      s"PQ encode must run once per corpus row:\n$p")
   }
 }
