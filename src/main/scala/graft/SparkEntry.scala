@@ -492,6 +492,16 @@ object SparkEntry {
           round(col("p50"), 4).as("p50"),
           round(col("p90"), 4).as("p90"))
         .orderBy("l_returnflag")),
+    "quantiles_dist" -> ((s, dir) =>
+      // distributed-selection exact quantiles of one giant continuous
+      // column: parallel range-sort, offsets pass, rank-selection pass —
+      // the shape where neither the per-group window nor the value
+      // histogram survives (single group, near-all-distinct values)
+      Quantiles.exactDistributed(t(s, dir, "lineitem"), "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+        .select(round(col("p25"), 4).as("p25"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"))),
     "quantiles_approx" -> ((s, dir) =>
       // The scale path Quantiles.scala documents: Greenwald–Khanna sketch,
       // mergeable partials, parallelism NOT bounded by group count (the
@@ -1064,6 +1074,11 @@ object SparkEntry {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    "quantiles_dist" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem""".stripMargin,
     "quantiles_hist" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,

@@ -10,6 +10,10 @@ import graft.functions.BloomMightContain
   * join down to (matching ∪ false-positive) rows BEFORE the join's
   * shuffle.
   *
+  * No reference counterpart (the reference's only join is the in-memory
+  * keyDiff merge, `/root/reference/src/index.js:163-223`); extended
+  * scope per the pipeline charter.
+  *
   * Where it sits in the join-strategy ladder at 100 TB:
   *  - build side small → `broadcast()` the rows (no shuffle at all);
   *  - build ROWS too big, exact KEY SET still small → broadcast semi-join

@@ -7,6 +7,10 @@ import org.apache.spark.sql.functions._
   * via Spark's `hll_sketch_agg` family): the cardinality analogue of the
   * MinHash group sketch ([[Dedup.groupSketch]]).
   *
+  * No reference counterpart (the reference's only aggregation is the
+  * vennDiff count-map, `/root/reference/src/index.js:88-116`); extended
+  * scope per the pipeline charter.
+  *
   * Why sketch COLUMNS instead of `approx_count_distinct`: the sketch is
   * a value you can store. A pipeline materializes per-(partition, day)
   * sketches once, then answers "distinct users over any day range /

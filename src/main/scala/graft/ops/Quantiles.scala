@@ -65,6 +65,101 @@ object Quantiles {
         ps.tail.map { case (name, p) => sum(contribution(p)).as(name) }: _*)
   }
 
+  /** Exact interpolated quantiles of ONE (possibly enormous) continuous
+    * column by distributed selection — the shape for the case both other
+    * forms cap out on: a single giant group with near-all-distinct
+    * values, where [[exact]]'s per-group window is one sequential pass
+    * over every row and [[exactHistogram]]'s histogram is as big as the
+    * data.
+    *
+    *   1. range-partition + sort WITHIN partitions — a fully parallel
+    *      total order across partition boundaries (no single-partition
+    *      global sort);
+    *   2. one count pass → per-partition offsets (P longs to the
+    *      driver — partition counts, never data);
+    *   3. each requested rank ⌊(n−1)p⌋/⌈(n−1)p⌉ lives in exactly one
+    *      partition at a known local index; one selection pass extracts
+    *      those elements.
+    *
+    * RDD + mapPartitionsWithIndex is deliberate (SURVEY §7: last-resort
+    * tier): positional selection inside a sorted partition is genuine
+    * per-partition imperative logic no Column expression states. Result
+    * is exact `quantile_cont` (same interpolation arithmetic as
+    * [[exact]]), independent of partition boundaries, so the DuckDB
+    * oracle covers it.
+    */
+  def exactDistributed(df: DataFrame, valueCol: String,
+      ps: Seq[(String, Double)], partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p0 = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .repartitionByRange(p0, col("v")).sortWithinPartitions("v")
+      .rdd.map(_.getDouble(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = vals
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        .collect().sortBy(_._1).map(_._2)
+      val n = counts.sum
+      require(n > 0, "exactDistributed needs at least one non-null value")
+      val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = first global rank of partition i
+      val wantedRanks: Seq[Long] = ps.flatMap { case (_, p) =>
+        val pos = (n - 1).toDouble * p
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+      }.distinct
+      // rank → (partition, local index); counts are cumulative so this is
+      // a binary search per rank, driver-side over P longs
+      val byPartition: Map[Int, Seq[(Long, Long)]] = wantedRanks.map { r =>
+        val part = {
+          val i = java.util.Arrays.binarySearch(offsets, r)
+          if (i >= 0) {
+            // r is the first rank of partition i — but empty partitions
+            // share the offset; step forward to the first non-empty one
+            var j = i
+            while (counts(j) == 0) j += 1
+            j
+          } else -(i + 1) - 1
+        }
+        (r, part, r - offsets(part))
+      }.groupBy(_._2).map { case (part, rs) =>
+        part -> rs.map { case (r, _, local) => (r, local) }
+      }
+      val bc = spark.sparkContext.broadcast(byPartition)
+      val found: Map[Long, Double] = vals.mapPartitionsWithIndex { (i, it) =>
+        bc.value.get(i) match {
+          case None => Iterator.empty
+          case Some(wanted) =>
+            val sortedWanted = wanted.sortBy(_._2)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+            var idx = 0L
+            var w = 0
+            while (w < sortedWanted.length && it.hasNext) {
+              val v = it.next()
+              while (w < sortedWanted.length && sortedWanted(w)._2 == idx) {
+                out += ((sortedWanted(w)._1, v))
+                w += 1
+              }
+              idx += 1
+            }
+            out.iterator
+        }
+      }.collect().toMap
+      val row = ps.map { case (name, p) =>
+        val pos = (n - 1).toDouble * p
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        val frac = pos - lo
+        // same interpolation arithmetic as exact(): v_lo·(1−f) + v_hi·f
+        val q = if (lo == hi) found(lo)
+          else found(lo) * (1.0 - frac) + found(hi) * frac
+        lit(q).as(name)
+      }
+      spark.range(1).select(row: _*)
+    } finally { vals.unpersist(); () }
+  }
+
   def exactHistogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
     val gcols = groupCols.map(col)

@@ -557,6 +557,41 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getAs[Double]("p50") == 20.0) // median of {10,20,30}, null ignored
   }
 
+  test("approx_percentile (t-digest scale path) lands within 1% of exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val exact = graft.ops.Quantiles.exact(li, Seq("l_returnflag"),
+      "l_extendedprice", Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (g, v) =>
+      assert(math.abs(approx(g) - v) / v < 0.01,
+        s"group $g: approx ${approx(g)} vs exact $v")
+    }
+  }
+
+  test("distributed-selection quantiles == window quantiles, ties and tiny inputs included") {
+    import spark.implicits._
+    val ps = Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9, "p100" -> 1.0)
+    // duplicate-heavy + more partitions than distinct values (forces
+    // empty range partitions and cross-partition ties)
+    val dupes = (Seq.fill(40)(5.0) ++ Seq.fill(40)(1.0) ++ Seq(9.0))
+      .toDF("v").withColumn("g", lit("x"))
+    def fromWindow(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Quantiles.exact(d, Seq("g"), "v", ps)
+        .drop("g").collect().head.toSeq
+    def fromSelection(d: org.apache.spark.sql.DataFrame, parts: Int) =
+      graft.ops.Quantiles.exactDistributed(d, "v", ps, parts)
+        .collect().head.toSeq
+    assert(fromSelection(dupes, 16) == fromWindow(dupes))
+    assert(fromSelection(dupes, 1) == fromWindow(dupes), "P=1 degenerate")
+    // continuous column at a real SF
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .withColumn("g", lit("x")).withColumnRenamed("l_extendedprice", "v")
+    assert(fromSelection(li, 8) == fromWindow(li))
+  }
+
   test("histogram quantiles == row quantiles, including duplicate-heavy groups") {
     import spark.implicits._
     // duplicates make the occupancy ranges span >1 rank, and a p falls

@@ -122,6 +122,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("HeavyHitters aggregate runs under streaming state (complete mode) == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val words = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(10)("c")
+    val batch = words.toDF("w")
+      .agg(graft.ops.TextAnalysis.heavyHitters(col("w"), 10).as("hh"))
+      .collect().head.getMap[String, Long](0)
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("w")
+      .agg(graft.ops.TextAnalysis.heavyHitters(col("w"), 10).as("hh"))
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    try {
+      // the sketch's partial state must survive the state store between
+      // micro-batches (TypedImperativeAggregate serialize/merge path)
+      val (first, second) = words.splitAt(30)
+      mem.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hh_stream").collect().head.getMap[String, Long](0)
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("intervalJoinStream: two MemoryStreams == the batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
