@@ -87,6 +87,12 @@ object Quantiles {
     * is exact `quantile_cont` (same interpolation arithmetic as
     * [[exact]]), independent of partition boundaries, so the DuckDB
     * oracle covers it.
+    *
+    * The last cell of the matrix — a FEW giant continuous GROUPS — is
+    * this form looped per group (`df.filter(g === v)` then
+    * exactDistributed): with group count small by premise, the driver
+    * loop is bounded, and each group gets the full cluster. For many
+    * such groups, `approx_percentile` is the trade.
     */
   def exactDistributed(df: DataFrame, valueCol: String,
       ps: Seq[(String, Double)], partitions: Int = 0): DataFrame = {
