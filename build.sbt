@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness tail-parses sbt output for Bench's one-line
+// JSON with a per-line json.loads: sbt's default LoggedOutput for forked
+// runs prefixes every line with "[info] ", which breaks that parse
+// (BENCH_r03.json: "parsed": null despite the line being present in the
+// tail). StdoutOutput passes the forked JVM's stdout through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

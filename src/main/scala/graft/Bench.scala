@@ -2,7 +2,7 @@ package graft
 
 import scala.util.control.NonFatal
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line of per-query seconds.
@@ -57,25 +57,32 @@ object Bench {
       System.err.println(s"[bench] warmup dir $warmupDir missing — warmup SKIPPED; " +
         "first timed runs will absorb JIT/codegen compilation noise")
     }
-    // Two timed runs per query; report BOTH (so a contended host is
-    // distinguishable from a regression) and keep the min as the headline:
-    // the host VM shows multi-second CPU contention spikes that land on
-    // random queries; the min of two runs is the steady-state cost, which
-    // is what a regression check needs.
+    // Three timed passes, INTERLEAVED across the whole suite (pass 1 runs
+    // every query, then pass 2, then pass 3) with the per-query min as the
+    // headline. The host VM shows multi-second CPU contention windows that
+    // last longer than one query: back-to-back runs of the same query land
+    // inside the same window (round-3 driver run: q5_region [4.7s, 15.0s]
+    // when its standalone steady state is 1.1s). Runs of one query spaced a
+    // full suite apart (~1 min) are decorrelated, so the min of three is a
+    // robust steady-state estimate.
     // A query that throws is reported as -1, NOT its time-to-failure —
     // an instant AnalysisException must read as a failure, never as a
     // speedup.
-    val results = queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case NonFatal(e) =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
+    def timeOne(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val passes = (1 to 3).map { _ =>
+      queries.map { case (name, fn) => timeOne(name, fn) }
+    }
+    val results = queries.zipWithIndex.map { case ((name, _), i) =>
+      val times = passes.map(_(i))
       val best = if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0
       (name, best, times)
     }
@@ -86,7 +93,13 @@ object Bench {
     // and both raw runs (contention vs regression evidence) go to a side
     // file instead.
     def fmt(v: Double): String =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (v < 0) "-1"
+      else {
+        // Strip trailing zeros ("0.40"->"0.4", "1.00"->"1"): ~1 char/query
+        // of headroom against the harness tail budget as the suite grows.
+        val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+      }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, _, ts) =>

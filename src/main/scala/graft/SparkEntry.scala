@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Relevance, Similarity, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, EventAnalytics, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Relevance, Similarity, TextAnalysis, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -237,6 +237,95 @@ object SparkEntry {
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .filter(cond)
         .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n"))
+    }),
+    "q8_share" -> ((s, dir) => {
+      // national-market-share shape (TPC-H Q8 on the available columns):
+      // 8-relation join where every dimension side collapses before the
+      // facts are touched. part is pre-filtered + broadcast; supplier
+      // carries its nation name in via a broadcast pre-join (as in q7);
+      // customers are pre-filtered to the region through broadcast
+      // nation/region dims, then joined by key — customer is a fact-sized
+      // relation at scale, so it stays on the shuffle path (NOT broadcast).
+      val custAsia = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("c_custkey"))
+      val suppNat = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").select(
+          col("n_nationkey").as("sn_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation")))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", revenue).otherwise(lit(0)))
+            / sum(revenue), 4).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+    "q13_custdist" -> ((s, dir) => {
+      // customer order-count distribution (TPC-H Q13): the left join and
+      // the per-customer count shuffle on the SAME key, so the second
+      // hangs off the first exchange; the distribution aggregate after it
+      // is |distinct counts|-sized — trivial at any scale.
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "q17_smallqty" -> ((s, dir) => {
+      // small-quantity-order revenue (TPC-H Q17): restrict lineitem to the
+      // brand's parts FIRST (broadcast semi filter — prunes ~99% before
+      // any aggregation), compute the per-part quantity stats over that
+      // same pruned relation, broadcast the tiny stats back. The
+      // "quantity < 0.2 * avg" predicate is restated in exact integer
+      // arithmetic (5*qty*cnt < sum; quantities are integral so both
+      // sides are exact doubles) — the float form has rows sitting
+      // EXACTLY on the threshold, where a last-ulp difference in avg()
+      // summation order would flip membership between engines.
+      val brandParts = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#12").select("p_partkey"))
+      val li = t(s, dir, "lineitem")
+        .join(brandParts, col("l_partkey") === col("p_partkey"))
+      val perPart = li.groupBy("l_partkey")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sq"))
+      li.join(broadcast(perPart), Seq("l_partkey"))
+        .filter(lit(5.0) * col("l_quantity") * col("cnt") < col("sq"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+    "q22_balance" -> ((s, dir) => {
+      // dormant-high-balance customers (TPC-H Q22 without the phone
+      // column: nation stands in for the country code, "no orders since
+      // 2001" for "no orders"). The global avg is a 1-row broadcast
+      // (margin to the nearest acctbal measured: 6.7 — a last-ulp avg()
+      // difference cannot flip membership); the anti join stays on the
+      // shuffle path because the order side is fact-sized at scale.
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg("c_acctbal").as("ab"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01")))
+        .select("o_custkey")
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("n_name")
     }),
     "corr_matrix" -> ((s, dir) =>
       // pairwise Pearson correlations in ONE partial-aggregable pass —
@@ -777,6 +866,31 @@ object SparkEntry {
         .groupBy("label", "pos")
         .agg(round(avg(col("x").cast("double")), 4).as("centroid"))
         .orderBy("label", "pos")),
+    // --- event analytics: funnel / retention / transitions ----------------
+    "funnel_stages" -> ((s, dir) =>
+      EventAnalytics.funnel(t(s, dir, "events"),
+        Seq("signup", "view", "click", "purchase"),
+        windowSec = Some(48L * 3600))
+        .orderBy("stage")),
+    "retention_weeks" -> ((s, dir) =>
+      EventAnalytics.retention(t(s, dir, "events"),
+        col("event_type") === "purchase")
+        .orderBy("cohort", "week_offset")),
+    "event_transitions" -> ((s, dir) =>
+      EventAnalytics.transitions(t(s, dir, "events"))
+        .orderBy("prev_type", "next_type")),
+    // --- tokenizer induction / information content ------------------------
+    "bpe_merge" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.mergePairs(col("text"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)),
+    "doc_entropy" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id")),
     // --- streaming surface (same transforms run under readStream) ---------
     "stream_window" -> ((s, dir) =>
       EventStream.hourlyCounts(t(s, dir, "events"))
@@ -1687,6 +1801,106 @@ object SparkEntry {
         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
         |  min(ms) AS start_ms, max(ms) AS end_ms,
         |  max(ms) - min(ms) AS duration_ms
-        |FROM y GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+        |FROM y GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "q8_share" ->
+      """SELECT o_year, round(sum(CASE WHEN supp_nation = 'NATION_3'
+        |    THEN volume ELSE 0 END) / sum(volume), 4) AS mkt_share
+        |FROM (
+        |  SELECT year(o.o_orderdate) AS o_year,
+        |         l.l_extendedprice * (1 - l.l_discount) AS volume,
+        |         n2.n_name AS supp_nation
+        |  FROM part p, supplier s, lineitem l, orders o, customer c,
+        |       nation n1, nation n2, region r
+        |  WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        |    AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        |    AND c.c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |    AND s.s_nationkey = n2.n_nationkey AND p.p_type = 'PROMO')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q17_smallqty" ->
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN (SELECT l2.l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+        |             sum(l2.l_quantity) AS sq
+        |      FROM lineitem l2
+        |      JOIN part p2 ON p2.p_partkey = l2.l_partkey
+        |      WHERE p2.p_brand = 'Brand#12' GROUP BY 1) pa
+        |  ON pa.l_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#12'
+        |  AND 5.0 * l.l_quantity * pa.cnt < pa.sq""".stripMargin,
+    "q22_balance" ->
+      """WITH a AS (SELECT avg(c_acctbal) AS ab FROM customer
+        |           WHERE c_acctbal > 0.0)
+        |SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+        |       round(sum(c.c_acctbal), 2) AS totacctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey, a
+        |WHERE c.c_acctbal > a.ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "funnel_stages" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 48 HOUR GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t2 + INTERVAL 48 HOUR GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        |       JOIN s3 ON e.user_id = s3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+        |         AND e.ts <= s3.t3 + INTERVAL 48 HOUR GROUP BY e.user_id)
+        |SELECT stage, users FROM (
+        |  SELECT 1 AS stage, CAST(count(*) AS BIGINT) AS users FROM s1
+        |  UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 4, CAST(count(*) AS BIGINT) FROM s4)
+        |ORDER BY stage""".stripMargin,
+    "retention_weeks" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |           FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |        WHERE event_type = 'purchase')
+        |SELECT f.cohort,
+        |  CAST(floor(date_diff('day', f.cohort, act.d) / 7) AS BIGINT)
+        |    AS week_offset,
+        |  CAST(count(DISTINCT act.user_id) AS BIGINT) AS users
+        |FROM f JOIN act ON f.user_id = act.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "event_transitions" ->
+      """SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT event_type AS next_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS prev_type
+        |      FROM events)
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "bpe_merge" ->
+      s"""WITH $toksCte
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |           i -> toks[i] || ' ' || toks[i+1])) AS pair
+         |  FROM toks WHERE len(toks) >= 2)
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "doc_entropy" ->
+      s"""WITH $toksCte,
+         |cnt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+         |        FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+         |        GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS sclog
+         |        FROM cnt GROUP BY 1)
+         |SELECT doc_id, round(log2(n) - sclog / n, 4) AS entropy
+         |FROM tot ORDER BY doc_id""".stripMargin
   )
 }

@@ -303,6 +303,48 @@ object TextAnalysis {
     }
   }
 
+  // --- tokenizer induction / information content --------------------------
+
+  /** Adjacent-token pairs ("bigram merge candidates") — the counting step
+    * of one BPE merge iteration, generalized to whitespace tokens. Pure
+    * zip of two array slices (linear, codegen'd), no O(n²) HOF.
+    */
+  def mergePairs(text: Column): Column = {
+    val toks = tokens(text)
+    val m = greatest(size(toks) - 1, lit(0)) // 0 pairs for 0- or 1-token docs
+    zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
+  /** Shannon entropy (bits/token) of the document's unigram token
+    * distribution — an information-content quality signal (boilerplate
+    * and template spam score low; natural prose scores ~7-9 bits).
+    *
+    * Map-only: sort the token array, then one linear fold accumulates
+    * run lengths and Σ c·log2(c) — entropy = log2(n) − Σc·log2(c)/n.
+    * The explode + double-groupBy formulation computes the same thing
+    * with two shuffles; at 100 TB this stays at scan speed instead.
+    * Null for an empty document.
+    */
+  def tokenEntropy(text: Column): Column = {
+    val toks = sort_array(tokens(text))
+    val n = size(toks).cast("double")
+    val runTerm = (st: Column) =>
+      when(st("run") > 0, st("run") * log2(st("run"))).otherwise(lit(0.0))
+    val sumCLogC = aggregate(
+      toks,
+      struct(lit(null).cast("string").as("prev"), lit(0.0).as("run"),
+        lit(0.0).as("s")),
+      (st, t) =>
+        when(st("prev").isNull || st("prev") =!= t,
+          struct(t.as("prev"), lit(1.0).as("run"),
+            (st("s") + runTerm(st)).as("s")))
+          .otherwise(struct(st("prev").as("prev"),
+            (st("run") + 1.0).as("run"), st("s").as("s"))),
+      st => st("s") + runTerm(st))
+    when(n > 0, round(log2(n) - sumCLogC / n, 4))
+  }
+
   /** Canonical text normalization for dedup/fingerprinting: lowercase,
     * strip everything outside [a-z0-9 ], collapse whitespace runs, trim.
     * Pure codegen'd projection (lower/regexp_replace/trim); feeding

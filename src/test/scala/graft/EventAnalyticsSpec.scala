@@ -1,0 +1,126 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{EventAnalytics, TextAnalysis}
+
+class EventAnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.zipWithIndex
+      .map { case ((u, t, tp), i) => (i.toLong, u, ts(t), tp) }
+      .toSeq.toDF("event_id", "user_id", "ts", "event_type")
+  }
+
+  test("funnel requires stage order: later-stage events before the previous stage don't count") {
+    // user 1 converts in order; user 2 clicked BEFORE viewing (click must
+    // not count); user 3 never signed up (nothing counts).
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 11:00:00", "view"),
+      (1L, "2024-01-01 12:00:00", "click"),
+      (2L, "2024-01-01 10:00:00", "signup"),
+      (2L, "2024-01-01 10:30:00", "click"),
+      (2L, "2024-01-01 11:00:00", "view"),
+      (3L, "2024-01-01 09:00:00", "view"),
+      (3L, "2024-01-01 09:30:00", "click"))
+    val f = EventAnalytics.funnel(events, Seq("signup", "view", "click"))
+      .orderBy("stage").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(f.toSeq == Seq((1, 2L), (2, 2L), (3, 1L)))
+  }
+
+  test("funnel stage time is the EARLIEST qualifying event (min semantics)") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 12:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "view")) // earlier view, listed later
+    val t2 = EventAnalytics
+      .funnelTimes(events, Seq("signup", "view"))
+      .select(element_at(col("stage_times"), 2)).collect().head.getTimestamp(0)
+    assert(t2 == ts("2024-01-01 11:00:00"))
+  }
+
+  test("funnel conversion window excludes late conversions, boundary inclusive") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 11:00:00", "view"), // within 1h: exactly at boundary
+      (2L, "2024-01-01 10:00:00", "signup"),
+      (2L, "2024-01-01 11:00:01", "view")) // 1s past the window
+    val f = EventAnalytics
+      .funnel(events, Seq("signup", "view"), windowSec = Some(3600L))
+      .orderBy("stage").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(f.toSeq == Seq((1, 2L), (2, 1L)))
+  }
+
+  test("funnel: same-type repeat can't satisfy two stages; strictly-after excludes the t1 event") {
+    // One event at t1 of type 'view' must not satisfy stage 2 ('view'
+    // again) at the same timestamp — stage 2 needs ts strictly after t1.
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 10:00:05", "view"))
+    val f = EventAnalytics.funnel(events, Seq("view", "view"))
+      .orderBy("stage").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(f.toSeq == Seq((1, 2L), (2, 1L)))
+  }
+
+  test("retention counts a user once per (cohort, week) and uses first-contact cohort") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view"),     // cohort 2024-01-01 (not activity)
+      (1L, "2024-01-03 10:00:00", "purchase"), // week 0
+      (1L, "2024-01-04 10:00:00", "purchase"), // still week 0, same user
+      (1L, "2024-01-09 10:00:00", "purchase"), // week 1
+      (2L, "2024-01-02 10:00:00", "purchase")) // own cohort, week 0
+    val r = EventAnalytics
+      .retention(events, col("event_type") === "purchase")
+      .orderBy("cohort", "week_offset").collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L), ("2024-01-02", 0L, 1L)))
+  }
+
+  test("transitions count consecutive pairs per user, ts ties broken by event_id") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "a"),
+      (1L, "2024-01-01 10:00:01", "b"),
+      (1L, "2024-01-01 10:00:02", "a"),
+      (2L, "2024-01-01 10:00:00", "a"), // same ts as next row: event_id orders
+      (2L, "2024-01-01 10:00:00", "b"))
+    val tr = EventAnalytics.transitions(events)
+      .orderBy("prev_type", "next_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(tr.toSeq == Seq(("a", "b", 2L), ("b", "a", 1L)))
+  }
+
+  test("mergePairs emits adjacent token pairs; tokenEntropy matches closed form") {
+    import spark.implicits._
+    val df = Seq((1L, "a b b a"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val pairs = df.select(col("doc_id"),
+      TextAnalysis.mergePairs(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(pairs(1L) == Seq("a b", "b b", "b a"))
+    assert(pairs(2L) == Seq())
+    assert(pairs(3L) == Seq())
+    val ent = df.select(col("doc_id"),
+      TextAnalysis.tokenEntropy(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // "a b b a": p = {a: 1/2, b: 1/2} → 1 bit exactly
+    assert(ent(1L).contains(1.0))
+    assert(ent(2L).contains(0.0)) // single token: 0 bits
+    assert(ent(3L).isEmpty)       // empty doc: null, not a crash
+  }
+}
