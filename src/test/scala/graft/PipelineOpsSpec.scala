@@ -94,6 +94,26 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.forall(_.getAs[Int]("hamming") == 0))
   }
 
+  test("simhashPairs: Hamming-0 fast path and Hamming-1 band path both match brute force") {
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = docsDf.select(col("doc_id"), Dedup.simhash16(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    def truth(maxH: Int) = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxH)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // maxHamming=0 takes the exact-join fast path (no banding)
+    val fast = Dedup.simhashPairs(docsDf, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fast == truth(0))
+    // maxHamming=1 exercises the 2x8-bit band join (pigeonhole recall)
+    val banded = Dedup.simhashPairs(docsDf, "doc_id", "text", maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == truth(1))
+  }
+
   test("simhash64Pairs: lossless pigeonhole recall for Hamming <= 3 (vs brute force)") {
     val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sh = docsDf.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))

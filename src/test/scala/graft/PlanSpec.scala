@@ -233,4 +233,54 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("graft_pq_encode".r.findAllIn(p).size == 1,
       s"PQ encode must run once per corpus row:\n$p")
   }
+
+  test("q8_share: dims broadcast, region membership is a semi join, part filter pushed") {
+    val p = plan("q8_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"part/supplier/nation/region sides must broadcast:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"customer region membership must be a semi join (no payload carried):\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(p_type), EqualTo(p_type,PROMO)"),
+      s"part type filter must reach the part scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q13_custdist: per-customer count reuses the join's custkey exchange") {
+    // left join on c_custkey and groupBy(c_custkey) cluster on the same
+    // key: the aggregate must NOT insert a second custkey exchange above
+    // the join. 2 fact exchanges (one per join input) + the tiny
+    // distribution agg exchange = 3.
+    val p = plan("q13_custdist")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"per-customer aggregate added a redundant exchange:\n$p")
+  }
+
+  test("q17_smallqty: brand filter prunes lineitem before stats; stats broadcast back") {
+    val p = planNoAqe("q17_smallqty")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"brand-part filter and per-part stats must both broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,Brand#12)"),
+      s"brand predicate must reach the part scan:\n$p")
+  }
+
+  test("funnel_stages: single user-key shuffle, events scanned once") {
+    val p = plan("funnel_stages")
+    // one exchange for the user groupBy + one for the 4-row stage count —
+    // the K-stage chained-join formulation would show K+1 fact exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"funnel must be single-scan single-shuffle:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"funnel must scan events exactly once:\n$p")
+  }
+
+  test("retention_weeks/event_transitions: events scans prune to the needed columns") {
+    val pr = plan("retention_weeks")
+    val prRead = pr.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!prRead.contains("props") && !prRead.contains("value"),
+      s"retention reads unneeded event columns: $prRead")
+    val pt = plan("event_transitions")
+    val ptRead = pt.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!ptRead.contains("props") && !ptRead.contains("value"),
+      s"transitions reads unneeded event columns: $ptRead")
+  }
 }
