@@ -39,7 +39,8 @@ object Registry {
     // stay Column-only — their filter bytes / codebooks are runtime
     // artifacts, not SQL literals
     "graft_marker_counts" -> (es =>
-      MarkerCounts(es(0), strLit(es(1), "markers").split('|').toSeq)))
+      MarkerCounts(es(0), strLit(es(1), "markers").split('|').toSeq)),
+    "graft_entropy" -> (es => TokenEntropy(es(0))))
 
   /** Idempotent; call once per session before using the functions in SQL. */
   def install(spark: SparkSession): Unit =

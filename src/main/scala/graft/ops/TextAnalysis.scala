@@ -320,13 +320,19 @@ object TextAnalysis {
     * distribution — an information-content quality signal (boilerplate
     * and template spam score low; natural prose scores ~7-9 bits).
     *
-    * Map-only: sort the token array, then one linear fold accumulates
-    * run lengths and Σ c·log2(c) — entropy = log2(n) − Σc·log2(c)/n.
-    * The explode + double-groupBy formulation computes the same thing
-    * with two shuffles; at 100 TB this stays at scan speed instead.
-    * Null for an empty document.
+    * Map-only (native one-pass kernel, [[graft.functions.TokenEntropy]]):
+    * entropy = log2(n) − Σc·log2(c)/n. The explode + double-groupBy
+    * formulation computes the same thing with two shuffles; at 100 TB
+    * this stays at scan speed instead. Null for an empty document.
     */
-  def tokenEntropy(text: Column): Column = {
+  def tokenEntropy(text: Column): Column =
+    round(bridge.column(
+      graft.functions.TokenEntropy(bridge.expression(tokens(text)))), 4)
+
+  /** The expression-level sorted-fold formula the [[tokenEntropy]] kernel
+    * replaces (differential twin; interpreted HOF, ~10× slower).
+    */
+  def tokenEntropyHof(text: Column): Column = {
     val toks = sort_array(tokens(text))
     val n = size(toks).cast("double")
     val runTerm = (st: Column) =>

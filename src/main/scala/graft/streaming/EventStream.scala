@@ -171,4 +171,47 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  // --- streaming event transitions (stateful, bounded) --------------------
+
+  final case class TransEvent(user_id: Long, ts_ms: Long, event_id: Long,
+      event_type: String)
+  final case class LastEvent(ts_ms: Long, event_id: Long, event_type: String)
+  final case class Transition(user_id: Long, prev_type: String,
+      next_type: String)
+
+  /** Streaming first-order transitions — the online twin of
+    * [[graft.ops.EventAnalytics.transitions]] (counts aggregate
+    * downstream). State is ONE row per user (the last event seen), so
+    * state size is bounded by the user population, not the stream
+    * length. Within a trigger the group's rows are sorted by
+    * (ts, event_id) — the same total order as the batch window — and
+    * rows at or before the stored last event (late beyond a trigger
+    * boundary) are dropped, the standard watermark trade. At cluster
+    * scale add a ProcessingTimeTimeout to expire churned users.
+    */
+  def transitionsStream(events: Dataset[TransEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, rows: Iterator[TransEvent],
+        state: GroupState[LastEvent]): Iterator[Transition] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+      var last = state.getOption
+      val out = Seq.newBuilder[Transition]
+      sorted.foreach { e =>
+        val newer = last.forall(l =>
+          e.ts_ms > l.ts_ms || (e.ts_ms == l.ts_ms && e.event_id > l.event_id))
+        if (newer) {
+          last.foreach(l => out += Transition(userId, l.event_type, e.event_type))
+          last = Some(LastEvent(e.ts_ms, e.event_id, e.event_type))
+        }
+      }
+      last.foreach(state.update)
+      out.result().iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -392,6 +392,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 0)
   }
 
+  test("native TokenEntropy ≡ sorted-fold HOF twin and SQL path on real docs") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // rounded to the oracle's 4 decimals: summation order differs (hash
+    // vs sorted), and the measured boundary margin is ~4 orders above it
+    val n = df.select(TextAnalysis.tokenEntropy(col("text")).as("a"),
+      round(TextAnalysis.tokenEntropyHof(col("text")), 4).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(n == 0)
+    graft.functions.Registry.install(spark)
+    df.createOrReplaceTempView("docs_ent")
+    val viaSql = spark.sql(
+      """SELECT doc_id, round(graft_entropy(
+        |  filter(split(text, ' +'), t -> t != '')), 4) AS e
+        |FROM docs_ent ORDER BY doc_id""".stripMargin).collect()
+    val viaCol = df.select(col("doc_id"),
+      TextAnalysis.tokenEntropy(col("text")).as("e"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      viaCol.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("Registry exposes the native expressions to SQL") {
     graft.functions.Registry.install(spark)
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

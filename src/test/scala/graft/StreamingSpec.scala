@@ -82,6 +82,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("transitionsStream: aggregated stream pairs == batch transitions, state is last-event only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      // user 1: a→b→a across two triggers; user 2: ts tie broken by id
+      EventStream.TransEvent(1L, 1000L, 1L, "a"),
+      EventStream.TransEvent(1L, 2000L, 2L, "b"),
+      EventStream.TransEvent(2L, 1000L, 3L, "a"),
+      EventStream.TransEvent(2L, 1000L, 4L, "b"))
+    val late = EventStream.TransEvent(1L, 3000L, 5L, "a")
+    val mem = MemoryStream[EventStream.TransEvent]
+    val q = EventStream.transitionsStream(mem.toDS())
+      .writeStream.format("memory").queryName("trans").outputMode("append")
+      .start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData(late) // crosses a trigger boundary: pairs with stored state
+      q.processAllAvailable()
+      val stream = spark.table("trans")
+        .groupBy("prev_type", "next_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.ops.EventAnalytics.transitions(
+        (rows :+ late).toDF()
+          .select(col("event_id"), col("user_id"),
+            timestamp_millis(col("ts_ms")).as("ts"), col("event_type")))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(stream == batch)
+      assert(stream == Set(("a", "b", 2L), ("b", "a", 1L)))
+    } finally q.stop()
+  }
+
   test("sessionizeBatch: gap splits sessions, counts and durations correct") {
     import spark.implicits._
     val df = Seq(
