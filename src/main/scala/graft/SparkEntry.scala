@@ -879,6 +879,30 @@ object SparkEntry {
     "event_transitions" -> ((s, dir) =>
       EventAnalytics.transitions(t(s, dir, "events"))
         .orderBy("prev_type", "next_type")),
+    "funnel_timing" -> ((s, dir) => {
+      // Inter-stage conversion timing off ONE funnelTimes pass: posexplode
+      // keeps the times array alongside each stage so the previous stage's
+      // time is an array lookup, not a re-evaluation (the SQL oracle's
+      // chained CTEs re-scan events per stage). Exact-integer micros
+      // arithmetic end-to-end: the sums are exact in both engines, and
+      // the p50 interpolation between two exact longs at 0.5 is exact
+      // halving — no summation-order hazard anywhere.
+      EventAnalytics.funnelTimes(t(s, dir, "events"),
+        Seq("signup", "view", "click", "purchase"),
+        windowSec = Some(48L * 3600))
+        .select(col("stage_times"),
+          posexplode(col("stage_times")).as(Seq("pos", "t")))
+        .filter(col("pos") > 0 && col("t").isNotNull)
+        .select((col("pos") + 1).as("stage"),
+          (unix_micros(col("t")) -
+            unix_micros(element_at(col("stage_times"), col("pos")))).as("us"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("us")).cast("double") / count(lit(1)) / 1e6, 3)
+            .as("avg_sec"),
+          round(median(col("us")) / 1e6, 3).as("p50_sec"))
+        .orderBy("stage")
+    }),
     // --- tokenizer induction / information content ------------------------
     "bpe_merge" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1867,6 +1891,32 @@ object SparkEntry {
         |  UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM s3
         |  UNION ALL SELECT 4, CAST(count(*) AS BIGINT) FROM s4)
         |ORDER BY stage""".stripMargin,
+    "funnel_timing" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 48 HOUR GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t2 + INTERVAL 48 HOUR GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        |       JOIN s3 ON e.user_id = s3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+        |         AND e.ts <= s3.t3 + INTERVAL 48 HOUR GROUP BY e.user_id),
+        |d AS (
+        |  SELECT 2 AS stage, epoch_us(t2) - epoch_us(t1) AS us
+        |  FROM s1 JOIN s2 USING (user_id)
+        |  UNION ALL SELECT 3, epoch_us(t3) - epoch_us(t2)
+        |  FROM s2 JOIN s3 USING (user_id)
+        |  UNION ALL SELECT 4, epoch_us(t4) - epoch_us(t3)
+        |  FROM s3 JOIN s4 USING (user_id))
+        |SELECT stage, CAST(count(*) AS BIGINT) AS n_users,
+        |  round(CAST(sum(us) AS DOUBLE) / count(*) / 1e6, 3) AS avg_sec,
+        |  round(median(us) / 1e6, 3) AS p50_sec
+        |FROM d GROUP BY stage ORDER BY stage""".stripMargin,
     "retention_weeks" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
         |           FROM events GROUP BY user_id),

@@ -41,26 +41,32 @@ object DataTests {
     * reference's per-row field diff reports nested paths.
     *
     * Output: (column, old_type, new_type, status ∈ added|removed|changed
-    * |unchanged), ordered by column.
+    * |nullability_changed|unchanged), ordered by column. A type change
+    * reports `changed` even when nullability also flipped (the type is
+    * the bigger deal); `nullability_changed` fires only on a pure
+    * required↔optional flip — the Avro-evolution case of a field's union
+    * gaining or losing its null branch with the value type intact.
     */
   def schemaDiff(oldDf: DataFrame, newDf: DataFrame): Seq[(String, String, String, String)] = {
     def flatten(prefix: String,
-        st: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+        st: org.apache.spark.sql.types.StructType): Seq[(String, (String, Boolean))] =
       st.fields.toSeq.flatMap { f =>
         val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
         f.dataType match {
           case s: org.apache.spark.sql.types.StructType => flatten(path, s)
-          case dt => Seq(path -> dt.simpleString)
+          case dt => Seq(path -> ((dt.simpleString, f.nullable)))
         }
       }
     val o = flatten("", oldDf.schema).toMap
     val n = flatten("", newDf.schema).toMap
     (o.keySet ++ n.keySet).toSeq.sorted.map { c =>
       (o.get(c), n.get(c)) match {
-        case (Some(t), None) => (c, t, null, "removed")
-        case (None, Some(t)) => (c, null, t, "added")
-        case (Some(t1), Some(t2)) if t1 == t2 => (c, t1, t2, "unchanged")
-        case (Some(t1), Some(t2)) => (c, t1, t2, "changed")
+        case (Some((t, _)), None) => (c, t, null, "removed")
+        case (None, Some((t, _))) => (c, null, t, "added")
+        case (Some((t1, _)), Some((t2, _))) if t1 != t2 => (c, t1, t2, "changed")
+        case (Some((t1, n1)), Some((t2, n2))) if n1 != n2 =>
+          (c, t1, t2, "nullability_changed")
+        case (Some((t1, _)), Some((t2, _))) => (c, t1, t2, "unchanged")
         case (None, None) => throw new IllegalStateException("unreachable")
       }
     }

@@ -151,6 +151,21 @@ class CoreDiffSpec extends AnyFunSuite {
     assert(text.indexOf("== changed") < text.indexOf("== unchanged"))
   }
 
+  test("schemaDiff: pure required<->optional flip is nullability_changed, not unchanged") {
+    import org.apache.spark.sql.types._
+    def df(s: StructType) = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+    val oldS = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("price", DoubleType, nullable = false)))
+    val newS = StructType(Seq(
+      StructField("id", LongType, nullable = true),      // null branch added
+      StructField("price", DecimalType(10, 2), nullable = true))) // type + null
+    val d = DataTests.schemaDiff(df(oldS), df(newS))
+      .map { case (c, _, _, s) => c -> s }.toMap
+    assert(d == Map("id" -> "nullability_changed", "price" -> "changed"))
+  }
+
   test("every declared query runs at sf0.001 and oracle keys are a subset") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, "/root/testdata/sf0.001")
