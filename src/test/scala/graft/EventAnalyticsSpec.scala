@@ -106,6 +106,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(tr.toSeq == Seq(("a", "b", 2L), ("b", "a", 1L)))
   }
 
+  test("funnel/retention/transitions are repartition-invariant (cluster-partitioning safety)") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val skewed = events.repartition(7, col("event_type")) // worst-case layout
+    assert(canon(EventAnalytics.funnel(skewed,
+      Seq("signup", "view", "click", "purchase"), Some(48L * 3600))) ==
+      canon(EventAnalytics.funnel(events,
+        Seq("signup", "view", "click", "purchase"), Some(48L * 3600))))
+    assert(canon(EventAnalytics.retention(skewed,
+      col("event_type") === "purchase")) ==
+      canon(EventAnalytics.retention(events, col("event_type") === "purchase")))
+    assert(canon(EventAnalytics.transitions(skewed)) ==
+      canon(EventAnalytics.transitions(events)))
+  }
+
   test("mergePairs emits adjacent token pairs; tokenEntropy matches closed form") {
     import spark.implicits._
     val df = Seq((1L, "a b b a"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
