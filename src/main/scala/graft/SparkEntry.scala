@@ -798,6 +798,13 @@ object SparkEntry {
         e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5, bits = 4)
         .orderBy("query_id", "rn")
     }),
+    "semantic_dedup" -> ((s, dir) =>
+      // SemDeDup-style bucket dedup with a deterministic grid quantizer
+      // (width 0.25 = 2^-2, IEEE-exact on both engines) over the first
+      // 4 dims; one shuffle on the cell key, map-only cell assignment
+      Similarity.gridDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 4, width = 0.25)
+        .orderBy("cell")),
     "embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35)
@@ -915,6 +922,33 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.tokenEntropy(col("text")).as("entropy"))
         .orderBy("doc_id")),
+    "oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 30)
+        .orderBy("doc_id")),
+    "bigram_lm" -> ((s, dir) => {
+      // conditional bigram probabilities P(w2|w1): bigram counts aggregate
+      // first (map-side combined), the prefix normalizer is a window over
+      // the already-aggregated vocab²-bounded relation — never raw tokens
+      val pairs = t(s, dir, "documents")
+        .select(explode(TextAnalysis.mergePairs(col("text"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(split(col("pair"), " ").getItem(0))
+      pairs
+        .withColumn("p_cond", round(
+          col("n").cast("double") / sum(col("n")).over(w).cast("double"), 4))
+        .orderBy(col("n").desc, col("pair")).limit(30)
+    }),
+    "dup_by_source" -> ((s, dir) =>
+      // which ingest sources are duplicate-heavy: exact-hash distinct per
+      // source rides Spark's two-level partial-distinct aggregate
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .withColumn("dup_rate", round(
+          lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 4))
+        .orderBy("source")),
     // --- streaming surface (same transforms run under readStream) ---------
     "stream_window" -> ((s, dir) =>
       EventStream.hourlyCounts(t(s, dir, "events"))
@@ -1951,6 +1985,43 @@ object SparkEntry {
          |tot AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS sclog
          |        FROM cnt GROUP BY 1)
          |SELECT doc_id, round(log2(n) - sclog / n, 4) AS entropy
-         |FROM tot ORDER BY doc_id""".stripMargin
+         |FROM tot ORDER BY doc_id""".stripMargin,
+    "oov_rate" ->
+      s"""WITH $toksCte,
+         |per AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+         |vocab AS (SELECT token FROM per GROUP BY token
+         |          ORDER BY count(*) DESC, token LIMIT 30)
+         |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 4) AS oov_rate
+         |FROM per p LEFT JOIN vocab v ON p.token = v.token
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    "bigram_lm" ->
+      s"""WITH $toksCte,
+         |pr AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |         i -> toks[i] || ' ' || toks[i+1])) AS pair
+         |       FROM toks WHERE len(toks) >= 2),
+         |cnt AS (SELECT pair, CAST(count(*) AS BIGINT) AS n
+         |        FROM pr GROUP BY pair)
+         |SELECT pair, n, round(CAST(n AS DOUBLE) /
+         |  CAST(sum(n) OVER (PARTITION BY split_part(pair, ' ', 1))
+         |    AS DOUBLE), 4) AS p_cond
+         |FROM cnt ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+    "dup_by_source" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+        |  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+        |    / count(*), 4) AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "semantic_dedup" ->
+      """SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  min(vec_id) AS keeper
+        |FROM (SELECT vec_id, array_to_string(list_transform(embedding[1:4],
+        |        x -> CAST(floor(CAST(x AS DOUBLE) / 0.25) AS BIGINT)), '_')
+        |        AS cell
+        |      FROM embeddings)
+        |GROUP BY cell ORDER BY cell""".stripMargin
   )
 }

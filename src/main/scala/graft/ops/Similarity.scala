@@ -184,6 +184,38 @@ object Similarity {
       1)
   }
 
+  /** Coarse grid cell id of an embedding: floor(x/width) over the first
+    * `dims` dimensions, joined into one string key. `width` MUST be a
+    * power of two — then x/width and floor are both IEEE-exact, so the
+    * cell id is bit-identical on any engine (the property the oracle
+    * hash-compare relies on; an 0.1-style width would round differently
+    * per engine).
+    */
+  def gridCell(vec: Column, dims: Int, width: Double): Column = {
+    require(width > 0 && java.lang.Double.doubleToLongBits(width) ==
+      java.lang.Double.doubleToLongBits(java.lang.Math.scalb(1.0,
+        java.lang.Math.getExponent(width))),
+      s"grid width must be a power of two for cross-engine exactness: $width")
+    concat_ws("_", transform(slice(vec, 1, dims),
+      x => floor(x.cast("double") / width).cast("long").cast("string")))
+  }
+
+  /** Semantic (embedding-space) deduplication by coarse grid quantization:
+    * vectors whose first `dims` coordinates fall in the same grid cell are
+    * treated as one semantic bucket; the minimum id in each cell is the
+    * keeper. The SemDeDup idea (Abbas et al. 2023) with a deterministic
+    * quantizer standing in for k-means cluster assignment — unlike
+    * k-means it needs no training pass, is oracle-checkable, and the cell
+    * id is a map-only projection, so dedup at 100 TB is exactly one
+    * shuffle on the (tiny) cell key. Downstream: semi-join the corpus on
+    * `keeper` to materialize the deduplicated subset.
+    */
+  def gridDedup(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int = 4, width: Double = 0.25): DataFrame =
+    df.select(gridCell(col(vecCol), dims, width).as("cell"), col(idCol))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), min(col(idCol)).as("keeper"))
+
   /** Deterministic ±1 hyperplane component for (plane j, dimension d):
     * +1 iff the high bit of the first md5 hex nibble of "j_d" is set.
     * Reproducible on any engine with md5 — no RNG state to ship.

@@ -162,6 +162,34 @@ object TextAnalysis {
       .drop("__tot")
   }
 
+  /** Out-of-vocabulary rate per document against the corpus top-`vocabSize`
+    * vocabulary — the classic "does this doc look like the corpus" quality
+    * gate (docs full of rare tokens are OCR noise, code dumps, or another
+    * language). Deterministic head selection: ties at the cut break on the
+    * token string, so the vocabulary is reproducible across engines and
+    * re-runs.
+    *
+    * Two corpus passes by design: pass 1 builds the vocabulary head (a
+    * map-side-combined unigram count; the top-V head itself is tiny and
+    * broadcast), pass 2 re-scans docs and joins tokens against the
+    * broadcast head — no shuffle of the corpus, only of per-doc partial
+    * counts. At 100 TB the vocabulary pass is amortizable: build it once,
+    * persist it, and pass 2 becomes a single map-side scan.
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(true).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+  }
+
   /** Heavy-hitters aggregate over a string column: Misra–Gries sketch
     * with at most `k` counters per partial — the bounded-state way to get
     * the vocabulary head at corpus scale (see

@@ -962,4 +962,50 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // adjacent runs is inherent to the length-diff occurrence trick.
     assert(out(2L)._2 == 2L)
   }
+
+  test("oovRate: head tokens are in-vocab, tail tokens count as OOV") {
+    // vocabSize=2 → vocab = {a, b} (a:4, b:3; c:2, d:1 are out).
+    val df = docs(
+      1L -> "a a b c",   // 1 OOV of 4
+      2L -> "a b d",     // 1 OOV of 3
+      3L -> "a b c")     // 1 OOV of 3
+    val out = TextAnalysis.oovRate(df, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate"))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((3L, 1L, 0.3333)))
+    assert(out(3L) == ((3L, 1L, 0.3333)))
+  }
+
+  test("oovRate vocab ties break on the token string, deterministically") {
+    // b and c both occur twice; vocabSize=2 with head token a → vocab
+    // {a, b} (tie b-vs-c broken lexicographically), so c is OOV.
+    val df = docs(1L -> "a a a b c", 2L -> "b c")
+    val out = TextAnalysis.oovRate(df, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_oov"))
+      .toMap
+    assert(out(1L) == 1L && out(2L) == 1L)
+  }
+
+  test("gridDedup: same cell iff leading dims quantize together; min id kept") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, Seq(0.10f, 0.10f, 0.10f, 0.10f, 9.0f)),  // cell 0_0_0_0
+      (7L,  Seq(0.20f, 0.05f, 0.24f, 0.01f, -9.0f)), // cell 0_0_0_0 (dim 5 ignored)
+      (3L,  Seq(-0.10f, 0.10f, 0.10f, 0.10f, 0.0f))) // cell -1_0_0_0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.gridDedup(df, "vec_id", "embedding",
+      dims = 4, width = 0.25)
+      .collect().map(r => r.getAs[String]("cell") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("keeper"))).toMap
+    assert(out("0_0_0_0") == ((2L, 7L)))
+    assert(out("-1_0_0_0") == ((1L, 3L)))
+  }
+
+  test("gridCell rejects a non-power-of-two width") {
+    intercept[IllegalArgumentException] {
+      Similarity.gridCell(col("embedding"), dims = 4, width = 0.1)
+    }
+  }
 }

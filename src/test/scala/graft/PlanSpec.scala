@@ -283,4 +283,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ptRead.contains("props") && !ptRead.contains("value"),
       s"transitions reads unneeded event columns: $ptRead")
   }
+
+  test("oov_rate: vocabulary head broadcasts; tokens never shuffle for the join") {
+    val p = plan("oov_rate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast, not shuffle:\n$p")
+    // exactly one token exchange is legitimate (the vocab unigram count);
+    // a sort-merge token join would add a second one on the probe side
+    assert(!p.contains("SortMergeJoin"),
+      s"token join must not sort-merge:\n$p")
+    assert("Exchange hashpartitioning\\(token".r.findAllIn(p).size == 1,
+      s"only the vocab count may shuffle on token:\n$p")
+  }
+
+  test("semantic_dedup: one shuffle on the cell key, map-only cell assignment") {
+    val p = plan("semantic_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"grid dedup must be exactly one keyed shuffle:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"cell counts must partial-aggregate map-side:\n$p")
+  }
+
+  test("bigram_lm: normalizer window runs over aggregated pairs, after the count") {
+    val p = plan("bigram_lm")
+    // Window must sit above the final HashAggregate of pair counts —
+    // windowing raw exploded tokens would put Window below any aggregate
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window must consume the aggregated pair counts:\n$p")
+  }
 }
