@@ -949,6 +949,27 @@ object SparkEntry {
         .withColumn("dup_rate", round(
           lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 4))
         .orderBy("source")),
+    "token_pmi" -> ((s, dir) =>
+      TextAnalysis.tokenPmi(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 20, minPairCount = 5L)
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(30)),
+    "incr_dedup" -> ((s, dir) => {
+      // ingest-shaped dedup: src0 is the incoming batch, everything else
+      // the existing corpus; anti join keeps both sides distributed
+      val d = t(s, dir, "documents")
+      Dedup.incrementalDedup(
+        d.filter(col("source") === "src0"),
+        d.filter(col("source") =!= "src0"), "doc_id", "text")
+        .orderBy("keep_id")
+    }),
+    "len_strata" -> ((s, dir) =>
+      Quantiles.valueStrata(t(s, dir, "documents"), "n_chars", buckets = 10)
+        .orderBy("bucket")),
+    "label_spread" -> ((s, dir) =>
+      Similarity.labelSpread(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")
+        .orderBy("label")),
     // --- streaming surface (same transforms run under readStream) ---------
     "stream_window" -> ((s, dir) =>
       EventStream.hourlyCounts(t(s, dir, "events"))
@@ -2022,6 +2043,68 @@ object SparkEntry {
         |        x -> CAST(floor(CAST(x AS DOUBLE) / 0.25) AS BIGINT)), '_')
         |        AS cell
         |      FROM embeddings)
-        |GROUP BY cell ORDER BY cell""".stripMargin
+        |GROUP BY cell ORDER BY cell""".stripMargin,
+    "token_pmi" ->
+      s"""WITH $toksCte,
+         |dt AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM toks),
+         |vocab AS (SELECT token FROM dt GROUP BY token
+         |          ORDER BY count(*) DESC, token LIMIT 20),
+         |dv AS (SELECT dt.doc_id, dt.token FROM dt
+         |       JOIN vocab v ON dt.token = v.token),
+         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+         |        FROM dv GROUP BY token),
+         |pairs AS (SELECT a.token AS w1, b.token AS w2,
+         |            CAST(count(*) AS BIGINT) AS n_ab
+         |          FROM dv a JOIN dv b
+         |            ON a.doc_id = b.doc_id AND a.token < b.token
+         |          GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT w1, w2, n_ab,
+         |  round(log2(CAST(n_ab AS DOUBLE) * nd.n / (fa.df * fb.df)), 4)
+         |    AS pmi
+         |FROM pairs
+         |JOIN dfq fa ON pairs.w1 = fa.token
+         |JOIN dfq fb ON pairs.w2 = fb.token
+         |CROSS JOIN nd
+         |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
+    "incr_dedup" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS content_hash
+        |           FROM documents WHERE source = 'src0'),
+        |c AS (SELECT md5(text) AS content_hash
+        |      FROM documents WHERE source <> 'src0')
+        |SELECT content_hash, min(doc_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS batch_dups
+        |FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM c
+        |                  WHERE c.content_hash = b.content_hash)
+        |GROUP BY content_hash ORDER BY keep_id""".stripMargin,
+    "len_strata" ->
+      """WITH h AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1),
+        |cw AS (SELECT v, c,
+        |  coalesce(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+        |  sum(c) OVER () AS n FROM h)
+        |SELECT CAST((10 * cb) // n AS BIGINT) AS bucket,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  min(v) AS min_val, max(v) AS max_val
+        |FROM cw GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "label_spread" ->
+      """WITH e AS (SELECT label, vec_id, u.pos AS pos,
+        |             CAST(u.x AS DOUBLE) AS x
+        |           FROM (SELECT label, vec_id,
+        |                   unnest(list_transform(embedding,
+        |                     (x, i) -> {'pos': i, 'x': x})) AS u
+        |                 FROM embeddings)),
+        |c AS (SELECT label, pos, round(avg(x), 6) AS c FROM e GROUP BY 1, 2),
+        |cn AS (SELECT label, sqrt(sum(c * c)) AS cn FROM c GROUP BY 1),
+        |per AS (SELECT e.label, e.vec_id, sum(e.x * c.c) AS dot,
+        |          sqrt(sum(e.x * e.x)) AS nx
+        |        FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
+        |        GROUP BY 1, 2)
+        |SELECT per.label AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(avg(dot / (nx * cn.cn)), 4) AS mean_cos
+        |FROM per JOIN cn ON per.label = cn.label
+        |GROUP BY per.label ORDER BY per.label""".stripMargin
   )
 }

@@ -41,6 +41,24 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
+  /** Incremental exact dedup of a new batch against an existing corpus:
+    * drop batch docs whose content hash already exists in the corpus
+    * (anti join — both sides stay distributed; no broadcast assumption,
+    * since at 100 TB the corpus hash set dwarfs executor memory), then
+    * collapse in-batch duplicates to the min-id survivor. This is the
+    * per-ingest shape of a crawl pipeline: the corpus side reduces to a
+    * distinct-hash projection, which a real deployment materializes once
+    * and bucket-joins against each batch.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val bh = batch.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val ch = corpus.select(md5(col(textCol)).as("content_hash"))
+    bh.join(ch, Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("batch_dups"))
+  }
+
   /** Distinct word shingles of width `n` (short docs collapse to one
     * whole-doc shingle so every document has a non-empty set). Planned as
     * the native [[WordShingles]] node; `wordShinglesHof` is the equivalent

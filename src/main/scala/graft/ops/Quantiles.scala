@@ -200,4 +200,30 @@ object Quantiles {
       .agg(ps.head match { case (name, p) => sum(contribution(p)).as(name) },
         ps.tail.map { case (name, p) => sum(contribution(p)).as(name) }: _*)
   }
+
+  /** Equal-count strata over an integer-valued column (length deciles and
+    * the like), assigned at the distinct-VALUE level so tie groups never
+    * split across buckets: bucket(v) = (buckets · rank_before(v)) div N.
+    * The cumulative window runs over the distinct-value histogram — the
+    * same bounded-cardinality reduction [[exactHistogram]] leans on — so
+    * nothing row-sized ever passes through one partition, and every
+    * number is exact integer arithmetic (`div`, not float division:
+    * a quotient a hair under an integer boundary must not round up).
+    * Output per stratum: doc count and the value range it spans.
+    */
+  def valueStrata(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    val hist = df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("__cb", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("bucket", expr(s"($buckets * __cb) div __n"))
+      .groupBy("bucket")
+      .agg(sum(col("__c")).as("n_rows"),
+        min(col("__v")).as("min_val"), max(col("__v")).as("max_val"))
+  }
 }

@@ -216,6 +216,35 @@ object Similarity {
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"), min(col(idCol)).as("keeper"))
 
+  /** Per-label embedding dispersion: mean cosine of member vectors to
+    * their label centroid — the "is this cluster/label coherent" audit
+    * that decides whether a label is usable as a training stratum. Two
+    * passes: centroids are a (label, dim)-keyed aggregate (mergeable,
+    * map-side combined) broadcast back over the member scan. Centroids
+    * are rounded to 6 decimals INSIDE the op so downstream arithmetic on
+    * both engines consumes identical values — the remaining cross-engine
+    * float hazard is summation order alone, absorbed by the final
+    * round(…, 4) like every other floating aggregate here.
+    */
+  def labelSpread(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val e = df.select(col(labelCol).as("label"), col(idCol).as("__id"),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val c = e.groupBy("label", "pos")
+      .agg(round(avg(col("x")), 6).as("c"))
+    val cn = c.groupBy("label").agg(sqrt(sum(col("c") * col("c"))).as("__cn"))
+    val per = e.join(broadcast(c), Seq("label", "pos"))
+      .groupBy(col("label"), col("__id"))
+      .agg(sum(col("x") * col("c")).as("__dot"),
+        sqrt(sum(col("x") * col("x"))).as("__nx"))
+    per.join(broadcast(cn), Seq("label"))
+      .select(col("label"),
+        (col("__dot") / (col("__nx") * col("__cn"))).as("__cos"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("__cos")), 4).as("mean_cos"))
+  }
+
   /** Deterministic ±1 hyperplane component for (plane j, dimension d):
     * +1 iff the high bit of the first md5 hex nibble of "j_d" is set.
     * Reproducible on any engine with md5 — no RNG state to ship.

@@ -190,6 +190,44 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens"), 4))
   }
 
+  /** Pointwise mutual information of token co-occurrence (both tokens in
+    * the same document), restricted to the top-`vocabSize` vocabulary head:
+    * PMI(a,b) = log2(n_ab · N / (n_a · n_b)) with document frequencies.
+    * The vocabulary restriction is what makes this scale: the per-doc
+    * self-join is bounded by V tokens per side, so candidate pairs are
+    * ≤ V² regardless of corpus size — unbounded-vocab PMI would square
+    * the document length instead. All counts stay exact integers; the
+    * only float op is the final log2, rounded to 4 (the same margin
+    * doc_entropy's oracle established).
+    *
+    * Plan shape: one doc-keyed exchange feeds BOTH sides of the self-join
+    * (ReuseExchange; asserted in PlanSpec), vocabulary and document
+    * frequencies ride broadcasts, N is a broadcast scalar.
+    */
+  def tokenPmi(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, minPairCount: Long): DataFrame = {
+    val dt = docs.select(col(idCol).as("__doc"),
+      explode(array_distinct(tokens(col(textCol)))).as("token"))
+    val vocab = dt.groupBy("token").agg(count(lit(1)).as("__df"))
+      .orderBy(col("__df").desc, col("token")).limit(vocabSize)
+    val dv = dt.join(broadcast(vocab.select("token")), Seq("token"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val a = dv.select(col("__doc"), col("token").as("w1"))
+    val b = dv.select(col("__doc"), col("token").as("w2"))
+    val pairs = a.join(b, Seq("__doc")).filter(col("w1") < col("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    val dfa = dv.groupBy(col("token").as("w1"))
+      .agg(count(lit(1)).cast("double").as("__na"))
+    val dfb = dv.groupBy(col("token").as("w2"))
+      .agg(count(lit(1)).cast("double").as("__nb"))
+    pairs.join(broadcast(dfa), Seq("w1")).join(broadcast(dfb), Seq("w2"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round(log2(col("n_ab").cast("double") * col("__n") /
+          (col("__na") * col("__nb"))), 4).as("pmi"))
+  }
+
   /** Heavy-hitters aggregate over a string column: Misra–Gries sketch
     * with at most `k` counters per partial — the bounded-state way to get
     * the vocabulary head at corpus scale (see

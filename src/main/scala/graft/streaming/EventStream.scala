@@ -214,4 +214,51 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
+
+  final case class FunnelEvent(user_id: Long, ts_us: Long,
+      event_type: String)
+  final case class FunnelState(times: Seq[Long])
+  final case class StageReached(user_id: Long, stage: Int, ts_us: Long)
+
+  /** Streaming funnel progression — the online twin of
+    * [[graft.ops.EventAnalytics.funnelTimes]]: emits `(user, stage,
+    * time)` the moment a user's next funnel stage fills. State is the
+    * user's filled stage-time prefix (≤ K longs per user — bounded by
+    * the user population, like [[transitionsStream]]). Within a trigger
+    * rows are sorted by (ts, event_type) — the batch fold's exact total
+    * order, so stream output ≡ batch `funnelTimes` when ties don't
+    * straddle a trigger boundary (the standard watermark trade; the
+    * differential test pins it). Stages fill monotonically, so Append
+    * mode is safe: a stage-reached row is never retracted.
+    */
+  def funnelStream(events: Dataset[FunnelEvent], stages: Seq[String],
+      windowSec: Option[Long] = None): Dataset[StageReached] = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val winUs = windowSec.map(_ * 1000000L)
+
+    def update(userId: Long, rows: Iterator[FunnelEvent],
+        state: GroupState[FunnelState]): Iterator[StageReached] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_type))
+      var times = state.getOption.map(_.times.toVector).getOrElse(Vector.empty)
+      val out = Seq.newBuilder[StageReached]
+      sorted.foreach { e =>
+        val i = times.length // next stage to fill, 0-based
+        if (i < stages.length && e.event_type == stages(i)) {
+          val fills = i == 0 || (e.ts_us > times(i - 1) &&
+            winUs.forall(w => e.ts_us <= times(i - 1) + w))
+          if (fills) {
+            times = times :+ e.ts_us
+            out += StageReached(userId, i + 1, e.ts_us)
+          }
+        }
+      }
+      if (times.nonEmpty) state.update(FunnelState(times))
+      out.result().iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -1008,4 +1008,74 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Similarity.gridCell(col("embedding"), dims = 4, width = 0.1)
     }
   }
+
+  test("tokenPmi: counts and log2 formula on a known corpus") {
+    // docs: {a,b} ×2, {c} → N=3, df(a)=2, df(b)=2, pair (a,b)=2.
+    // PMI = log2(2·3 / (2·2)) = log2(1.5) = 0.585.
+    val df = docs(1L -> "a b", 2L -> "b a a", 3L -> "c")
+    val out = TextAnalysis.tokenPmi(df, "doc_id", "text",
+      vocabSize = 10, minPairCount = 1L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("w1") == "a" && r.getAs[String]("w2") == "b")
+    assert(r.getAs[Long]("n_ab") == 2L)
+    assert(r.getAs[Double]("pmi") == 0.585)
+  }
+
+  test("tokenPmi: co-occurrence is document-level distinct, not token count") {
+    // repeated tokens inside one doc must not inflate n_ab
+    val df = docs(1L -> "a a a b b", 2L -> "a b")
+    val out = TextAnalysis.tokenPmi(df, "doc_id", "text",
+      vocabSize = 10, minPairCount = 1L).collect()
+    assert(out.head.getAs[Long]("n_ab") == 2L)
+  }
+
+  test("labelSpread: identical members → 1.0; orthogonal pair → cos to mean") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(1.0f, 0.0f), 1),  // label 1: (1,0) and (0,1)
+      (4L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelSpread(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("mean_cos"))).toMap
+    assert(out(0) == ((2L, 1.0)))
+    // centroid (0.5, 0.5), each member cos = 0.5/(1·√0.5) = 0.7071
+    assert(out(1) == ((2L, 0.7071)))
+  }
+
+  test("incrementalDedup: corpus hits dropped, in-batch dups collapsed") {
+    val batch = docs(10L -> "seen before", 11L -> "fresh", 12L -> "fresh",
+      13L -> "also new")
+    val corpus = docs(1L -> "seen before", 2L -> "other")
+    val out = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("keep_id") ->
+        r.getAs[Long]("batch_dups")).toMap
+    assert(out == Map(11L -> 2L, 13L -> 1L))
+  }
+
+  test("valueStrata: tie groups never split across buckets") {
+    import spark.implicits._
+    val df = Seq(1L, 1L, 1L, 2L).toDF("v")
+    val out = graft.ops.Quantiles.valueStrata(df, "v", buckets = 2)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("min_val"),
+          r.getAs[Long]("max_val"))).toMap
+    // all three 1s stay in bucket 0 (cum_before=0); the 2 starts at rank 3
+    // of 4 → bucket (2·3) div 4 = 1
+    assert(out == Map(0L -> ((3L, 1L, 1L)), 1L -> ((1L, 2L, 2L))))
+  }
+
+  test("valueStrata: equal-count deciles on distinct values") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("v")
+    val out = graft.ops.Quantiles.valueStrata(df, "v", buckets = 10)
+      .orderBy("bucket").collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Long]("n_rows") == 10L))
+    assert(out.head.getAs[Long]("min_val") == 1L)
+    assert(out.last.getAs[Long]("max_val") == 100L)
+  }
 }

@@ -304,6 +304,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cell counts must partial-aggregate map-side:\n$p")
   }
 
+  test("token_pmi: one doc-keyed exchange feeds both self-join sides; stats broadcast") {
+    val p = planNoAqe("token_pmi")
+    assert(p.contains("ReusedExchange"),
+      s"self-join must reuse the doc-keyed exchange:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"vocab + df(w1) + df(w2) + N must all broadcast:\n$p")
+  }
+
+  test("incr_dedup: anti join against the corpus, no corpus materialization") {
+    val p = plan("incr_dedup")
+    assert(p.contains("LeftAnti"), s"must be an anti join:\n$p")
+  }
+
+  test("label_spread: centroids and norms broadcast back over the member scan") {
+    val p = plan("label_spread")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"centroid and norm joins must broadcast:\n$p")
+  }
+
+  test("len_strata: cumulative window runs over the distinct-value histogram") {
+    val p = plan("len_strata")
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window must consume the value histogram, not raw rows:\n$p")
+  }
+
   test("bigram_lm: normalizer window runs over aggregated pairs, after the count") {
     val p = plan("bigram_lm")
     // Window must sit above the final HashAggregate of pair counts —

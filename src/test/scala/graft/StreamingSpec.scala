@@ -114,6 +114,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("funnelStream: stage-reached rows == batch funnelTimes across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq("signup", "view", "purchase")
+    val sec = 1000000L
+    val rows1 = Seq(
+      // user 1 completes the funnel; the out-of-stage "x" is ignored
+      EventStream.FunnelEvent(1L, 1 * sec, "signup"),
+      EventStream.FunnelEvent(1L, 2 * sec, "x"),
+      EventStream.FunnelEvent(1L, 3 * sec, "view"),
+      // user 2: view BEFORE signup must not count as stage 2
+      EventStream.FunnelEvent(2L, 1 * sec, "view"),
+      EventStream.FunnelEvent(2L, 2 * sec, "signup"))
+    val rows2 = Seq(
+      // trigger 2: user 1 converts using state from trigger 1
+      EventStream.FunnelEvent(1L, 10 * sec, "purchase"),
+      // user 2's view arrives late but after signup — stage 2 fills now
+      EventStream.FunnelEvent(2L, 11 * sec, "view"),
+      // user 3 starts fresh in trigger 2
+      EventStream.FunnelEvent(3L, 12 * sec, "signup"))
+    val mem = MemoryStream[EventStream.FunnelEvent]
+    val q = EventStream.funnelStream(mem.toDS(), stages,
+      windowSec = Some(3600L))
+      .writeStream.format("memory").queryName("funnel").outputMode("append")
+      .start()
+    try {
+      mem.addData(rows1: _*); q.processAllAvailable()
+      mem.addData(rows2: _*); q.processAllAvailable()
+      val stream = spark.table("funnel")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val batch = graft.ops.EventAnalytics.funnelTimes(
+        (rows1 ++ rows2).toDF()
+          .select(col("user_id"),
+            timestamp_micros(col("ts_us")).as("ts"), col("event_type")),
+        stages, windowSec = Some(3600L))
+        .select(col("user_id"),
+          posexplode(col("stage_times")).as(Seq("pos", "t")))
+        .filter(col("t").isNotNull)
+        .select(col("user_id"), (col("pos") + 1).cast("int"),
+          unix_micros(col("t")))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(stream == batch)
+      assert(stream == Set(
+        (1L, 1, 1 * sec), (1L, 2, 3 * sec), (1L, 3, 10 * sec),
+        (2L, 1, 2 * sec), (2L, 2, 11 * sec),
+        (3L, 1, 12 * sec)))
+    } finally q.stop()
+  }
+
   test("sessionizeBatch: gap splits sessions, counts and durations correct") {
     import spark.implicits._
     val df = Seq(
