@@ -751,6 +751,13 @@ object SparkEntry {
     "bm25_search" -> ((s, dir) =>
       Relevance.bm25(t(s, dir, "documents"), "doc_id", "text",
         terms = Seq("join", "window", "vector"))),
+    "hybrid_search" -> ((s, dir) =>
+      // RAG-curation retrieval: BM25 shortlist pruned corpus-side, dense
+      // cosine rerank touches only the broadcast shortlist
+      Relevance.hybridSearch(t(s, dir, "documents"), t(s, dir, "embeddings"),
+        "doc_id", "text", "vec_id", "embedding",
+        terms = Seq("join", "window", "vector"), queryVecId = 0L,
+        shortlist = 50, topK = 10)),
     "redact_pii" -> ((s, dir) => {
       // the corpus text carries no PII, so the query plants a synthetic
       // email/URL/IP per row (doc_id-derived, oracle-reproducible) and
@@ -1388,6 +1395,38 @@ object SparkEntry {
          |  ), 4) AS bm25
          |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
          |GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "hybrid_search" ->
+      s"""WITH $toksCte,
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) dl FROM toks),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) n,
+         |         CAST(sum(dl) AS DOUBLE) / count(*) avgdl FROM dl),
+         |tf AS (SELECT doc_id, t term, CAST(count(*) AS DOUBLE) tf
+         |  FROM (SELECT doc_id, unnest(toks) t FROM toks)
+         |  WHERE t IN ('join','window','vector') GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY 1),
+         |lex AS (SELECT tf.doc_id, round(sum(
+         |    ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+         |    tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+         |  ), 4) AS bm25
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |mx AS (SELECT max(bm25) AS mx FROM lex),
+         |e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
+         |  sqrt(list_sum(list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) nrm
+         |  FROM embeddings),
+         |q AS (SELECT v, nrm FROM e WHERE vec_id = 0),
+         |r AS (SELECT lex.doc_id, lex.bm25,
+         |  round(list_sum(list_transform(range(1, len(e.v)+1),
+         |    i -> e.v[i] * q.v[i])) / (e.nrm * q.nrm), 4) AS cos,
+         |  mx.mx
+         |  FROM lex JOIN e ON lex.doc_id = e.vec_id
+         |  CROSS JOIN q CROSS JOIN mx
+         |  WHERE lex.doc_id <> 0)
+         |SELECT doc_id, bm25, cos,
+         |  round(0.5 * bm25 / mx + 0.5 * cos, 4) AS blend
+         |FROM r ORDER BY blend DESC, doc_id LIMIT 10""".stripMargin,
     "redact_pii" -> {
       val Seq((emailRe, emailTok), (urlRe, urlTok), (ipRe, ipTok)) =
         graft.ops.TextAnalysis.piiPatterns

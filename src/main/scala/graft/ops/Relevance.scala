@@ -56,4 +56,45 @@ object Relevance {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Hybrid retrieval: a BM25 lexical shortlist reranked by embedding
+    * cosine to a query vector, blended as
+    * `wLex · bm25/max(bm25) + (1−wLex) · cos`. The retrieval shape RAG
+    * curation pipelines run: the cheap lexical index prunes the corpus,
+    * the dense score reorders only the survivors.
+    *
+    * Scale: the shortlist (≤ `shortlist` rows, already driver-bounded by
+    * [[bm25]]'s top-k) and the single query vector both broadcast, so the
+    * rerank touches `shortlist` embedding rows — nothing corpus-sized
+    * moves. Determinism: bm25 scores are rounded inside [[bm25]], so the
+    * max-normalizer is a re-aggregation of already-exact values (no
+    * summation-order hazard); the blend multiplies by the power-of-two
+    * 0.5 and rounds once at the end.
+    */
+  def hybridSearch(docs: DataFrame, embeds: DataFrame,
+      idCol: String, textCol: String, vecIdCol: String, vecCol: String,
+      terms: Seq[String], queryVecId: Long,
+      shortlist: Int = 50, topK: Int = 10, wLex: Double = 0.5): DataFrame = {
+    val lex = bm25(docs, idCol, textCol, terms, topK = shortlist)
+    val mx = lex.agg(max(col("bm25")).as("__mx"))
+    val e = embeds.select(col(vecIdCol).as("__vid"), col(vecCol).as("__v"),
+      Similarity.l2Norm(col(vecCol)).as("__nrm"))
+    val qv = e.filter(col("__vid") === queryVecId)
+      .select(col("__v").as("__qv"), col("__nrm").as("__qnrm"))
+    broadcast(lex)
+      .join(e, col(idCol) === col("__vid"))
+      .crossJoin(broadcast(qv))
+      .crossJoin(broadcast(mx))
+      .filter(col(idCol) =!= queryVecId)
+      .select(col(idCol), col("bm25"),
+        round(Similarity.dot(col("__v"), col("__qv")) /
+          (col("__nrm") * col("__qnrm")), 4).as("cos"),
+        col("__mx"))
+      .withColumn("blend",
+        round(lit(wLex) * col("bm25") / col("__mx") +
+          lit(1.0 - wLex) * col("cos"), 4))
+      .select(col(idCol), col("bm25"), col("cos"), col("blend"))
+      .orderBy(col("blend").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -1009,6 +1009,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hybridSearch: dense score reorders the lexical shortlist") {
+    import spark.implicits._
+    // docs 1 and 2 both contain the query term once with equal length →
+    // identical bm25; doc 2's embedding matches the query vector exactly,
+    // doc 1's is orthogonal → blend must rank 2 first. doc 3 never enters
+    // the shortlist (no term match) however perfect its embedding.
+    val docs = Seq(
+      (1L, "term filler filler"),
+      (2L, "term filler filler"),
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    val embeds = Seq(
+      (0L, Seq(1.0f, 0.0f)), // query vector
+      (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Relevance.hybridSearch(docs, embeds,
+      "doc_id", "text", "vec_id", "embedding",
+      terms = Seq("term"), queryVecId = 0L, shortlist = 10, topK = 10)
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 1L))
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(2L).getAs[Double]("cos") == 1.0)
+    assert(byId(1L).getAs[Double]("cos") == 0.0)
+    // equal bm25 → normalized lexical component is 0.5 for both
+    assert(byId(2L).getAs[Double]("blend") == 1.0)
+    assert(byId(1L).getAs[Double]("blend") == 0.5)
+  }
+
   test("tokenPmi: counts and log2 formula on a known corpus") {
     // docs: {a,b} ×2, {c} → N=3, df(a)=2, df(b)=2, pair (a,b)=2.
     // PMI = log2(2·3 / (2·2)) = log2(1.5) = 0.585.

@@ -312,6 +312,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"vocab + df(w1) + df(w2) + N must all broadcast:\n$p")
   }
 
+  test("hybrid_search: shortlist and query vector broadcast into the rerank") {
+    val p = plan("hybrid_search")
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3,
+      s"shortlist, query vector and max-normalizer must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing corpus-sized may shuffle for the rerank:\n$p")
+  }
+
   test("incr_dedup: anti join against the corpus, no corpus materialization") {
     val p = plan("incr_dedup")
     assert(p.contains("LeftAnti"), s"must be an anti join:\n$p")
