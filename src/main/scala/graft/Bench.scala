@@ -38,6 +38,12 @@ object Bench {
       // timed its warmup-compiled classes are evicted and Janino recompiles
       // them inside the timed window. Size it to hold the whole suite.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // The sf0.1 parquet files are single-digit MB, so the default 4 MB
+      // file-open cost makes every scan 1-2 partitions and runs map-heavy
+      // queries on 1-2 cores. Price opens cheaper so small files still
+      // split to the session parallelism — a test-data artifact knob: at
+      // production scale files dwarf 4 MB and this setting is a no-op.
+      .config("spark.sql.files.openCostInBytes", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)

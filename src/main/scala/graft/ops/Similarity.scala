@@ -73,13 +73,33 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("av"),
-      l2Norm(col(vecCol)).as("an"))
+    // The probe side carries the O(n²) loop, but its on-disk footprint is
+    // tiny (n vectors), so file splitting alone may give it ONE partition
+    // and run the whole quadratic scan on one core (measured exactly that
+    // at sf0.1: the bytes-based split put 12.5M pairs on a single task).
+    // Spread it explicitly — the n-row shuffle is noise next to the n²/2
+    // pair work it parallelizes.
+    val shufflePartitions = df.sparkSession.sessionState.conf.numShufflePartitions
+    val a = df.repartition(shufflePartitions)
+      .select(col(idCol).as("a_id"), col(vecCol).as("av"),
+        l2Norm(col(vecCol)).as("an"))
     val b = df.select(col(idCol).as("b_id"), col(vecCol).as("bv"),
       l2Norm(col(vecCol)).as("bn"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos", round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 4))
-      .filter(col("cos") >= threshold)
+    val rawCos = dot(col("av"), col("bv")) / (col("an") * col("bn"))
+    val cos = round(rawCos, 4)
+    // All predicates live in the join condition ON PURPOSE, ordered
+    // cheapest first: a `.filter(cos >= t)` written after the join gets
+    // PREPENDED to the join condition by predicate pushdown, so the
+    // expensive term would run for all n² ordered pairs (measured 2× on
+    // the bench). Short-circuit order: (1) id test kills half the pairs
+    // before any FLOPs; (2) the RAW double compare — `round(x, 4)` on a
+    // double allocates a BigDecimal per call, which at n²/2 evaluations
+    // dominated the whole query (measured ~2× again) — uses the sound
+    // over-approximation t − 5e-5 (anything that could round up to t
+    // survives); (3) the exact rounded test runs only on that sliver.
+    a.join(b, col("a_id") < col("b_id") &&
+        rawCos >= threshold - 0.00005 && cos >= threshold)
+      .withColumn("cos", cos)
       .select("a_id", "b_id", "cos")
   }
 
