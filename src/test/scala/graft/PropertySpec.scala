@@ -190,4 +190,34 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairSet(docs.repartition(13)) == base)
     assert(pairSet(docs.coalesce(1)) == base)
   }
+
+  test("property: round-4 ops are invariant under input repartitioning") {
+    import graft.ops.{Quantiles, Similarity, TextAnalysis}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val embeds = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def rows(df: DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+
+    // oovRate: the vocab head has a deterministic tie-break, so rates
+    // cannot depend on layout
+    val oov = rows(TextAnalysis.oovRate(docs, "doc_id", "text", 30))
+    assert(rows(TextAnalysis.oovRate(docs.repartition(11), "doc_id", "text", 30)) == oov)
+    // tokenPmi: counts are layout-free and log2 consumes exact integers
+    val pmi = rows(TextAnalysis.tokenPmi(docs, "doc_id", "text", 20, 5L))
+    assert(rows(TextAnalysis.tokenPmi(docs.repartition(11), "doc_id", "text", 20, 5L)) == pmi)
+    // gridDedup: cell id is a pure projection; min-id keeper is order-free
+    val grid = rows(Similarity.gridDedup(embeds, "vec_id", "embedding"))
+    assert(rows(Similarity.gridDedup(embeds.repartition(11), "vec_id", "embedding")) == grid)
+    assert(rows(Similarity.gridDedup(embeds.coalesce(1), "vec_id", "embedding")) == grid)
+    // valueStrata: bucket arithmetic is over the value histogram, which
+    // aggregation makes layout-free
+    val strata = rows(Quantiles.valueStrata(docs, "n_chars", 10))
+    assert(rows(Quantiles.valueStrata(docs.repartition(11), "n_chars", 10)) == strata)
+    // labelSpread: centroids round inside the op, so the broadcast join
+    // consumes identical values from any layout; the final mean is an
+    // order-insensitive aggregate of identical per-vector cosines
+    val spread = rows(Similarity.labelSpread(embeds, "vec_id", "embedding", "label"))
+    assert(rows(Similarity.labelSpread(embeds.repartition(11), "vec_id", "embedding", "label")) == spread)
+  }
 }
