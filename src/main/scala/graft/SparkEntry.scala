@@ -77,6 +77,17 @@ object SparkEntry {
       KeyDiff.summary(
         KeyDiff.diff(ordersOld(s, dir), ordersNew(s, dir), Seq("o_orderkey")))
     }),
+    "corpus_diff" -> ((s, dir) => {
+      // the reference's diff surface applied to pipeline corpus snapshots
+      // (crawl v1 vs v2): v1 misses every 7th doc, v2 drops every 5th and
+      // re-extracts (edits) every 3rd — keyDiff classifies the churn
+      val d = t(s, dir, "documents")
+      val v1 = d.filter(col("doc_id") % 7 =!= 0)
+      val v2 = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+      KeyDiff.summary(KeyDiff.diff(v1, v2, Seq("doc_id")))
+    }),
     // --- reference parity: venn multiset ops (O13) ------------------------
     "venn_removed" -> ((s, dir) =>
       VennDiff.removed(vennOld(s, dir), vennNew(s, dir))
@@ -1041,6 +1052,20 @@ object SparkEntry {
          |      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
          |SELECT status, CAST(count(*) AS BIGINT) AS "count" FROM d
          |GROUP BY status ORDER BY status""".stripMargin,
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN text || ' [v2]'
+        |              ELSE text END AS text,
+        |         lang, source, n_chars
+        |       FROM documents WHERE doc_id % 5 <> 0),
+        |d AS (SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN v1.text IS NOT DISTINCT FROM v2.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS "count" FROM d
+        |GROUP BY status ORDER BY status""".stripMargin,
     "venn_removed" ->
       """WITH o AS (SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0),
         |n AS (SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0)
