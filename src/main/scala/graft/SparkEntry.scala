@@ -343,9 +343,11 @@ object SparkEntry {
       // corr's moments are mergeable, so this is a single map-side-
       // combined aggregate however wide the table gets
       t(s, dir, "lineitem").agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("q_price"),
-        round(corr(col("l_quantity"), col("l_discount")), 4).as("q_disc"),
-        round(corr(col("l_extendedprice"), col("l_discount")), 4).as("price_disc"),
+        // + 0.0: near-independent columns can correlate to a rounded
+        // -0.0 on one engine and +0.0 on the other; normalize (both sides)
+        (round(corr(col("l_quantity"), col("l_extendedprice")), 4) + lit(0.0)).as("q_price"),
+        (round(corr(col("l_quantity"), col("l_discount")), 4) + lit(0.0)).as("q_disc"),
+        (round(corr(col("l_extendedprice"), col("l_discount")), 4) + lit(0.0)).as("price_disc"),
         count(lit(1)).as("n"))),
     "q15_top" -> ((s, dir) => {
       // scalar-subquery shape: the max is a global-window column over the
@@ -889,7 +891,11 @@ object SparkEntry {
       t(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("label", "pos")
-        .agg(round(avg(col("x").cast("double")), 4).as("centroid"))
+        // + 0.0 normalizes IEEE negative zero (a centroid of symmetric
+        // data can round to -0.0 on one engine and +0.0 on the other —
+        // equal as numbers, different as hashed bytes); same term in the
+        // oracle
+        .agg((round(avg(col("x").cast("double")), 4) + lit(0.0)).as("centroid"))
         .orderBy("label", "pos")),
     // --- event analytics: funnel / retention / transitions ----------------
     "funnel_stages" -> ((s, dir) =>
@@ -1345,9 +1351,9 @@ object SparkEntry {
         |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
         |       AND l.l_quantity >= 10 AND l.l_quantity <= 40)""".stripMargin,
     "corr_matrix" ->
-      """SELECT round(corr(l_quantity, l_extendedprice), 4) AS q_price,
-        |  round(corr(l_quantity, l_discount), 4) AS q_disc,
-        |  round(corr(l_extendedprice, l_discount), 4) AS price_disc,
+      """SELECT round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS q_price,
+        |  round(corr(l_quantity, l_discount), 4) + 0.0 AS q_disc,
+        |  round(corr(l_extendedprice, l_discount), 4) + 0.0 AS price_disc,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem""".stripMargin,
     "q15_top" ->
@@ -1921,7 +1927,7 @@ object SparkEntry {
          |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin,
     "label_centroid" ->
       """SELECT label, CAST(u.pos - 1 AS INTEGER) AS pos,
-        |  round(avg(CAST(u.x AS DOUBLE)), 4) AS centroid
+        |  round(avg(CAST(u.x AS DOUBLE)), 4) + 0.0 AS centroid
         |FROM (SELECT label, unnest(list_transform(embedding,
         |  (x, i) -> {'pos': i, 'x': x})) u FROM embeddings)
         |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
