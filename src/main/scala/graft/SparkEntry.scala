@@ -887,6 +887,18 @@ object SparkEntry {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(30)),
+    "vocab_by_lang" -> ((s, dir) => {
+      // per-stratum vocabulary head: the rank window runs over the
+      // already-aggregated (lang, token) counts, partitioned by lang —
+      // bounded by the vocabulary, never row-scaled
+      val counts = t(s, dir, "documents")
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("token"))
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy("lang", "rank")
+    }),
     "label_centroid" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -1925,6 +1937,16 @@ object SparkEntry {
          |SELECT token, CAST(count(*) AS BIGINT) AS n
          |FROM (SELECT unnest(toks) token FROM toks)
          |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin,
+    "vocab_by_lang" ->
+      """WITH c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT lang, unnest(list_filter(
+        |          regexp_split_to_array(text, ' +'), t -> t <> '')) AS token
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT lang, token, n, rank FROM (
+        |  SELECT lang, token, n, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY n DESC, token) AS INTEGER) AS rank FROM c)
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "label_centroid" ->
       """SELECT label, CAST(u.pos - 1 AS INTEGER) AS pos,
         |  round(avg(CAST(u.x AS DOUBLE)), 4) + 0.0 AS centroid
