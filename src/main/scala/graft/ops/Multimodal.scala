@@ -110,6 +110,51 @@ object Multimodal {
     }
   }
 
+  /** ====== Real audio decoder =============================================
+    * javax.sound.sampled is pure-JRE for WAV/AIFF/AU containers: the
+    * header parse needs no native codec, so real audio metadata (sample
+    * rate, channels, frame count → duration) decodes in this sandbox the
+    * same way [[ImageCodec]] handles PNG/JPEG. Compressed formats
+    * (mp3/ogg) have no JRE service provider and correctly return None —
+    * flagged rows, not failures.
+    */
+  object AudioCodec {
+    final case class AudioMeta(sampleRate: Int, channels: Int,
+        frames: Long, durationMs: Long)
+
+    def decode(payload: Array[Byte]): Option[AudioMeta] = {
+      val in = new java.io.ByteArrayInputStream(payload)
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(in)
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength.toLong
+        val durMs = if (fmt.getFrameRate > 0 && frames >= 0)
+          (frames * 1000.0 / fmt.getFrameRate).toLong else -1L
+        Some(AudioMeta(fmt.getSampleRate.toInt, fmt.getChannels, frames, durMs))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  final case class AudioFeatures(doc_id: Long, n_bytes: Long,
+      sample_rate: Int, channels: Int, n_frames: Long, duration_ms: Long)
+  implicit val audioEnc: Encoder[AudioFeatures] = Encoders.product[AudioFeatures]
+
+  /** [[extractFeatures]] with the real [[AudioCodec]]: true header
+    * metadata for decodable payloads, all-(-1) for undecodable ones
+    * (kept and flagged, same contract as [[extractImageFeatures]]).
+    */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = AudioCodec.decode(r.payload)
+        AudioFeatures(r.doc_id, r.payload.length.toLong,
+          m.map(_.sampleRate).getOrElse(-1),
+          m.map(_.channels).getOrElse(-1),
+          m.map(_.frames).getOrElse(-1L),
+          m.map(_.durationMs).getOrElse(-1L))
+      }
+    }
+
   /** [[extractFeatures]] with the real [[ImageCodec]]: true pixel
     * dimensions for decodable payloads, (-1, -1) for undecodable ones
     * (kept, not dropped — a corrupt-payload audit needs the row). Same

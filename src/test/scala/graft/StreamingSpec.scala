@@ -442,4 +442,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats(3L).width == -1 && feats(3L).height == -1)
     assert(feats(3L).n_bytes == 12L)
   }
+
+  test("multimodal: real WAV bytes decode to true audio metadata via javax.sound") {
+    import spark.implicits._
+    def wav(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, channels, true, false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav(16000, 1, 16000)), // 1 s mono
+      Multimodal.MediaRow(2L, "audio", wav(44100, 2, 22050)), // 0.5 s stereo
+      Multimodal.MediaRow(3L, "audio", "not audio".getBytes("UTF-8")))
+      .toDS()
+    val feats = Multimodal.extractAudioFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).sample_rate == 16000 && feats(1L).channels == 1)
+    assert(feats(1L).n_frames == 16000L && feats(1L).duration_ms == 1000L)
+    assert(feats(2L).sample_rate == 44100 && feats(2L).channels == 2)
+    assert(feats(2L).duration_ms == 500L)
+    // undecodable payload is kept and flagged, not dropped
+    assert(feats(3L).sample_rate == -1 && feats(3L).duration_ms == -1L)
+  }
 }
