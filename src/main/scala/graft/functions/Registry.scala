@@ -40,7 +40,8 @@ object Registry {
     // artifacts, not SQL literals
     "graft_marker_counts" -> (es =>
       MarkerCounts(es(0), strLit(es(1), "markers").split('|').toSeq)),
-    "graft_entropy" -> (es => TokenEntropy(es(0))))
+    "graft_entropy" -> (es => TokenEntropy(es(0))),
+    "graft_tokens" -> (es => WsTokens(es(0))))
 
   /** Idempotent; call once per session before using the functions in SQL. */
   def install(spark: SparkSession): Unit =

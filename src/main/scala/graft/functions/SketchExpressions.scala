@@ -431,3 +431,47 @@ case class RollingMinHash(child: Expression, width: Int)
   override protected def withNewChildInternal(newChild: Expression): RollingMinHash =
     copy(child = newChild)
 }
+
+/** Whitespace tokenizer: the maximal runs of non-space bytes of a string,
+  * as `array<string>` — exactly `filter(split(text, " +"), t -> t <> '')`
+  * (the regex splits on 0x20 runs only, and the filter drops the empty
+  * edge pieces, leaving precisely the non-space runs; differential-tested
+  * against that formula).
+  *
+  * Why native: EVERY text operator starts from tokens, and the HOF
+  * formula's `filter` is CodegenFallback — one fallback expression
+  * blacklists its whole projection from whole-stage codegen, so the
+  * tokenize step was silently dragging shingling/minhash/entropy
+  * projections out of codegen. Byte-level scan (a UTF-8 continuation
+  * byte can never equal 0x20, so the scan is multi-byte-safe); token
+  * slices wrap the copied byte array without further copies.
+  */
+case class WsTokens(child: Expression)
+    extends UnaryExpression with SketchCodegen {
+
+  override def prettyName: String = "graft_tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < n) {
+      while (i < n && bytes(i) == 0x20) i += 1
+      val start = i
+      while (i < n && bytes(i) != 0x20) i += 1
+      if (i > start) out.add(UTF8String.fromBytes(bytes, start, i - start))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WsTokens =
+    copy(child = newChild)
+}

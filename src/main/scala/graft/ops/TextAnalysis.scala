@@ -25,8 +25,18 @@ object TextAnalysis {
   /** Whitespace tokens with empties dropped — one canonical tokenizer
     * shared by every operator (and mirrored exactly in the DuckDB oracles
     * as `list_filter(regexp_split_to_array(text, ' +'), t -> t <> '')`).
+    *
+    * Native kernel ([[graft.functions.WsTokens]]): the HOF formula's
+    * `filter` is CodegenFallback and one fallback expression blacklists
+    * its whole projection from whole-stage codegen — tokenization sits
+    * under EVERY text operator, so the HOF form was silently dragging
+    * the shingle/minhash/entropy projections out of codegen.
     */
   def tokens(text: Column): Column =
+    bridge.column(graft.functions.WsTokens(bridge.expression(text)))
+
+  /** The HOF formula [[tokens]] replaces (differential tests only). */
+  def tokensHof(text: Column): Column =
     filter(split(text, " +"), t => t =!= lit(""))
 
   /** BPE-ish subword segmentation: letter runs, digit runs, single

@@ -1009,6 +1009,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("WsTokens kernel == filter(split) HOF formula, corpus + edges") {
+    import spark.implicits._
+    val edge = Seq("", " ", "  a", "a  ", "a b", "  a   b  c ", "solo",
+      "tab\tkept", "aé b中")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (df <- Seq(edge, corpus)) {
+      val diff = df.select(
+        TextAnalysis.tokens(col("text")).as("k"),
+        TextAnalysis.tokensHof(col("text")).as("h"))
+        .filter(not(col("k") <=> col("h")))
+      assert(diff.count() == 0, s"kernel != HOF on:\n${diff.head(3).mkString("\n")}")
+    }
+    // null text → null tokens on both paths
+    val nulls = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+      .select(TextAnalysis.tokens(col("text")).as("k"),
+        TextAnalysis.tokensHof(col("text")).as("h")).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("hybridSearch: dense score reorders the lexical shortlist") {
     import spark.implicits._
     // docs 1 and 2 both contain the query term once with equal length →

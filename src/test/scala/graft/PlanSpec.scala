@@ -284,6 +284,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"transitions reads unneeded event columns: $ptRead")
   }
 
+  test("native kernels participate in whole-stage codegen (starred stages)") {
+    // The doc claim "each participates in whole-stage codegen" pinned in
+    // CI: with AQE off, codegen'd operators print with a *(n) star. If a
+    // kernel regressed to CodegenFallback its Project line loses the star.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.read.parquet(s"$dir/documents.parquet")
+      val probe = df.select(
+        graft.ops.Dedup.wordShingles(org.apache.spark.sql.functions.col("text"), 3).as("sh"),
+        graft.ops.TextAnalysis.winnow(org.apache.spark.sql.functions.col("text")).as("fp"))
+      val p = probe.queryExecution.executedPlan.toString
+      assert(p.linesIterator.exists(l =>
+        l.contains("*(") && l.contains("Project")),
+        s"kernel projection must be inside a starred codegen stage:\n$p")
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val dp = e.crossJoin(e.limit(1).select(
+        org.apache.spark.sql.functions.col("embedding").as("q")))
+        .select(graft.ops.Similarity.dot(
+          org.apache.spark.sql.functions.col("embedding"),
+          org.apache.spark.sql.functions.col("q")).as("d"))
+      val pd = dp.queryExecution.executedPlan.toString
+      assert(pd.linesIterator.exists(l =>
+        l.contains("*(") && l.contains("graft_dot")),
+        s"graft_dot must codegen:\n$pd")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("oov_rate: vocabulary head broadcasts; tokens never shuffle for the join") {
     val p = plan("oov_rate")
     assert(p.contains("BroadcastHashJoin"),
