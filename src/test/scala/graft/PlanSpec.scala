@@ -284,6 +284,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"transitions reads unneeded event columns: $ptRead")
   }
 
+  test("AQE on/off produces identical results on representative queries") {
+    // Adaptive execution re-plans joins and coalesces partitions at
+    // runtime; none of that may change ANSWERS. A deterministic query
+    // whose result shifts under AQE has an order- or partition-dependent
+    // bug (e.g. a limit without a total order, a float sum crossing a
+    // rounded boundary).
+    val probes = Seq("q5_region", "keydiff_summary", "venn_counted",
+      "lsh_pairs", "ann_topk", "quantiles", "funnel_stages", "oov_rate",
+      "token_pmi", "semantic_dedup", "hybrid_search", "len_strata")
+    probes.foreach { name =>
+      val on = SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val off =
+        try SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+        finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      assert(on == off, s"$name answers differ under AQE on/off")
+    }
+  }
+
   test("native kernels participate in whole-stage codegen (starred stages)") {
     // The doc claim "each participates in whole-stage codegen" pinned in
     // CI: with AQE off, codegen'd operators print with a *(n) star. If a
