@@ -1009,6 +1009,36 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("compactParquet: fragmented table → sized files, rows intact, stats-sorted") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val in = s"$dir/in"; val out = s"$dir/out"
+    (1L to 2000L).map(i => (i, s"row $i")).toDF("id", "payload")
+      .repartition(20).write.parquet(in)
+    assert(graft.io.Maintenance.dataFiles(spark, in) == 20)
+    val bytes = graft.io.Maintenance.dataBytes(spark, in)
+    val compacted = graft.io.Maintenance.compactParquet(spark, in, out,
+      targetFileBytes = bytes / 4, sortCols = Seq("id"))
+    assert(compacted.count() == 2000L)
+    // ceil(bytes / (bytes/4)) = 4-ish files (range partitioner may leave
+    // a skew margin but never the original 20 fragments)
+    val nOut = graft.io.Maintenance.dataFiles(spark, out)
+    assert(nOut <= 6, s"expected ~4 compacted files, got $nOut")
+    // sortCols makes parquet min/max selective: a point filter must prune
+    // row groups — assert the data actually comes back ordered per file
+    val perFile = spark.read.parquet(out)
+      .select(col("id"), input_file_name().as("f"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .collect()
+    val ranges = perFile.map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    // ranges are disjoint (range-partitioned), so min/max pruning works
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ => ()
+    }
+  }
+
   test("WsTokens kernel == filter(split) HOF formula, corpus + edges") {
     import spark.implicits._
     val edge = Seq("", " ", "  a", "a  ", "a b", "  a   b  c ", "solo",
