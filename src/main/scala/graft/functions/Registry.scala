@@ -41,7 +41,10 @@ object Registry {
     "graft_marker_counts" -> (es =>
       MarkerCounts(es(0), strLit(es(1), "markers").split('|').toSeq)),
     "graft_entropy" -> (es => TokenEntropy(es(0))),
-    "graft_tokens" -> (es => WsTokens(es(0))))
+    "graft_tokens" -> (es => WsTokens(es(0))),
+    "graft_pairs" -> (es => AdjacentPairs(es(0))),
+    "graft_token_set_count" -> (es =>
+      TokenSetCount(es(0), strLit(es(1), "words").split('|').toSeq)))
 
   /** Idempotent; call once per session before using the functions in SQL. */
   def install(spark: SparkSession): Unit =

@@ -475,3 +475,87 @@ case class WsTokens(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): WsTokens =
     copy(child = newChild)
 }
+
+/** Adjacent-token pairs joined with a single space — exactly
+  * `zip_with(slice(toks, 1, n-1), slice(toks, 2, n-1),
+  * (a, b) -> concat_ws(' ', a, b))` (the BPE merge-candidate step;
+  * differential-tested against that formula). Native so the pair
+  * projection stays inside whole-stage codegen (zip_with/slice are
+  * CodegenFallback) and skips the two slice copies per row.
+  */
+case class AdjacentPairs(child: Expression)
+    extends UnaryExpression with SketchCodegen {
+
+  override def prettyName: String = "graft_pairs"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n <= 1) return new GenericArrayData(new Array[AnyRef](0))
+    val out = new Array[AnyRef](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      // concat_ws semantics: null parts are skipped, not rendered
+      val a = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      val b = if (toks.isNullAt(i + 1)) null else toks.getUTF8String(i + 1)
+      val s =
+        if (a == null && b == null) UTF8String.EMPTY_UTF8
+        else if (a == null) b
+        else if (b == null) a
+        else UTF8String.concat(a, UTF8String.fromString(" "), b)
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdjacentPairs =
+    copy(child = newChild)
+}
+
+/** Count of tokens contained in a fixed word set — exactly
+  * `size(filter(toks, t -> t.isin(words)))` (differential-tested).
+  * Native for the same codegen-blacklist reason as [[AdjacentPairs]]:
+  * this term sits inside the quality-gate projection that fronts every
+  * corpus-cleaning pass.
+  */
+case class TokenSetCount(child: Expression, words: Seq[String])
+    extends UnaryExpression with SketchCodegen {
+
+  override def prettyName: String = "graft_token_set_count"
+  override def dataType: DataType = LongType
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i) && set.contains(toks.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSetCount =
+    copy(child = newChild)
+}

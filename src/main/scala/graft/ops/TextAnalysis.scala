@@ -93,7 +93,8 @@ object TextAnalysis {
     val toks = tokens(text)
     val nToks = size(toks).cast("long")
     val nPunct = size(regexp_extract_all(text, lit("[^a-z0-9\\s]"), lit(0))).cast("long")
-    val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    val nStop = bridge.column(graft.functions.TokenSetCount(
+      bridge.expression(toks), stopwords))
     val punctRatio = nPunct.cast("double") / greatest(length(text).cast("double"), lit(1.0))
     val stopRatio = nStop.cast("double") / greatest(nToks.cast("double"), lit(1.0))
     val score = least(nToks.cast("double") / lit(100.0), lit(1.0)) *
@@ -382,11 +383,17 @@ object TextAnalysis {
   // --- tokenizer induction / information content --------------------------
 
   /** Adjacent-token pairs ("bigram merge candidates") — the counting step
-    * of one BPE merge iteration, generalized to whitespace tokens. Pure
-    * zip of two array slices (linear, codegen'd), no O(n²) HOF.
+    * of one BPE merge iteration, generalized to whitespace tokens.
+    * Native one-pass kernel ([[graft.functions.AdjacentPairs]]);
+    * [[mergePairsHof]] is the zip-of-slices formula it replaces.
     */
-  def mergePairs(text: Column): Column = {
-    val toks = tokens(text)
+  def mergePairs(text: Column): Column =
+    bridge.column(graft.functions.AdjacentPairs(
+      bridge.expression(tokens(text))))
+
+  /** The HOF formula [[mergePairs]] replaces (differential tests only). */
+  def mergePairsHof(text: Column): Column = {
+    val toks = tokensHof(text)
     val m = greatest(size(toks) - 1, lit(0)) // 0 pairs for 0- or 1-token docs
     zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
       (a, b) => concat_ws(" ", a, b))

@@ -1039,6 +1039,34 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AdjacentPairs and TokenSetCount kernels == their HOF formulas") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val edge = Seq("", "solo", "a b", " a  b   c ").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (df <- Seq(edge, corpus)) {
+      val pairDiff = df.select(
+        TextAnalysis.mergePairs(col("text")).as("k"),
+        TextAnalysis.mergePairsHof(col("text")).as("h"))
+        .filter(not(col("k") <=> col("h")))
+      assert(pairDiff.count() == 0,
+        s"pairs kernel != HOF on:\n${pairDiff.head(3).mkString("\n")}")
+      val words = TextAnalysis.stopwords
+      val stopDiff = df.select(
+        bridgeCount(col("text"), words).as("k"),
+        size(filter(TextAnalysis.tokensHof(col("text")),
+          t => t.isin(words: _*))).cast("long").as("h"))
+        .filter(col("k") =!= col("h"))
+      assert(stopDiff.count() == 0)
+    }
+  }
+
+  private def bridgeCount(text: org.apache.spark.sql.Column, words: Seq[String]) = {
+    import org.apache.spark.sql.{graft => bridge}
+    bridge.column(graft.functions.TokenSetCount(
+      bridge.expression(TextAnalysis.tokens(text)), words))
+  }
+
   test("WsTokens kernel == filter(split) HOF formula, corpus + edges") {
     import spark.implicits._
     val edge = Seq("", " ", "  a", "a  ", "a b", "  a   b  c ", "solo",
