@@ -284,6 +284,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"transitions reads unneeded event columns: $ptRead")
   }
 
+  test("driver contract: every query is oracle-gated or on the documented rows-only list") {
+    // The four rows-only queries are approximation algorithms whose
+    // results can't hash-match another engine (t-digest, HLL, k-means
+    // cells, PQ codebooks); each is accuracy- or recall-tested instead.
+    // Anything NEW must ship an oracle — this test fails otherwise.
+    val rowsOnly = Set("hll_users", "ivf_topk", "pq_topk", "quantiles_approx")
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked == rowsOnly,
+      s"queries without an oracle beyond the documented set: ${unchecked -- rowsOnly}")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL with no query: $orphans")
+  }
+
   test("AQE on/off produces identical results on representative queries") {
     // Adaptive execution re-plans joins and coalesces partitions at
     // runtime; none of that may change ANSWERS. A deterministic query
