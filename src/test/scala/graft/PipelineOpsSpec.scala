@@ -1009,6 +1009,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-4 ops degrade to empty output on empty input (no crash, no div-zero)") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noVecs = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val noSrc = noDocs.withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(0L)).filter(lit(false))
+    assert(TextAnalysis.oovRate(noDocs, "doc_id", "text", 30).count() == 0)
+    assert(TextAnalysis.tokenPmi(noDocs, "doc_id", "text", 20, 1L).count() == 0)
+    assert(Similarity.gridDedup(noVecs, "vec_id", "embedding").count() == 0)
+    assert(Similarity.labelSpread(noVecs, "vec_id", "embedding", "label").count() == 0)
+    assert(graft.ops.Quantiles.valueStrata(noSrc, "n_chars", 10).count() == 0)
+    assert(Dedup.incrementalDedup(noDocs, noDocs, "doc_id", "text").count() == 0)
+    assert(graft.ops.Relevance.hybridSearch(noDocs, noVecs.drop("label"),
+      "doc_id", "text", "vec_id", "embedding",
+      terms = Seq("x"), queryVecId = 0L).count() == 0)
+  }
+
   test("compactParquet: fragmented table → sized files, rows intact, stats-sorted") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
