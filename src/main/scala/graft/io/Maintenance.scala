@@ -70,4 +70,64 @@ object Maintenance {
     shaped.write.mode("overwrite").parquet(outDir)
     spark.read.parquet(outDir)
   }
+
+  /** Morton (Z-order) key over numeric columns: each column is linearly
+    * quantized to 16 bits against its observed [min, max] (one tiny
+    * aggregate, broadcast back — skewed columns want quantile cutpoints
+    * instead; linear keeps the op a pure two-pass map), and the bits are
+    * interleaved round-robin. Sorting by this key clusters rows that are
+    * close in EVERY dimension, so parquet min/max statistics prune scans
+    * filtered on ANY subset of the columns — the multi-dimensional
+    * data-skipping layout single-column sorting can't give (a sort by A
+    * leaves every file covering B's full range).
+    */
+  def zValue(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2, "z-ordering needs at least 2 columns")
+    require(cols.size <= 4, "16 bits × >4 columns exceeds a long z-key")
+    val k = cols.size
+    val quantized = cols.map { c =>
+      val x = col(c).cast("double")
+      val lo = col(s"__min_$c"); val hi = col(s"__max_$c")
+      val unit = (x - lo) / greatest(hi - lo, lit(1e-300))
+      least(greatest(floor(unit * 65535.0), lit(0.0)), lit(65535.0)).cast("long")
+    }
+    (0 until 16).foldLeft(lit(0L)) { (acc, bit) =>
+      quantized.zipWithIndex.foldLeft(acc) { case (a, (q, d)) =>
+        a.bitwiseOR(shiftleft(q.bitwiseAND(lit(1L << bit)),
+          bit * (k - 1) + (k - 1 - d)))
+      }
+    }
+  }
+
+  /** Z-order compaction: [[compactParquet]] with a Morton-key layout over
+    * `zCols`. The column min/max scalars ride one broadcast row; the key
+    * itself is a map-side projection, so the pass is scan → shuffle
+    * (range partition on z) → write, same cost shape as a plain sorted
+    * compaction.
+    */
+  def zOrderParquet(spark: SparkSession, inDir: String, outDir: String,
+      zCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bytes = dataBytes(spark, inDir)
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(inDir)
+    val stats = df.agg(
+      zCols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"))).head,
+      zCols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"))).tail: _*)
+    val keyed = df.crossJoin(broadcast(stats))
+      .withColumn("__z", zValue(df, zCols))
+      .drop(zCols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+    keyed
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
 }

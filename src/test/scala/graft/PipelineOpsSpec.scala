@@ -1085,6 +1085,36 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       bridge.expression(TextAnalysis.tokens(text)), words))
   }
 
+  test("zOrderParquet: per-file ranges narrow on BOTH dimensions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val in = s"$dir/in"; val outA = s"$dir/a"; val outZ = s"$dir/z"
+    // two independent uniform dimensions
+    (0 until 20000).map(i => (i % 997, (i * 7919) % 997))
+      .toDF("a", "b").repartition(8).write.parquet(in)
+    val target = graft.io.Maintenance.dataBytes(spark, in) / 8
+    graft.io.Maintenance.compactParquet(spark, in, outA, target, sortCols = Seq("a"))
+    graft.io.Maintenance.zOrderParquet(spark, in, outZ, Seq("a", "b"), target)
+    assert(spark.read.parquet(outZ).count() == 20000L)
+
+    def avgFileRange(path: String, c: String): Double = {
+      val r = spark.read.parquet(path)
+        .select(col(c), input_file_name().as("f"))
+        .groupBy("f").agg((max(col(c)) - min(col(c))).as("r"))
+        .agg(avg(col("r"))).head().getDouble(0)
+      r
+    }
+    // sorted-by-a layout: narrow on a but every file spans b's full range
+    val sortedB = avgFileRange(outA, "b")
+    assert(sortedB > 900.0, s"sort-by-a files should span b fully, got $sortedB")
+    // z-order: BOTH dimensions substantially narrowed — the property that
+    // makes parquet min/max pruning work for filters on either column
+    val zA = avgFileRange(outZ, "a")
+    val zB = avgFileRange(outZ, "b")
+    assert(zA < 600.0, s"z-order a-range too wide: $zA")
+    assert(zB < 600.0, s"z-order b-range too wide: $zB")
+  }
+
   test("WsTokens kernel == filter(split) HOF formula, corpus + edges") {
     import spark.implicits._
     val edge = Seq("", " ", "  a", "a  ", "a b", "  a   b  c ", "solo",
