@@ -688,6 +688,22 @@ object SparkEntry {
       Dedup.cleanCorpus(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
+    "pipeline_e2e" -> ((s, dir) => {
+      // the full pre-training prep path as ONE query: quality gate →
+      // exact dedup → LSH near-dup removal → benchmark decontamination →
+      // per-source token-quota sampling. Each stage is individually
+      // oracle-gated elsewhere; this proves the COMPOSITION is
+      // hash-reproducible end-to-end.
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 37 === 0)
+      val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+      val cleaned = Dedup.cleanCorpus(corpus, "doc_id", "text")
+      val decon = Decontam.removeContaminated(cleaned, evalSet, "doc_id", "text")
+      TextAnalysis.tokenQuotaSample(decon, "doc_id", "text", "source",
+        quotaTokens = 400L)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
     "corpus_clean_cc" -> ((s, dir) =>
       Dedup.cleanCorpusTransitive(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "source", "n_chars")
@@ -1615,6 +1631,69 @@ object SparkEntry {
         |losers AS (SELECT DISTINCT b_id FROM pairs WHERE est >= 0.75)
         |SELECT doc_id, lang, source, n_chars FROM k
         |WHERE doc_id NOT IN (SELECT b_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_e2e" ->
+      """WITH q AS (SELECT doc_id, text, lang, source, n_chars FROM (
+        |    SELECT *, list_filter(regexp_split_to_array(text, ' +'),
+        |      t -> t <> '') toks FROM documents WHERE doc_id % 37 <> 0)
+        |  WHERE len(toks) >= 20),
+        |keep AS (SELECT min(doc_id) doc_id FROM q GROUP BY md5(text)),
+        |k AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+        |toks2 AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, ' +'), t -> t <> '') toks
+        |  FROM k),
+        |sh2 AS (SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3
+        |    THEN list_distinct(list_transform(range(0, len(toks)-2),
+        |           i -> array_to_string(list_slice(toks, i+1, i+3), ' ')))
+        |    ELSE [array_to_string(toks, ' ')] END shingles
+        |  FROM toks2),
+        |sigs2 AS (SELECT doc_id, list_transform(range(0, 8), j ->
+        |  list_min(list_transform(shingles,
+        |    s -> md5(CAST(j AS VARCHAR) || '|' || s)))) sig
+        |  FROM sh2),
+        |bands2 AS (SELECT doc_id, sig, b.band,
+        |  md5(array_to_string(list_slice(sig, band*2+1, band*2+2), ',')) bh
+        |  FROM sigs2 CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+        |pairs AS (SELECT a.doc_id a_id, c.doc_id b_id,
+        |  round(CAST(min(len(list_filter(range(1, 9),
+        |    i -> a.sig[i] = c.sig[i]))) AS DOUBLE) / 8.0, 4) est
+        |  FROM bands2 a JOIN bands2 c
+        |    ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
+        |  GROUP BY a.doc_id, c.doc_id),
+        |losers AS (SELECT DISTINCT b_id FROM pairs WHERE est >= 0.75),
+        |cleaned AS (SELECT * FROM k
+        |  WHERE doc_id NOT IN (SELECT b_id FROM losers)),
+        |evtoks AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, ' +'), t -> t <> '') toks
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |evsh AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= 3
+        |    THEN list_distinct(list_transform(range(0, len(toks)-2),
+        |           i -> array_to_string(list_slice(toks, i+1, i+3), ' ')))
+        |    ELSE [array_to_string(toks, ' ')] END) s
+        |  FROM evtoks),
+        |ctoks AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, ' +'), t -> t <> '') toks
+        |  FROM cleaned),
+        |csh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+        |    THEN list_distinct(list_transform(range(0, len(toks)-2),
+        |           i -> array_to_string(list_slice(toks, i+1, i+3), ' ')))
+        |    ELSE [array_to_string(toks, ' ')] END) s
+        |  FROM ctoks),
+        |hit AS (SELECT DISTINCT csh.doc_id FROM csh JOIN evsh USING (s)),
+        |decon AS (SELECT * FROM cleaned
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+        |tl AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(regexp_split_to_array(text, ' +'),
+        |    t -> t <> '')) AS BIGINT) n_tok
+        |  FROM decon),
+        |tot AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) tot
+        |  FROM tl GROUP BY 1),
+        |r AS (SELECT tl.doc_id, tl.source, tl.n_tok, 400.0 / tot.tot AS rate,
+        |  printf('%08x', CAST(floor(400.0 / tot.tot * 4294967296) AS BIGINT)) thr
+        |  FROM tl JOIN tot USING (source))
+        |SELECT doc_id, source, n_tok FROM r
+        |WHERE rate >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thr
         |ORDER BY doc_id""".stripMargin,
     "text_norm" ->
       """WITH n AS (SELECT doc_id,
