@@ -439,6 +439,22 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getString(3), r.getSeq[Long](4))).toSeq ==
       viaCols.map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2),
         r.getString(3), r.getSeq[Long](4))).toSeq)
+    // round-4 additions: tokenizer, adjacent pairs, token-set count
+    val viaSql2 = spark.sql(
+      """SELECT doc_id, graft_tokens(text) AS t,
+        |  graft_pairs(graft_tokens(text)) AS p,
+        |  graft_token_set_count(graft_tokens(text), 'the|of|and') AS c
+        |FROM docs_sql ORDER BY doc_id""".stripMargin).collect()
+    val viaCols2 = spark.table("docs_sql").select(
+      col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("t"),
+      TextAnalysis.mergePairs(col("text")).as("p"),
+      bridgeCount(col("text"), Seq("the", "of", "and")).as("c"))
+      .orderBy("doc_id").collect()
+    assert(viaSql2.map(r => (r.getLong(0), r.getSeq[String](1),
+      r.getSeq[String](2), r.getLong(3))).toSeq ==
+      viaCols2.map(r => (r.getLong(0), r.getSeq[String](1),
+        r.getSeq[String](2), r.getLong(3))).toSeq)
   }
 
   test("saltedJoin == plain inner join (including hot-key duplicates)") {
