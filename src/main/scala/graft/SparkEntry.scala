@@ -978,6 +978,9 @@ object SparkEntry {
       TextAnalysis.oovRate(t(s, dir, "documents"), "doc_id", "text",
         vocabSize = 30)
         .orderBy("doc_id")),
+    "textrank" -> ((s, dir) =>
+      graft.ops.TextRank.keywords(t(s, dir, "documents"), "text",
+        damping = 0.85, iters = 10, topK = 20)),
     "bigram_lm" -> ((s, dir) => {
       // conditional bigram probabilities P(w2|w1): bigram counts aggregate
       // first (map-side combined), the prefix normalizer is a window over
@@ -2190,6 +2193,32 @@ object SparkEntry {
          |    AS DOUBLE) / count(*), 4) AS oov_rate
          |FROM per p LEFT JOIN vocab v ON p.token = v.token
          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    "textrank" -> {
+      val iterCtes = (1 to 10).map { i =>
+        s"""p$i AS (SELECT e.b AS t,
+           |  round(0.15 + 0.85 * sum(e.frac * p${i - 1}.pr), 12) AS pr
+           |  FROM e JOIN p${i - 1} ON e.a = p${i - 1}.t GROUP BY e.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $toksCte,
+         |dirp AS (SELECT pair, CAST(count(*) AS DOUBLE) AS w FROM (
+         |    SELECT unnest(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1])) AS pair
+         |    FROM toks WHERE len(toks) >= 2) GROUP BY pair),
+         |de AS (SELECT split_part(pair, ' ', 1) AS a,
+         |         split_part(pair, ' ', 2) AS b, w
+         |       FROM dirp
+         |       WHERE split_part(pair, ' ', 1) <> split_part(pair, ' ', 2)),
+         |ue AS (SELECT a, b, sum(w) AS w FROM (
+         |    SELECT a, b, w FROM de
+         |    UNION ALL SELECT b AS a, a AS b, w FROM de) GROUP BY a, b),
+         |ow AS (SELECT a, sum(w) AS wout FROM ue GROUP BY a),
+         |e AS (SELECT ue.a, ue.b, ue.w / ow.wout AS frac
+         |      FROM ue JOIN ow USING (a)),
+         |p0 AS (SELECT DISTINCT a AS t, 1.0 AS pr FROM e),
+         |$iterCtes
+         |SELECT t AS token, round(pr, 4) AS rank FROM p10
+         |ORDER BY rank DESC, token LIMIT 20""".stripMargin
+    },
     "bigram_lm" ->
       s"""WITH $toksCte,
          |pr AS (SELECT unnest(list_transform(range(1, len(toks)),

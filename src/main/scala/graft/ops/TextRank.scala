@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TextRank keyword extraction: PageRank over the token co-occurrence
+  * graph (Mihalcea & Tarau 2004) — nodes are tokens, edges are adjacent-
+  * token co-occurrence counts, and the stationary score ranks corpus
+  * keywords. The iterative-graph-algorithm shape on Spark, next to the
+  * label-propagation connected components in [[Dedup.components]].
+  *
+  * No reference counterpart; extended scope.
+  *
+  * Scale: the GRAPH is vocabulary-bounded (≤ V² edges however large the
+  * corpus), so after one corpus-scale pair count every iteration is a
+  * join + aggregate over the small edge relation — the standard "heavy
+  * extract, light iterate" decomposition. Iterations run in a driver
+  * loop with a fixed count (deterministic, checkpoint-free at this
+  * relation size).
+  *
+  * Cross-engine determinism: edge weights and out-degree sums are exact
+  * integers (as doubles), the damping blend is exact (0.85·x and 0.15
+  * are one rounding each), and per-iteration scores are rounded to 12
+  * decimals on BOTH engines — per-iteration float-sum noise is ~1e-15,
+  * three orders below the grid, so the rounding RESYNCHRONIZES the
+  * engines every iteration instead of letting ulps compound across
+  * iterations. Final scores round to 4.
+  */
+object TextRank {
+
+  def keywords(docs: DataFrame, textCol: String, damping: Double = 0.85,
+      iters: Int = 10, topK: Int = 20): DataFrame = {
+    val dir = docs
+      .select(explode(TextAnalysis.mergePairs(col(textCol))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).cast("double").as("w"))
+      .select(split(col("pair"), " ").getItem(0).as("a"),
+        split(col("pair"), " ").getItem(1).as("b"), col("w"))
+      .filter(col("a") =!= col("b"))
+    // undirected: fold both orientations into one weighted edge list
+    val edges = dir
+      .union(dir.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+    val outW = edges.groupBy(col("a")).agg(sum(col("w")).as("__wout"))
+    // NOT cached: the ten iteration joins reference an identical frac
+    // subtree, which exchange reuse / the AQE stage cache deduplicates —
+    // and a cache inside a library op would leak executor memory past
+    // the call
+    val frac = edges.join(outW, "a")
+      .select(col("a"), col("b"), (col("w") / col("__wout")).as("frac"))
+    var pr = frac.select(col("a").as("token")).distinct()
+      .withColumn("pr", lit(1.0))
+    for (_ <- 1 to iters) {
+      pr = frac.join(pr, frac("a") === pr("token"))
+        .groupBy(col("b"))
+        .agg(round(lit(1.0 - damping) +
+          lit(damping) * sum(col("frac") * col("pr")), 12).as("pr"))
+        .select(col("b").as("token"), col("pr"))
+    }
+    pr.select(col("token"), round(col("pr"), 4).as("rank"))
+      .orderBy(col("rank").desc, col("token"))
+      .limit(topK)
+  }
+}

@@ -1181,6 +1181,22 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(1L).getAs[Double]("blend") == 0.5)
   }
 
+  test("textrank: hub token of a star graph outranks the leaves") {
+    // hub-leaf alternation ENDING on hub so every leaf carries the same
+    // edge weight (a trailing leaf would miss its return edge): hub
+    // co-occurs with every leaf, leaves only with hub → hub takes the
+    // top rank, leaves tie and break alphabetically
+    val df = docs(
+      1L -> "hub x hub y hub z hub",
+      2L -> "hub x hub y hub z hub")
+    val out = graft.ops.TextRank.keywords(df, "text", topK = 10).collect()
+    assert(out.head.getAs[String]("token") == "hub")
+    val leaves = out.tail.map(_.getAs[String]("token")).toSeq
+    assert(leaves == Seq("x", "y", "z"))
+    val ranks = out.map(_.getAs[Double]("rank"))
+    assert(ranks.head > ranks(1) && ranks(1) == ranks(2) && ranks(2) == ranks(3))
+  }
+
   test("tokenPmi: counts and log2 formula on a known corpus") {
     // docs: {a,b} ×2, {c} → N=3, df(a)=2, df(b)=2, pair (a,b)=2.
     // PMI = log2(2·3 / (2·2)) = log2(1.5) = 0.585.
