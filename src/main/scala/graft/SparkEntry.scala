@@ -981,6 +981,10 @@ object SparkEntry {
     "textrank" -> ((s, dir) =>
       graft.ops.TextRank.keywords(t(s, dir, "documents"), "text",
         damping = 0.85, iters = 10, topK = 20)),
+    "contrastive" -> ((s, dir) =>
+      Dedup.contrastiveTriplets(t(s, dir, "documents"), "doc_id", "text",
+        minEstJaccard = 0.5)
+        .orderBy("anchor", "positive")),
     "bigram_lm" -> ((s, dir) => {
       // conditional bigram probabilities P(w2|w1): bigram counts aggregate
       // first (map-side combined), the prefix normalizer is a window over
@@ -2193,6 +2197,31 @@ object SparkEntry {
          |    AS DOUBLE) / count(*), 4) AS oov_rate
          |FROM per p LEFT JOIN vocab v ON p.token = v.token
          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    "contrastive" ->
+      s"""WITH $toksCte, $shinglesCte, $sigsCte,
+         |bands AS (SELECT doc_id, sig, b.band,
+         |  md5(array_to_string(list_slice(sig, band*2+1, band*2+2), ',')) bh
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+         |pairs AS (SELECT a.doc_id AS anchor, c.doc_id AS positive,
+         |  round(CAST(min(len(list_filter(range(1, 9),
+         |    i -> a.sig[i] = c.sig[i]))) AS DOUBLE) / 8.0, 4) AS est
+         |  FROM bands a JOIN bands c
+         |    ON a.band = c.band AND a.bh = c.bh AND a.doc_id < c.doc_id
+         |  GROUP BY a.doc_id, c.doc_id),
+         |p AS (SELECT anchor, positive FROM pairs WHERE est >= 0.5),
+         |mx AS (SELECT max(doc_id) AS m FROM documents),
+         |t AS (SELECT anchor, positive,
+         |  CASE WHEN (anchor*7919+13) % (m+1) <> anchor
+         |        AND (anchor*7919+13) % (m+1) <> positive
+         |       THEN (anchor*7919+13) % (m+1)
+         |       WHEN (anchor*7919+14) % (m+1) <> anchor
+         |        AND (anchor*7919+14) % (m+1) <> positive
+         |       THEN (anchor*7919+14) % (m+1)
+         |       ELSE (anchor*7919+15) % (m+1) END AS negative
+         |  FROM p CROSS JOIN mx)
+         |SELECT anchor, positive, negative FROM t
+         |WHERE negative IN (SELECT doc_id FROM documents)
+         |ORDER BY anchor, positive""".stripMargin,
     "textrank" -> {
       val iterCtes = (1 to 10).map { i =>
         s"""p$i AS (SELECT e.b AS t,

@@ -318,6 +318,38 @@ object Dedup {
     exactKept.join(nearDupLosers, Seq(idCol), "left_anti")
   }
 
+  /** Contrastive training triplets from the near-dup structure: each LSH
+    * candidate pair at or above `minEstJaccard` yields (anchor, positive);
+    * the negative is a deterministic pseudo-random pick — `(anchor·7919 +
+    * 13) mod (maxId+1)`, stepping forward up to twice to dodge collisions
+    * with the anchor or positive (3 candidates, 2 exclusions: one always
+    * survives) and inner-joined back to the corpus so only real ids ship.
+    * Hash-derived rather than rand() for the usual reason: triplets are
+    * reproducible across retries, repartitions and engines, which is what
+    * makes a contrastive-pairs dataset versionable.
+    *
+    * Scale: pairs come from the banded bucket join (never all-pairs); the
+    * negative assignment is a map-side expression plus one join on the
+    * (unique) id — nothing new shuffles at corpus size.
+    */
+  def contrastiveTriplets(df: DataFrame, idCol: String, textCol: String,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val pairs = lshCandidates(
+      minhashSignatures(df, idCol, textCol), idCol, bands = 4, rowsPerBand = 2)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("a_id").as("anchor"), col("b_id").as("positive"))
+    val mx = df.agg(max(col(idCol)).as("__m"))
+    val n = col("__m") + 1L
+    def cand(step: Int): Column = (col("anchor") * 7919L + lit(13L + step)) % n
+    val neg = when(cand(0) =!= col("anchor") && cand(0) =!= col("positive"), cand(0))
+      .otherwise(when(cand(1) =!= col("anchor") && cand(1) =!= col("positive"), cand(1))
+        .otherwise(cand(2)))
+    pairs.crossJoin(broadcast(mx))
+      .select(col("anchor"), col("positive"), neg.as("negative"))
+      .join(df.select(col(idCol).as("negative")), Seq("negative"))
+      .select("anchor", "positive", "negative")
+  }
+
   /** Local-overlap candidate pairs over winnowed fingerprints: explode
     * each document's winnowing set ([[TextAnalysis.winnow]]), equi-join
     * on the fingerprint, keep pairs sharing at least `minShared` — the

@@ -1181,6 +1181,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(1L).getAs[Double]("blend") == 0.5)
   }
 
+  test("contrastiveTriplets: negatives are real ids, never the anchor or positive") {
+    val df = docs(
+      0L -> "w1 w2 w3 w4 w5 w6",
+      1L -> "w1 w2 w3 w4 w5 w6",  // near-dup of 0 → pair (0, 1)
+      2L -> "a b c d e f",
+      3L -> "a b c d e f",        // pair (2, 3)
+      4L -> "completely different text here now")
+    val out = Dedup.contrastiveTriplets(df, "doc_id", "text").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, p, n) = (r.getAs[Long]("anchor"),
+        r.getAs[Long]("positive"), r.getAs[Long]("negative"))
+      assert(n != a && n != p, s"negative $n collides in ($a, $p)")
+      assert(n >= 0L && n <= 4L, s"negative $n is not a real doc id")
+    }
+    // determinism: same input → same triplets, any partitioning
+    val again = Dedup.contrastiveTriplets(df.repartition(7), "doc_id", "text")
+      .collect().map(_.toString).toSet
+    assert(again == out.map(_.toString).toSet)
+  }
+
   test("textrank: hub token of a star graph outranks the leaves") {
     // hub-leaf alternation ENDING on hub so every leaf carries the same
     // edge weight (a trailing leaf would miss its return edge): hub
