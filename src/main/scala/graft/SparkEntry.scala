@@ -938,6 +938,9 @@ object SparkEntry {
     "event_transitions" -> ((s, dir) =>
       EventAnalytics.transitions(t(s, dir, "events"))
         .orderBy("prev_type", "next_type")),
+    "attribution" -> ((s, dir) =>
+      EventAnalytics.firstTouchAttribution(t(s, dir, "events"), "purchase")
+        .orderBy("first_touch")),
     "funnel_timing" -> ((s, dir) => {
       // Inter-stage conversion timing off ONE funnelTimes pass: posexplode
       // keeps the times array alongside each stage so the previous stage's
@@ -2169,6 +2172,24 @@ object SparkEntry {
         |      FROM events)
         |WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "attribution" ->
+      """WITH x AS (SELECT *, epoch_ms(ts) ms,
+        |  CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |       THEN 1 ELSE 0 END ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) session_id
+        |      FROM x),
+        |z AS (SELECT *, first_value(event_type) OVER (
+        |        PARTITION BY user_id, session_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) first_touch
+        |      FROM y)
+        |SELECT first_touch, CAST(count(*) AS BIGINT) AS conversions,
+        |  round(sum(value), 2) AS total_value
+        |FROM z WHERE event_type = 'purchase'
+        |GROUP BY first_touch ORDER BY first_touch""".stripMargin,
     "bpe_merge" ->
       s"""WITH $toksCte
          |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (

@@ -145,4 +145,39 @@ object EventAnalytics {
       .groupBy("prev_type", "next_type")
       .agg(count(lit(1)).as("n"))
   }
+
+  /** First-touch conversion attribution: credit each `conversionType`
+    * event to the FIRST event type of the same user's session (gap rule
+    * as in [[graft.streaming.EventStream.sessionizeBatch]]), and count
+    * conversions + summed value per first-touch channel. One user-keyed
+    * shuffle carries the session assignment, the first-touch lookup and
+    * the conversion scan — the three windows share the (user, ts, id)
+    * sort order, so no re-exchange between them.
+    */
+  def firstTouchAttribution(
+      events: DataFrame,
+      conversionType: String,
+      gapMinutes: Int = 30,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      orderCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(orderCol))
+    val gapMs = gapMinutes * 60L * 1000L
+    val ms = unix_millis(col(tsCol))
+    val prevMs = lag(ms, 1).over(byUser)
+    val isNew = when(prevMs.isNull || ms - prevMs > gapMs, 1L).otherwise(0L)
+    val bySession = Window.partitionBy(col(userCol), col("__session"))
+      .orderBy(col(tsCol), col(orderCol))
+    events
+      .withColumn("__session", sum(isNew).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("first_touch", first(col(typeCol)).over(
+        bySession.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col(typeCol) === conversionType)
+      .groupBy("first_touch")
+      .agg(count(lit(1)).as("conversions"),
+        round(sum(col("value")), 2).as("total_value"))
+  }
 }

@@ -122,6 +122,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
       canon(EventAnalytics.transitions(events)))
   }
 
+  test("attribution credits the SESSION's first touch, not the user's first event") {
+    // user 1: morning session (ad → purchase), then after a >30 min gap an
+    // evening session (email → purchase). Each purchase credits its OWN
+    // session's first touch — a user-level first-touch would put both on
+    // 'ad'.
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "ad"),
+      (1L, "2024-01-01 10:10:00", "purchase"),
+      (1L, "2024-01-01 18:00:00", "email"),
+      (1L, "2024-01-01 18:05:00", "purchase"),
+      (2L, "2024-01-01 09:00:00", "purchase")) // converts on arrival: credits itself
+      .withColumn("value", lit(10.0))
+    val out = EventAnalytics.firstTouchAttribution(events, "purchase")
+      .collect().map(r => r.getAs[String]("first_touch") ->
+        (r.getAs[Long]("conversions"), r.getAs[Double]("total_value"))).toMap
+    assert(out == Map(
+      "ad" -> ((1L, 10.0)),
+      "email" -> ((1L, 10.0)),
+      "purchase" -> ((1L, 10.0))))
+  }
+
   test("mergePairs emits adjacent token pairs; tokenEntropy matches closed form") {
     import spark.implicits._
     val df = Seq((1L, "a b b a"), (2L, "x"), (3L, "")).toDF("doc_id", "text")

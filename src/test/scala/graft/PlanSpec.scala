@@ -344,6 +344,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("attribution: the three windows share ONE user-key exchange") {
+    val p = plan("attribution")
+    // session assignment, first-touch lookup and the conversion filter all
+    // ride the same (user, ts, id) sort — a re-exchange between windows
+    // would show extra hashpartitioning exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"windows must share the user exchange (≤1 user + 1 agg):\n$p")
+  }
+
   test("oov_rate: vocabulary head broadcasts; tokens never shuffle for the join") {
     val p = plan("oov_rate")
     assert(p.contains("BroadcastHashJoin"),
