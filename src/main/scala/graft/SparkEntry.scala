@@ -1001,6 +1001,32 @@ object SparkEntry {
           col("n").cast("double") / sum(col("n")).over(w).cast("double"), 4))
         .orderBy(col("n").desc, col("pair")).limit(30)
     }),
+    "perplexity" -> ((s, dir) => {
+      // the classic LLM quality filter: per-doc cross-entropy under the
+      // corpus bigram LM (add-one smoothed). The LM is vocab²-bounded —
+      // one corpus pair count, broadcast back over the pair stream; at
+      // web scale prune the LM head first, same shape. Scoring the
+      // corpus under its own LM makes every pair in-vocabulary, so the
+      // smoothing never hits the unseen-pair branch (deterministic).
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id"),
+        explode(TextAnalysis.mergePairs(col("text"))).as("pair"))
+      val lm = pairs.groupBy("pair")
+        .agg(count(lit(1)).cast("double").as("n_ab"))
+        .withColumn("w1", split(col("pair"), " ").getItem(0))
+      val pre = lm.groupBy("w1").agg(sum(col("n_ab")).as("n_w1"))
+      val v = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .agg(countDistinct(col("t")).cast("double").as("__v"))
+      val prob = lm.join(pre, "w1").crossJoin(broadcast(v))
+        .select(col("pair"),
+          ((col("n_ab") + 1.0) / (col("n_w1") + col("__v"))).as("prob"))
+      pairs.join(broadcast(prob), "pair")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(-avg(log2(col("prob"))), 4).as("cross_entropy"))
+        .orderBy("doc_id")
+    }),
     "dup_by_source" -> ((s, dir) =>
       // which ingest sources are duplicate-heavy: exact-hash distinct per
       // source rides Spark's two-level partial-distinct aggregate
@@ -2280,6 +2306,24 @@ object SparkEntry {
          |  CAST(sum(n) OVER (PARTITION BY split_part(pair, ' ', 1))
          |    AS DOUBLE), 4) AS p_cond
          |FROM cnt ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+    "perplexity" ->
+      s"""WITH $toksCte,
+         |pr AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |         i -> toks[i] || ' ' || toks[i+1])) AS pair
+         |       FROM toks WHERE len(toks) >= 2),
+         |lm AS (SELECT pair, CAST(count(*) AS DOUBLE) AS n_ab
+         |       FROM pr GROUP BY pair),
+         |pre AS (SELECT split_part(pair, ' ', 1) AS w1, sum(n_ab) AS n_w1
+         |        FROM lm GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+         |       FROM (SELECT unnest(toks) AS t FROM toks)),
+         |p AS (SELECT lm.pair, (lm.n_ab + 1.0) / (pre.n_w1 + vv.v) AS prob
+         |      FROM lm JOIN pre ON split_part(lm.pair, ' ', 1) = pre.w1
+         |      CROSS JOIN vv)
+         |SELECT pr.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(-avg(log2(p.prob)), 4) AS cross_entropy
+         |FROM pr JOIN p USING (pair)
+         |GROUP BY pr.doc_id ORDER BY pr.doc_id""".stripMargin,
     "dup_by_source" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
