@@ -941,6 +941,19 @@ object SparkEntry {
     "attribution" -> ((s, dir) =>
       EventAnalytics.firstTouchAttribution(t(s, dir, "events"), "purchase")
         .orderBy("first_touch")),
+    "funnel_rates" -> ((s, dir) => {
+      // stage-to-stage conversion rates off the same single funnel pass;
+      // the lag window runs over the K-row stage relation
+      val stages = EventAnalytics.funnel(t(s, dir, "events"),
+        Seq("signup", "view", "click", "purchase"),
+        windowSec = Some(48L * 3600))
+      val w = Window.orderBy("stage")
+      stages
+        .withColumn("rate", round(
+          col("users").cast("double") /
+            lag(col("users"), 1).over(w).cast("double"), 4))
+        .orderBy("stage")
+    }),
     "funnel_timing" -> ((s, dir) => {
       // Inter-stage conversion timing off ONE funnelTimes pass: posexplode
       // keeps the times array alongside each stage so the previous stage's
@@ -2153,6 +2166,29 @@ object SparkEntry {
         |  UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM s3
         |  UNION ALL SELECT 4, CAST(count(*) AS BIGINT) FROM s4)
         |ORDER BY stage""".stripMargin,
+    "funnel_rates" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 48 HOUR GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t2 + INTERVAL 48 HOUR GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        |       JOIN s3 ON e.user_id = s3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+        |         AND e.ts <= s3.t3 + INTERVAL 48 HOUR GROUP BY e.user_id),
+        |st AS (SELECT stage, users FROM (
+        |  SELECT 1 AS stage, CAST(count(*) AS BIGINT) AS users FROM s1
+        |  UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 4, CAST(count(*) AS BIGINT) FROM s4))
+        |SELECT stage, users, round(CAST(users AS DOUBLE) /
+        |  CAST(lag(users) OVER (ORDER BY stage) AS DOUBLE), 4) AS rate
+        |FROM st ORDER BY stage""".stripMargin,
     "funnel_timing" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'signup' GROUP BY user_id),
