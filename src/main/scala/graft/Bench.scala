@@ -116,12 +116,24 @@ object Bench {
     val runsOut = sys.env.getOrElse("SPARK_GRAFT_RUNS_OUT", "bench_runs.json")
     try {
       val w = new java.io.PrintWriter(runsOut, "UTF-8")
-      try w.println(s"""{"runs":$runs,"sf":"$sfDir"}""") finally w.close()
+      try w.println(s"""{"queries":$qs,"runs":$runs,"sf":"$sfDir"}""") finally w.close()
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] could not write $runsOut: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+    // Full per-query line FIRST (humans + the side file carry the detail)…
+    println(s"""{"metric":"total_full","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    // …then a COMPACT summary line LAST. The harness reads only the ≈2000-char
+    // tail of the build output; the full per-query map (~2.4 KB at 112
+    // queries) pushed the parseable line out of that window for four rounds
+    // ("parsed": null in BENCH_r01–r04). The tail-visible line must therefore
+    // stay small no matter how many queries exist: totals, counts, the failed
+    // list, and only the slowest 5 in "queries".
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
+      s""""failed":[${failed.mkString(",")}],"queries":$slowest,"detail":"$runsOut","sf":"$sfDir"}""")
     spark.stop()
   }
 }
