@@ -547,25 +547,92 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
     "ivf_topk" -> ((s, dir) => {
-      // k-means cells are not reproducible across engines → no oracle SQL;
-      // the driver records the weaker rows-only check, and PipelineOpsSpec
-      // holds the recall-vs-brute-force gate.
+      // k-means cell CONTENTS are not reproducible across engines, so the
+      // raw top-k rows can't be oracle-hashed. What CAN be hashed are the
+      // index's correctness invariants, recomputed inside the query as
+      // booleans whose expected value is a guaranteed property, not a
+      // statistical threshold:
+      //  - full_probe_exact: probing every cell must reproduce the exact
+      //    brute-force top-k row-for-row (same scoring, same rounding,
+      //    same tie-break — candidate union over all cells = whole corpus);
+      //  - recall_monotone: probe sets nest (4 nearest cells ⊆ all cells),
+      //    and top-k hits against the exact answer are monotone in the
+      //    candidate set (an exact-top-k member in the candidates can be
+      //    displaced only by the <k rows that beat it globally).
+      // Oracle = the same query ids with both booleans literally true.
+      // Each ANN pass is referenced ONCE (logical plans are trees — a
+      // DataFrame reused N times re-executes N times): bf widens with
+      // left-join indicator columns from both IVF passes, and one
+      // aggregate computes every gate.
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopK(
-        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
-        .orderBy("query_id", "rn")
+      val q = e.filter(col("vec_id") < 10)
+      val k = 5
+      val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k)
+      val ivfAll = Similarity.ivfTopK(q, e, "vec_id", "embedding", k,
+          nCells = 16, nProbe = 16)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cos").as("a_cos"), col("rn").as("a_rn"))
+      val ivf4 = Similarity.ivfTopK(q, e, "vec_id", "embedding", k,
+          nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__h4"))
+      bf.join(ivfAll, Seq("query_id", "neighbor_id"), "left")
+        .join(ivf4, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_bf"),
+          count(when(col("a_rn") === col("rn") && col("a_cos") === col("cos"),
+            1)).as("n_eq"),
+          count(col("a_rn")).as("hall"),
+          count(col("__h4")).as("h4"))
+        .select(col("query_id"), lit(k.toLong).as("k"),
+          (col("n_eq") === col("n_bf")).as("full_probe_exact"),
+          (col("h4") <= col("hall")).as("recall_monotone"))
+        .orderBy("query_id")
     }),
     "pq_topk" -> ((s, dir) => {
       // PQ-compressed ANN shortlist (32x smaller corpus vectors) scored
       // by true ADC: per-query lookup tables, m lookups per pair, no
-      // reconstruction. k-means codebooks aren't reproducible across
-      // engines → rows-only driver check; recall + ADC==decode-path
-      // equality gated in PipelineOpsSpec.
+      // reconstruction. The codebook is engine-specific, so the shortlist
+      // rows can't hash against DuckDB — but the operator's invariants
+      // can, recomputed inside the query:
+      //  - adc_eq_decode: the ADC lookup-table path must rank identically
+      //    to the reconstruct-then-dot path (both round to 4 decimals
+      //    before ranking; codebook training is a deterministic
+      //    driver-side Lloyd's on an md5-ordered sample, so this is
+      //    partition- and run-invariant);
+      //  - recall_ge_0_2: shortlist recall@20 against the exact top-20,
+      //    aggregated over all queries. Measured 0.32-0.48 across
+      //    sf0.001/0.01/0.1 (the synthetic embeddings are uniform random —
+      //    the hardest case for a 32x-lossy code; clustered real data
+      //    ranks far better, see the spec's fixture). A broken encoder
+      //    lands at ~depth/n ≈ 0.004, so 0.2 separates working from
+      //    broken with wide margin on both sides.
+      // Oracle = one row of literals (+ the DuckDB-computable query count).
+      // Single pass per ANN path (reused DataFrames re-execute): widen
+      // adc with indicator columns from the decode twin and the exact
+      // top-list, then one aggregate computes every gate. Both PQ paths
+      // and brute force emit exactly `depth` rows per query (corpus >>
+      // depth at every SF), so n_bf == n_adc and the recall denominator
+      // is the adc row count.
       val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val depth = 20
       val model = ProductQuant.train(e, "vec_id", "embedding", k = 64)
-      ProductQuant.pqTopKAdc(
-        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5, model)
-        .orderBy("query_id", "rn")
+      val adc = ProductQuant.pqTopKAdc(q, e, "vec_id", "embedding", depth, model)
+      val dec = ProductQuant.pqTopK(q, e, "vec_id", "embedding", depth, model)
+        .select(col("query_id"), col("rn"),
+          col("neighbor_id").as("d_nid"), col("cos").as("d_cos"))
+      val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", depth)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      adc.join(dec, Seq("query_id", "rn"), "left")
+        .join(bf, Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_adc"),
+          count(when(col("d_nid") === col("neighbor_id") &&
+            col("d_cos") === col("cos"), 1)).as("n_eq"),
+          count(col("__hit")).as("n_hits"))
+        .select(col("n_queries"),
+          (col("n_eq") === col("n_adc")).as("adc_eq_decode"),
+          (col("n_hits").cast("double") >= col("n_adc") * 0.2).as("recall_ge_0_2"))
     }),
     "json_props" -> ((s, dir) =>
       t(s, dir, "events")
@@ -604,30 +671,55 @@ object SparkEntry {
         .select(round(col("p25"), 4).as("p25"),
           round(col("p50"), 4).as("p50"),
           round(col("p90"), 4).as("p90"))),
-    "quantiles_approx" -> ((s, dir) =>
+    "quantiles_approx" -> ((s, dir) => {
       // The scale path Quantiles.scala documents: Greenwald–Khanna sketch,
       // mergeable partials, parallelism NOT bounded by group count (the
-      // exact form's limit). No oracle — GK and DuckDB's t-digest disagree
-      // in the last digits by design → driver rows-only check.
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
+      // exact form's limit). GK's last digits can't hash against DuckDB's
+      // t-digest, so the query emits the EXACT quantiles (hash-checked
+      // against quantile_cont like the `quantiles` query) next to
+      // per-quantile gates that the sketch landed within 1% relative of
+      // exact — at accuracy=10000 the rank error is <=n/10000, orders of
+      // magnitude inside a 1% value bound on this distribution.
+      val li = t(s, dir, "lineitem")
+      val ap = li.groupBy("l_returnflag")
         .agg(percentile_approx(col("l_extendedprice"),
           array(lit(0.25), lit(0.5), lit(0.9)), lit(10000)).as("ps"))
         .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 2).as("p25"),
-          round(element_at(col("ps"), 2), 2).as("p50"),
-          round(element_at(col("ps"), 3), 2).as("p90"))
-        .orderBy("l_returnflag")),
+          element_at(col("ps"), 1).as("a25"),
+          element_at(col("ps"), 2).as("a50"),
+          element_at(col("ps"), 3).as("a90"))
+      val ex = Quantiles.exact(li, Seq("l_returnflag"), "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+      def ok(a: Column, e: Column): Column = abs(a - e) <= abs(e) * 0.01
+      ex.join(ap, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          round(col("p25"), 4).as("p25"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"),
+          ok(col("a25"), col("p25")).as("p25_ok"),
+          ok(col("a50"), col("p50")).as("p50_ok"),
+          ok(col("a90"), col("p90")).as("p90_ok"))
+        .orderBy("l_returnflag")
+    }),
     "hll_users" -> ((s, dir) => {
       // materialize per-(event_type, day) HLL sketches, then answer the
       // per-type distinct-user question from sketch bytes alone — the
-      // store-once / re-aggregate-forever shape. Estimates are
-      // DataSketches-specific → rows-only driver check; mergeability and
-      // accuracy vs exact are asserted in PipelineOpsSpec.
-      val daily = DistinctSketch.sketch(
-        t(s, dir, "events").withColumn("day", to_date(col("ts"))),
-        Seq("event_type", "day"), "user_id")
-      DistinctSketch.estimate(daily, Seq("event_type"))
+      // store-once / re-aggregate-forever shape. The estimate itself is
+      // DataSketches-specific and can't hash against DuckDB, so the query
+      // emits the EXACT count (oracle-computable) next to a relative-error
+      // gate on the sketch estimate: lgK=12 HLL has ~1.6% standard error,
+      // so 5% is a ~3 sigma bound — and the sketch hash is seedless, so
+      // the estimate is deterministic for fixed data, not a coin flip.
+      val ev = t(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+      val daily = DistinctSketch.sketch(ev, Seq("event_type", "day"), "user_id")
+      val est = DistinctSketch.estimate(daily, Seq("event_type"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("approx_distinct") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("rel_err_le_5pct"))
         .orderBy("event_type")
     }),
     "distinct_users" -> ((s, dir) => {
@@ -2435,6 +2527,29 @@ object SparkEntry {
         |SELECT per.label AS label, CAST(count(*) AS BIGINT) AS n_vecs,
         |  round(avg(dot / (nx * cn.cn)), 4) AS mean_cos
         |FROM per JOIN cn ON per.label = cn.label
-        |GROUP BY per.label ORDER BY per.label""".stripMargin
+        |GROUP BY per.label ORDER BY per.label""".stripMargin,
+    // The four approximate operators emit invariant/accuracy gates as
+    // booleans (plus whatever exact values DuckDB can recompute), so the
+    // oracle is the same relation with the gates literally true — a
+    // hash-checked driver-visible pass/fail instead of a rows-only check.
+    "ivf_topk" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS k,
+        |  true AS full_probe_exact, true AS recall_monotone
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    "pq_topk" ->
+      """SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+        |  true AS adc_eq_decode, true AS recall_ge_0_2
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "hll_users" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  true AS rel_err_le_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "quantiles_approx" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  true AS p25_ok, true AS p50_ok, true AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

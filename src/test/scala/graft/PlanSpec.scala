@@ -221,7 +221,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("pq_topk: ADC table built once on the broadcast side, codes encoded once per row") {
+  test("pq_topk: ADC table built once on the broadcast side, codes encoded once per branch") {
     val p = plan("pq_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query set should broadcast:\n$p")
@@ -229,9 +229,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // never recomputed per joined pair
     assert("graft_pq_adc_table".r.findAllIn(p).size == 1,
       s"ADC table must be a query-side projection, not a per-pair expression:\n$p")
-    // corpus codes feed both the norm and the score from ONE encode
-    assert("graft_pq_encode".r.findAllIn(p).size == 1,
-      s"PQ encode must run once per corpus row:\n$p")
+    // the gated query runs the ADC path AND its decode-path differential
+    // twin (adc_eq_decode gate): one encode per corpus row per branch,
+    // never per pair
+    assert("graft_pq_encode".r.findAllIn(p).size == 2,
+      s"PQ encode must run once per corpus row in each of the two branches:\n$p")
   }
 
   test("q8_share: dims broadcast, region membership is a semi join, part filter pushed") {
@@ -284,15 +286,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"transitions reads unneeded event columns: $ptRead")
   }
 
-  test("driver contract: every query is oracle-gated or on the documented rows-only list") {
-    // The four rows-only queries are approximation algorithms whose
-    // results can't hash-match another engine (t-digest, HLL, k-means
-    // cells, PQ codebooks); each is accuracy- or recall-tested instead.
-    // Anything NEW must ship an oracle — this test fails otherwise.
-    val rowsOnly = Set("hll_users", "ivf_topk", "pq_topk", "quantiles_approx")
+  test("driver contract: every query is oracle-gated, no exceptions") {
+    // Round 5 closed the four formerly rows-only approximate queries
+    // (t-digest, HLL, k-means cells, PQ codebooks) by emitting their
+    // accuracy/invariant gates as hashable booleans, so the rows-only
+    // list is now EMPTY and must stay that way: anything new must ship
+    // an oracle — this test fails otherwise.
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(unchecked == rowsOnly,
-      s"queries without an oracle beyond the documented set: ${unchecked -- rowsOnly}")
+    assert(unchecked.isEmpty, s"queries without an oracle: $unchecked")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL with no query: $orphans")
   }
