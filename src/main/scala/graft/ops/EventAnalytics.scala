@@ -28,13 +28,27 @@ object EventAnalytics {
     * time (and within `windowSec` of it, when given — a conversion
     * window, the usual product-analytics semantics).
     *
-    * Single pass over events: filter to stage types, one shuffle to
-    * group by user, sort each user's (ts, type) list, then a linear
-    * fold computes all stage times in one sweep. The per-user fold is
-    * equivalent to the K chained `min(ts) WHERE ts > prev` aggregations
-    * a SQL oracle expresses, but scans the events relation once instead
-    * of K times — at 100 TB the scan dominates, so K passes would cost
-    * K× the whole job.
+    * Single scan over events, single user-key shuffle: stage times are K
+    * STACKED WINDOW AGGREGATES over the same `partitionBy(user)` spec —
+    * stage 1 is `min(ts) filter (type = s1)` over the user's partition,
+    * and stage i+1 is `min(ts) filter (type = s_{i+1} AND ts > t_i AND
+    * ts <= t_i + w)`, referencing stage i's time as a per-row column the
+    * previous window already attached. The chain is algebraically the
+    * fold "earliest next-stage event strictly after the previous stage
+    * (within the window)" — K dependent windows can't collapse into one
+    * operator, but they share one exchange and one sort, so the plan
+    * stays single-scan single-shuffle, and a same-partitioning
+    * `groupBy(user)` dedupes the per-row copies at the end (exchange
+    * already in place, min state per user).
+    *
+    * Whale-user posture: the previous formulation materialized each
+    * user's full (ts, type) event array in ONE `collect_list` aggregation
+    * buffer — in-memory only, so a crawler/bot user with 10⁷ events meant
+    * a 10⁷-struct buffer in a single task at 100× scale. WindowExec's
+    * partition buffer (`ExternalAppendOnlyUnsafeRowArray`) SPILLS past
+    * `spark.sql.windowExec.buffer.spill.threshold` rows, so a whale user
+    * costs disk, never heap; every aggregation buffer downstream is a
+    * single long per user.
     *
     * Output: (userCol, stage_times array<timestamp> of length
     * stages.size, entry i null when stage i+1 was never reached).
@@ -48,36 +62,29 @@ object EventAnalytics {
       typeCol: String = "event_type"): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val k = stages.length
-    val stageArr = array(stages.map(lit): _*)
-    val winUs = windowSec.map(s => lit(s * 1000000L))
+    val w = Window.partitionBy(col(userCol))
     val ev = events
       .filter(col(typeCol).isin(stages: _*))
       .select(col(userCol),
-        // micros as long: HOF comparisons and window arithmetic on a
-        // primitive, and sort_array's struct ordering is then (time, type).
         unix_micros(col(tsCol)).as("ts_us"),
         col(typeCol).as("tp"))
-    ev.groupBy(userCol)
-      .agg(sort_array(collect_list(struct(col("ts_us"), col("tp")))).as("evs"))
-      .select(
-        col(userCol),
-        transform(
-          aggregate(
-            col("evs"),
-            array_repeat(lit(null).cast("long"), k),
-            (acc, e) => {
-              // Stages fill strictly in order, so the next stage to fill
-              // (0-based) is the count of already-filled entries.
-              val i = size(filter(acc, x => x.isNotNull))
-              val prev = element_at(acc, i) // 1-based: acc[i] = stage i's time
-              val isNextType = element_at(stageArr, i + 1) === e("tp")
-              val inWindow =
-                winUs.map(w => e("ts_us") <= prev + w).getOrElse(lit(true))
-              val afterPrev = i === 0 || (e("ts_us") > prev && inWindow)
-              when(i < k && isNextType && afterPrev,
-                transform(acc, (x, j) => when(j === i, e("ts_us")).otherwise(x)))
-                .otherwise(acc)
-            }),
+    val withTimes = (1 until k).foldLeft(
+      ev.withColumn("t0",
+        min(when(col("tp") === stages.head, col("ts_us"))).over(w))) {
+      case (df, i) =>
+        val prev = col(s"t${i - 1}")
+        val inWindow = windowSec
+          .map(ws => col("ts_us") <= prev + lit(ws * 1000000L))
+          .getOrElse(lit(true))
+        df.withColumn(s"t$i",
+          min(when(col("tp") === stages(i) &&
+            col("ts_us") > prev && inWindow, col("ts_us"))).over(w))
+    }
+    withTimes.groupBy(userCol)
+      .agg(min(col("t0")).as("t0"),
+        (1 until k).map(i => min(col(s"t$i")).as(s"t$i")): _*)
+      .select(col(userCol),
+        transform(array((0 until k).map(i => col(s"t$i")): _*),
           t => timestamp_micros(t)).as("stage_times"))
   }
 
@@ -161,7 +168,8 @@ object EventAnalytics {
       userCol: String = "user_id",
       tsCol: String = "ts",
       typeCol: String = "event_type",
-      orderCol: String = "event_id"): DataFrame = {
+      orderCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
     val byUser = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(orderCol))
     val gapMs = gapMinutes * 60L * 1000L
@@ -178,6 +186,6 @@ object EventAnalytics {
       .filter(col(typeCol) === conversionType)
       .groupBy("first_touch")
       .agg(count(lit(1)).as("conversions"),
-        round(sum(col("value")), 2).as("total_value"))
+        round(sum(col(valueCol)), 2).as("total_value"))
   }
 }

@@ -78,6 +78,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(f.toSeq == Seq((1, 2L), (2, 1L)))
   }
 
+  test("funnel whale-user: 10^6-event user runs with O(K) per-user state, exact result") {
+    // One bot/crawler user emits a million pre-signup 'view' events (none
+    // may count: stage order), then converts normally; a normal user
+    // converts alongside. The rewritten funnel keeps K longs of state per
+    // user — the plan must contain NO collect_list buffer (the old shape
+    // materialized the whole 10^6-struct event array in one agg buffer).
+    val base = 1704100000000000L // 2024-01-01T08:46:40Z in micros
+    val whaleNoise = spark.range(1000000).select(
+      col("id").as("event_id"), lit(99L).as("user_id"),
+      timestamp_micros(lit(base) + col("id")).as("ts"),
+      lit("view").as("event_type"))
+    val tail = ev(
+      (99L, "2024-01-02 00:00:00", "signup"),
+      (99L, "2024-01-02 01:00:00", "view"),
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 11:00:00", "view"))
+      .select("event_id", "user_id", "ts", "event_type")
+    val ft = EventAnalytics.funnelTimes(whaleNoise.union(tail), Seq("signup", "view"))
+    val plan = ft.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      s"funnel must not materialize per-user event arrays:\n$plan")
+    val got = ft.collect().map(r => r.getLong(0) ->
+      r.getSeq[Timestamp](1).map(Option(_))).toMap
+    assert(got(99L) == Seq(Some(ts("2024-01-02 00:00:00")),
+      Some(ts("2024-01-02 01:00:00"))),
+      s"whale user stage times wrong: ${got(99L)}")
+    assert(got(1L) == Seq(Some(ts("2024-01-01 10:00:00")),
+      Some(ts("2024-01-01 11:00:00"))))
+  }
+
   test("retention counts a user once per (cohort, week) and uses first-contact cohort") {
     val events = ev(
       (1L, "2024-01-01 10:00:00", "view"),     // cohort 2024-01-01 (not activity)
