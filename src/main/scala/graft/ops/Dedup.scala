@@ -389,10 +389,14 @@ object Dedup {
     * DataFrame-native connected components (each round = one broadcast-or
     * -shuffle join + one aggregate; rounds needed = graph diameter, and
     * near-dup graphs are shallow clusters, so 3–5 rounds in practice).
-    * `localCheckpoint` truncates the growing lineage each round —
-    * without it the plan doubles per iteration and Catalyst analysis
-    * time, not the data, becomes the bottleneck (on a cluster use
-    * `checkpoint` with a reliable dir instead). Convergence detection is
+    * Lineage is truncated each round — without that the plan doubles
+    * per iteration and Catalyst analysis time, not the data, becomes the
+    * bottleneck. `checkpointDir` picks the truncation mechanism:
+    * unset ⇒ `localCheckpoint` (fast, but blocks live on executors — an
+    * executor loss mid-iteration kills the job, acceptable only on
+    * local/test runs); set ⇒ reliable `checkpoint` to that directory
+    * (HDFS/object store on a cluster), which survives executor loss and
+    * is the production arrangement. Convergence detection is
     * folded INTO the label aggregate: labels only ever decrease, so
     * carrying each node's previous label through the same `min`
     * aggregation (tagged rows) makes "did anything change" a filter over
@@ -404,10 +408,15 @@ object Dedup {
     * are omitted (join back with a coalesce default when needed).
     */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    // Reliable checkpoint requires a dir on the context; setting it is
+    // idempotent (creates the directory, updates the path).
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    val edges = truncate(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     var labels = edges.select(col("src").as(aCol)).distinct()
       .withColumn("comp", col(aCol))
     var converged = false
@@ -417,12 +426,12 @@ object Dedup {
       // after the aggregate so the convergence probe needs no extra join.
       val viaEdge = edges.join(labels.withColumnRenamed(aCol, "src"), "src")
         .select(col("dst").as(aCol), col("comp"), lit(false).as("__own"))
-      val next = labels.withColumn("__own", lit(true))
-        .union(viaEdge)
-        .groupBy(aCol).agg(
-          min("comp").as("comp"),
-          min(when(col("__own"), col("comp"))).as("__old"))
-        .localCheckpoint()
+      val next = truncate(
+        labels.withColumn("__own", lit(true))
+          .union(viaEdge)
+          .groupBy(aCol).agg(
+            min("comp").as("comp"),
+            min(when(col("__own"), col("comp"))).as("__old")))
       val changed = next.filter(col("comp") < col("__old")).limit(1).count()
       labels = next.select(col(aCol), col("comp"))
       converged = changed == 0L

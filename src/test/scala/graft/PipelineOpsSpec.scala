@@ -176,6 +176,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("components: reliable-checkpoint path (checkpointDir set) matches localCheckpoint path") {
+    import spark.implicits._
+    // Same graph as above, but lineage truncation goes through reliable
+    // `checkpoint` — the cluster arrangement where truncated blocks must
+    // survive executor loss. Results must be identical to the default.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (21L, 20L), (22L, 21L)).toDF("a_id", "b_id")
+    val reliable = graft.ops.Dedup.components(pairs, "a_id", "b_id",
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // the reliable dir must actually have been used
+    assert(new java.io.File(dir).listFiles().nonEmpty,
+      s"no checkpoint data written under $dir")
+  }
+
   test("ngram jaccard: self-similar pair scores 1.0, threshold filters the rest") {
     val df = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "v w x y z")
     val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", minJaccard = 0.5)
