@@ -86,13 +86,22 @@ object Maintenance {
     require(cols.size >= 2, "z-ordering needs at least 2 columns")
     require(cols.size <= 4, "16 bits × >4 columns exceeds a long z-key")
     val k = cols.size
+    // 4 columns × 16 bits would place the top interleaved bit on long bit
+    // 63 — the SIGN bit — so half the key space sorted negative-first,
+    // breaking true Morton order for persisted/compared keys. One less
+    // quantization bit keeps the key inside 60 bits and the order exact;
+    // the resolution loss (32k vs 65k cells per dimension) is irrelevant
+    // for file-level clustering.
+    val bits = if (k == 4) 15 else 16
+    val maxQ = (1L << bits) - 1
     val quantized = cols.map { c =>
       val x = col(c).cast("double")
       val lo = col(s"__min_$c"); val hi = col(s"__max_$c")
       val unit = (x - lo) / greatest(hi - lo, lit(1e-300))
-      least(greatest(floor(unit * 65535.0), lit(0.0)), lit(65535.0)).cast("long")
+      least(greatest(floor(unit * maxQ.toDouble), lit(0.0)),
+        lit(maxQ.toDouble)).cast("long")
     }
-    (0 until 16).foldLeft(lit(0L)) { (acc, bit) =>
+    (0 until bits).foldLeft(lit(0L)) { (acc, bit) =>
       quantized.zipWithIndex.foldLeft(acc) { case (a, (q, d)) =>
         a.bitwiseOR(shiftleft(q.bitwiseAND(lit(1L << bit)),
           bit * (k - 1) + (k - 1 - d)))

@@ -49,10 +49,17 @@ object TextRank {
       .select(col("a"), col("b"), (col("w") / col("__wout")).as("frac"))
     var pr = frac.select(col("a").as("token")).distinct()
       .withColumn("pr", lit(1.0))
+    // Teleport constant via exact DECIMAL subtraction: `1.0 - 0.85` in
+    // doubles is 0.15000000000000002, one ulp above the 0.15 a SQL oracle
+    // writes as a literal — a cross-engine constant divergence the
+    // per-iteration rounding would otherwise have to absorb. BigDecimal
+    // gives the exact decimal (0.15), whose nearest double is what any
+    // engine parses from the same literal.
+    val teleport = (BigDecimal(1) - BigDecimal(damping)).toDouble
     for (_ <- 1 to iters) {
       pr = frac.join(pr, frac("a") === pr("token"))
         .groupBy(col("b"))
-        .agg(round(lit(1.0 - damping) +
+        .agg(round(lit(teleport) +
           lit(damping) * sum(col("frac") * col("pr")), 12).as("pr"))
         .select(col("b").as("token"), col("pr"))
     }
