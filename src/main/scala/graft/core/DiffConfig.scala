@@ -15,6 +15,16 @@ import org.apache.spark.sql.DataFrame
   *                      stringified and nulls become the literal "null" so
   *                      null keys match each other (`src/index.js:272-278`).
   *                      `false` = native typed keys with SQL null semantics.
+  * @param positionalDupKeys strict reference-compat duplicate-key pairing:
+  *                      the reference's sort-merge loop pairs equal keys
+  *                      1:1 positionally (`src/index.js:183-220`) where a
+  *                      relational join cross-products. `true` appends a
+  *                      per-key occurrence number (rows ordered by payload —
+  *                      deterministic under any partitioning, unlike file
+  *                      order which a distributed shuffle does not preserve)
+  *                      to the join key, restoring 1:1 pairing: the i-th
+  *                      old row of a key diffs against the i-th new row,
+  *                      unpaired extras classify added/removed.
   *
   * No codec knob: the Avro source auto-detects null/deflate/snappy/zstd from
   * the file header (the reference needed a manual flag, `src/config.js:3`).
@@ -23,7 +33,8 @@ final case class DiffConfig(
     schema: Option[String] = None,
     keepFields: Option[Seq[String]] = None,
     ignoreFields: Option[Seq[String]] = None,
-    stringKeys: Boolean = true) {
+    stringKeys: Boolean = true,
+    positionalDupKeys: Boolean = false) {
 
   /** A field survives iff not ignored AND (no allow-list OR allowed) —
     * exactly the reference's `filteredSchema` (`src/index.js:43-45`), but

@@ -18,10 +18,11 @@ import graft.core.{Canon, DiffConfig}
   *     reference (which loses deleted values, `src/index.js:26-28`), we
   *     keep both old and new values.
   *
-  * Divergence (documented, SURVEY §7.4.3): on duplicate keys the reference
-  * pairs rows positionally; a relational join cross-products them. Run
-  * [[DataTests.keyUniqueness]] first — the reference's own data test does
-  * the same (`src/dataTest.js:4-25`).
+  * Duplicate keys (SURVEY §7.4.3): the reference pairs them positionally
+  * 1:1 (`src/index.js:183-220`); a relational join cross-products. By
+  * default run [[DataTests.keyUniqueness]] first — the reference's own
+  * data test does the same (`src/dataTest.js:4-25`) — or set
+  * [[graft.core.DiffConfig.positionalDupKeys]] for strict 1:1 pairing.
   *
   * Scale notes: the join shuffles both sides by the normalized key and
   * Spark plans a SortMergeJoin (or shuffled hash under AQE); nothing is
@@ -69,11 +70,27 @@ object KeyDiff {
         val c = if (cfg.stringKeys) compatKey(df(f)) else df(f)
         c.as(a)
       }
-      df.select((ks :+ struct(cols.map(df.col): _*).as(payload)).toIndexedSeq: _*)
+      val base =
+        df.select((ks :+ struct(cols.map(df.col): _*).as(payload)).toIndexedSeq: _*)
+      if (!cfg.positionalDupKeys) base
+      else {
+        // Occurrence number per key, ordered by the payload's string form
+        // (struct ordering rejects map-typed fields; the string cast is
+        // total and deterministic — identical payloads tie arbitrarily,
+        // which pairs them with identical rows either way). The window
+        // shuffles on the same key hash the join needs, so it adds a sort,
+        // not an exchange.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyAlias.map(col): _*)
+          .orderBy(col(payload).cast("string"))
+        base.withColumn("__k_pos", row_number().over(w))
+      }
     }
 
+    val joinKeys =
+      if (cfg.positionalDupKeys) keyAlias :+ "__k_pos" else keyAlias
     val joined = keyed(o, "old")
-      .join(keyed(n, "new"), keyAlias, "full_outer")
+      .join(keyed(n, "new"), joinKeys, "full_outer")
 
     val oldP = col("old")
     val newP = col("new")
@@ -90,13 +107,39 @@ object KeyDiff {
 
     // Schema-driven field diff (reference O11, `detailedDiff` at
     // src/index.js:205) as pure Catalyst expressions — stays in codegen.
-    val entries = cols.map { f =>
-      struct(
-        lit(f).as("key"),
-        when(!fieldEq(f),
-          struct(
-            oldP.getField(f).cast("string").as("old_value"),
-            newP.getField(f).cast("string").as("new_value"))).as("value"))
+    // Like the reference's deep-object-diff, STRUCT fields recurse to the
+    // changed LEAF paths (dotted keys, e.g. "info.priority") instead of
+    // reporting the whole nested blob; arrays and maps compare atomically
+    // (SURVEY O11). A struct that is null on exactly one side reports at
+    // the struct's own path (leaf-wise recursion cannot distinguish
+    // "missing struct" from "struct of nulls", so presence changes get
+    // their own entry and leaves only compare when both sides are
+    // present).
+    import org.apache.spark.sql.types.{DataType, StructType}
+    def leafEntries(path: String, dt: DataType, oc: Column, nc: Column,
+        gate: Column): Seq[Column] = dt match {
+      case st: StructType =>
+        val presence = struct(
+          lit(path).as("key"),
+          when(gate && (oc.isNull =!= nc.isNull),
+            struct(
+              oc.cast("string").as("old_value"),
+              nc.cast("string").as("new_value"))).as("value"))
+        presence +: st.fields.toSeq.flatMap { sf =>
+          leafEntries(s"$path.${sf.name}", sf.dataType,
+            oc.getField(sf.name), nc.getField(sf.name),
+            gate && oc.isNotNull && nc.isNotNull)
+        }
+      case _ =>
+        Seq(struct(
+          lit(path).as("key"),
+          when(gate && !Canon.nullSafeEq(oc, nc, dt),
+            struct(
+              oc.cast("string").as("old_value"),
+              nc.cast("string").as("new_value"))).as("value")))
+    }
+    val entries = cols.flatMap { f =>
+      leafEntries(f, fieldTypes(f), oldP.getField(f), newP.getField(f), lit(true))
     }
     val changed = map_from_entries(
       filter(array(entries.toIndexedSeq: _*), e => e.getField("value").isNotNull))

@@ -48,6 +48,62 @@ class CoreDiffSpec extends AnyFunSuite {
     assert(n.filter(col(KeyDiff.StatusCol) === "removed").count() == 1)
   }
 
+  test("keyDiff nested structs: changed LEAF paths reported dotted, presence changes at struct path") {
+    import spark.implicits._
+    // reference detailedDiff recurses into nested records
+    // (/root/reference/src/index.js:205, deep-object-diff): a changed leaf
+    // must report "addr.city", not an atomic "addr" blob.
+    val old = Seq(
+      (1L, ("springfield", 10)),          // city changes
+      (2L, ("shelbyville", 20)),          // unchanged
+      (3L, ("ogdenville", 30)))           // struct nulled on new side
+      .toDF("id", "addr")
+      .select(col("id"), col("addr").cast("struct<city:string,zip:int>"))
+    val neu = Seq(
+      (1L, Some(("shelbyville", 10))),
+      (2L, Some(("shelbyville", 20))),
+      (3L, None))
+      .toDF("id", "addr")
+      .select(col("id"), col("addr").cast("struct<city:string,zip:int>"))
+    val d = KeyDiff.diff(old, neu, Seq("id"))
+    val fields = d.filter(col(KeyDiff.StatusCol) === "changed")
+      .select(col("id"), map_keys(col(KeyDiff.ChangedFieldsCol)))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(fields("1") == Set("addr.city"),
+      s"leaf-path diff expected, got ${fields("1")}")
+    assert(fields("3") == Set("addr"),
+      s"one-sided-null struct must report at the struct path, got ${fields("3")}")
+    val leaf = d.filter(col("id") === "1")
+      .select(col(s"${KeyDiff.ChangedFieldsCol}")("addr.city"))
+      .collect().head.getStruct(0)
+    assert(leaf.getString(0) == "springfield" && leaf.getString(1) == "shelbyville")
+  }
+
+  test("keyDiff positionalDupKeys: duplicate keys pair 1:1 like the reference's merge loop") {
+    import spark.implicits._
+    // reference pairs equal keys positionally (src/index.js:183-220); the
+    // plain join cross-products (4 rows for 2x2 dups), the compat mode
+    // pairs i-th old with i-th new in payload order and classifies
+    // unpaired extras.
+    val old = Seq((1L, "a"), (1L, "b"), (2L, "only-old")).toDF("id", "name")
+    val neu = Seq((1L, "a"), (1L, "b2"), (1L, "c")).toDF("id", "name")
+    val plain = KeyDiff.diff(old, neu, Seq("id"))
+    assert(plain.filter(col("id") === "1").count() == 6) // 2x3 cross product
+    val pos = KeyDiff.diff(old, neu, Seq("id"),
+      DiffConfig(positionalDupKeys = true))
+    val rows = pos.filter(col("id") === "1")
+      .select(col(KeyDiff.StatusCol), col("old.name"), col("new.name"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("unchanged", "a", "a"),       // 1st old ↔ 1st new
+      ("changed", "b", "b2"),        // 2nd old ↔ 2nd new
+      ("added", null, "c")),         // unpaired 3rd new
+      s"positional pairing wrong: $rows")
+    assert(pos.filter(col("id") === "2").select(col(KeyDiff.StatusCol))
+      .collect().head.getString(0) == "removed")
+    assert(!pos.columns.contains("__k_pos"), "internal pos column must not leak")
+  }
+
   test("keyDiff self-diff is all unchanged (reference sampleDataTest)") {
     val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val d = KeyDiff.diff(orders, orders, Seq("o_orderkey"))
