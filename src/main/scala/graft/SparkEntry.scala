@@ -53,6 +53,32 @@ object SparkEntry {
   private def revenue: Column =
     col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** Shared parity oracle for the keyed diff over the orders snapshots —
+    * answered identically by the parquet-sourced diff (`keydiff_status`)
+    * and the Avro round-trip diff (`keydiff_avro`).
+    */
+  private val keydiffStatusSql =
+    s"""WITH o AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+       |n AS ($ordersNewSql)
+       |SELECT coalesce(CAST(o.o_orderkey AS VARCHAR), CAST(n.o_orderkey AS VARCHAR)) AS o_orderkey,
+       |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+       |       WHEN n.o_orderkey IS NULL THEN 'removed'
+       |       WHEN o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+       |        AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+       |        AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+       |        AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+       |        AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority
+       |       THEN 'unchanged' ELSE 'changed' END AS status,
+       |  CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL THEN
+       |    (CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey THEN 1 ELSE 0 END
+       |   + CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 1 ELSE 0 END
+       |   + CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 1 ELSE 0 END
+       |   + CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate THEN 1 ELSE 0 END
+       |   + CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 1 ELSE 0 END)
+       |  ELSE 0 END AS n_changed
+       |FROM o FULL OUTER JOIN n ON CAST(o.o_orderkey AS VARCHAR) = CAST(n.o_orderkey AS VARCHAR)
+       |ORDER BY o_orderkey""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own flagship is `keyDiff(old, new, [id])`
     * (`/root/reference/bin/key_diff.js:7-15`).
@@ -87,6 +113,55 @@ object SparkEntry {
         .withColumn("text", when(col("doc_id") % 3 === 0,
           concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
       KeyDiff.summary(KeyDiff.diff(v1, v2, Seq("doc_id")))
+    }),
+    "keydiff_nested" -> ((s, dir) => {
+      // Recursive leaf-path diff (the reference's detailedDiff granularity,
+      // src/index.js:205): nested snapshots synthesized from orders — the
+      // changed LEAF path "info.priority" must be reported with its own
+      // old/new values, never the whole struct blob.
+      def nest(df: DataFrame, perturb: Boolean): DataFrame = {
+        val priority =
+          if (perturb)
+            when(col("o_orderkey") % 3 === 0,
+              concat(lit("X-"), col("o_orderpriority")))
+              .otherwise(col("o_orderpriority"))
+          else col("o_orderpriority")
+        df.select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("status"),
+            priority.as("priority")).as("info"))
+      }
+      val o = nest(t(s, dir, "orders").filter(col("o_orderkey") % 7 =!= 0),
+        perturb = false)
+      val n = nest(t(s, dir, "orders").filter(col("o_orderkey") % 5 =!= 0),
+        perturb = true)
+      KeyDiff.diff(o, n, Seq("o_orderkey"))
+        .filter(col(KeyDiff.StatusCol) === "changed")
+        .select(col("o_orderkey"),
+          explode(col(KeyDiff.ChangedFieldsCol)).as(Seq("path", "v")))
+        .select(col("o_orderkey"), col("path"),
+          col("v.old_value").as("old_value"),
+          col("v.new_value").as("new_value"))
+        .orderBy("o_orderkey", "path")
+    }),
+    "keydiff_avro" -> ((s, dir) => {
+      // O1-O5 end-to-end under the driver's oracle: both snapshots
+      // round-trip the custom Avro source (container-file write, then
+      // splittable read-back), and the diff over the read-back frames must
+      // hash-match the same parity answer as keydiff_status — a full-path
+      // correctness row for the scan/codec/schema surface the unit suite
+      // previously gated alone.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_avro_e2e")
+        .toString
+      ordersOld(s, dir).write.format("avro").mode("overwrite")
+        .save(s"$tmp/old")
+      ordersNew(s, dir).write.format("avro").mode("overwrite")
+        .save(s"$tmp/new")
+      val o = s.read.format("avro").load(s"$tmp/old")
+      val n = s.read.format("avro").load(s"$tmp/new")
+      KeyDiff.diff(o, n, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col(KeyDiff.StatusCol),
+          coalesce(size(col(KeyDiff.ChangedFieldsCol)), lit(0)).as("n_changed"))
+        .orderBy("o_orderkey")
     }),
     // --- reference parity: venn multiset ops (O13) ------------------------
     "venn_removed" -> ((s, dir) =>
@@ -1196,27 +1271,23 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
-    "keydiff_status" ->
-      s"""WITH o AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
-         |n AS ($ordersNewSql)
-         |SELECT coalesce(CAST(o.o_orderkey AS VARCHAR), CAST(n.o_orderkey AS VARCHAR)) AS o_orderkey,
-         |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
-         |       WHEN n.o_orderkey IS NULL THEN 'removed'
-         |       WHEN o.o_custkey IS NOT DISTINCT FROM n.o_custkey
-         |        AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
-         |        AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
-         |        AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
-         |        AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority
-         |       THEN 'unchanged' ELSE 'changed' END AS status,
-         |  CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL THEN
-         |    (CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey THEN 1 ELSE 0 END
-         |   + CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 1 ELSE 0 END
-         |   + CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 1 ELSE 0 END
-         |   + CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate THEN 1 ELSE 0 END
-         |   + CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 1 ELSE 0 END)
-         |  ELSE 0 END AS n_changed
-         |FROM o FULL OUTER JOIN n ON CAST(o.o_orderkey AS VARCHAR) = CAST(n.o_orderkey AS VARCHAR)
-         |ORDER BY o_orderkey""".stripMargin,
+    "keydiff_status" -> keydiffStatusSql,
+    // the Avro round-trip is lossless, so the read-back diff answers the
+    // same oracle as the parquet-sourced diff
+    "keydiff_avro" -> keydiffStatusSql,
+    "keydiff_nested" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority FROM orders
+        |           WHERE o_orderkey % 7 <> 0),
+        |n AS (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 3 = 0 THEN 'X-' || o_orderpriority
+        |             ELSE o_orderpriority END AS p
+        |      FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT CAST(o.o_orderkey AS VARCHAR) AS o_orderkey,
+        |  'info.priority' AS path,
+        |  o.o_orderpriority AS old_value, n.p AS new_value
+        |FROM o JOIN n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderpriority <> n.p
+        |ORDER BY o_orderkey, path""".stripMargin,
     "keydiff_summary" ->
       s"""WITH o AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
          |n AS ($ordersNewSql),

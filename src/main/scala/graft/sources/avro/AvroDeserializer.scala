@@ -88,6 +88,11 @@ object AvroDeserializer {
         case _: LogicalTypes.TimestampMicros => identity
         case _ => v => v.asInstanceOf[Long] * 1000L // millis → micros
       }
+    case (LONG, TimestampNTZType) =>
+      s.getLogicalType match {
+        case _: LogicalTypes.LocalTimestampMicros => identity
+        case _ => v => v.asInstanceOf[Long] * 1000L // millis → micros
+      }
     case (FLOAT, FloatType) => identity
     case (DOUBLE, DoubleType) => identity
     case (STRING | ENUM, StringType) =>

@@ -30,6 +30,8 @@ object AvroSchemaConverter {
       schema.getLogicalType match {
         case _: LogicalTypes.TimestampMillis | _: LogicalTypes.TimestampMicros =>
           SchemaType(TimestampType, nullable = false)
+        case _: LogicalTypes.LocalTimestampMillis | _: LogicalTypes.LocalTimestampMicros =>
+          SchemaType(TimestampNTZType, nullable = false)
         case _ => SchemaType(LongType, nullable = false)
       }
     case FLOAT => SchemaType(FloatType, nullable = false)

@@ -47,6 +47,11 @@ object AvroSerializer {
       case TimestampType =>
         org.apache.avro.LogicalTypes.timestampMicros()
           .addToSchema(Schema.create(Schema.Type.LONG))
+      case TimestampNTZType =>
+        // session-independent wall-clock time: Avro's local-timestamp
+        // logical type (Avro 1.10+), micros since epoch-as-local
+        org.apache.avro.LogicalTypes.localTimestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
       case d: DecimalType =>
         org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
           .addToSchema(Schema.create(Schema.Type.BYTES))
@@ -70,7 +75,7 @@ object AvroSerializer {
     else schema
     dt match {
       case BooleanType | IntegerType | LongType | FloatType | DoubleType |
-           DateType | TimestampType => identity
+           DateType | TimestampType | TimestampNTZType => identity
       case ShortType => v => v.asInstanceOf[Short].toInt
       case ByteType => v => v.asInstanceOf[Byte].toInt
       case StringType => v => v.asInstanceOf[UTF8String].toString
