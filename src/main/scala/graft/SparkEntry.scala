@@ -413,6 +413,162 @@ object SparkEntry {
           round(sum("c_acctbal"), 2).as("totacctbal"))
         .orderBy("n_name")
     }),
+    "q2_mincost" -> ((s, dir) => {
+      // TPC-H Q2 shape — the correlated min-cost scalar subquery — over
+      // the lineitem-derived supply relation (this corpus has no partsupp
+      // table): per (part, supplier) the supply cost is
+      // min(l_extendedprice), EXACT (no float summation), and the
+      // correlated "= (SELECT min(cost) WHERE partkey = ...)" becomes a
+      // window min over the part key: one shuffle, no self-join, exact
+      // equality on both engines.
+      val supply = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min("l_extendedprice").as("cost"))
+      val best = supply
+        .withColumn("mc", min("cost").over(Window.partitionBy("l_partkey")))
+        .filter(col("cost") === col("mc"))
+      best
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_type") === "STANDARD" && col("p_size") <= 15)),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("r_regionkey") === col("n_regionkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+    "q9_profit" -> ((s, dir) => {
+      // TPC-H Q9 (product-line profit by nation and year): 6-relation
+      // join, dims broadcast, the one big-big join (lineitem x orders) on
+      // the shuffle path. Supply cost proxied at 60% of retail (no
+      // partsupp); per-row arithmetic is identical on both engines, only
+      // the final sum is rounded.
+      val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_name").contains("red"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("n_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(amount), 2).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    "q11_value" -> ((s, dir) => {
+      // TPC-H Q11 (inventory-share HAVING against a global-total scalar
+      // subquery) in EXACT integer arithmetic: "value above 1.5x the mean
+      // part value" as 2*value*n_parts > 3*total on BIGINTs — no float
+      // boundary to straddle (unlike the classic fraction-of-sum form),
+      // and mean-relative so the predicate keeps selecting rows at any
+      // scale factor (a fixed 1/1000-of-total fraction empties out as the
+      // part count grows). Total and count ride one single-partition
+      // window over the (part-bounded) aggregate, the q15 pattern.
+      val sup = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3")),
+          col("n_nationkey") === col("s_nationkey")))
+      val parts = t(s, dir, "lineitem")
+        .join(sup, col("s_suppkey") === col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(col("l_quantity").cast("long")).as("value"))
+      val all = Window.partitionBy()
+      parts
+        .withColumn("total", sum("value").over(all))
+        .withColumn("np", count(lit(1)).over(all))
+        .filter(col("value") * 2 * col("np") > col("total") * 3)
+        .select(col("l_partkey"), col("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+    "q12_priority" -> ((s, dir) => {
+      // TPC-H Q12 shape (shipment priority classification; l_returnflag
+      // stands in for l_shipmode and the ship-lag window for the
+      // commit/receipt dates this corpus lacks). Exact integer counts.
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+    "q16_suppcnt" -> ((s, dir) => {
+      // TPC-H Q16 (supplier count per part attribute): the NOT-IN
+      // complaints exclusion becomes an anti join against the (tiny,
+      // broadcast) negative-balance supplier list; distinct
+      // (part, supplier) pairs derive from lineitem.
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(t(s, dir, "part").filter(col("p_brand") =!= "Brand#1" &&
+            col("p_type") =!= "PROMO" && col("p_size") <= 25),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+    "q20_qtyshare" -> ((s, dir) => {
+      // TPC-H Q20 (correlated double-aggregate semi-join chain): suppliers
+      // who concentrated >20% of a small-part's lifetime shipments into
+      // 1997 — "5 * qty_1997 > qty_all" in exact BIGINTs (quantities are
+      // integral, so the sums are order-independent exact).
+      val pp = t(s, dir, "part").filter(col("p_name").startsWith("small"))
+        .select("p_partkey")
+      val concentrated = t(s, dir, "lineitem")
+        .join(broadcast(pp), col("p_partkey") === col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(when(year(col("l_shipdate")) === 1997, col("l_quantity"))
+            .otherwise(lit(0.0))).cast("long").as("q97"),
+          sum("l_quantity").cast("long").as("qall"))
+        .filter(col("q97") * 5 > col("qall"))
+        .select("l_suppkey").distinct()
+      t(s, dir, "supplier")
+        .join(concentrated, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy("s_name")
+    }),
+    "q21_waiting" -> ((s, dir) => {
+      // TPC-H Q21, the 4-way exists/not-exists stress shape: suppliers who
+      // were the ONLY >365-day-late supplier on a finished multi-supplier
+      // order. EXISTS = semi join against all other-supplier lines of the
+      // order; NOT EXISTS = anti join against other-supplier LATE lines.
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val late = li
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+      val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val lateOthers = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      late
+        .join(others, col("o2") === col("l_orderkey") &&
+          col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(lateOthers, col("o3") === col("l_orderkey") &&
+          col("s3") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
     "corr_matrix" -> ((s, dir) =>
       // pairwise Pearson correlations in ONE partial-aggregable pass —
       // corr's moments are mergeable, so this is a single map-side-
@@ -2308,6 +2464,94 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "q2_mincost" ->
+      """WITH supply AS (SELECT l_partkey, l_suppkey,
+        |                  min(l_extendedprice) AS cost
+        |                FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT l_partkey, l_suppkey, cost,
+        |        min(cost) OVER (PARTITION BY l_partkey) AS mc
+        |      FROM supply)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, cost
+        |FROM m
+        |JOIN part p ON p.p_partkey = m.l_partkey
+        |JOIN supplier s ON s.s_suppkey = m.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE cost = mc AND p_type = 'STANDARD' AND p_size <= 15
+        |  AND r_name = 'EUROPE'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q9_profit" ->
+      """SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)
+        |            - 0.6 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE p.p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_value" ->
+      """WITH parts AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS value
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  WHERE n.n_name = 'NATION_3' GROUP BY 1)
+        |SELECT l_partkey, value
+        |FROM parts,
+        |  (SELECT sum(value) AS total, count(*) AS np FROM parts) t
+        |WHERE value * 2 * np > total * 3
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q12_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate >= o.o_orderdate
+        |  AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q16_suppcnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part p ON p.p_partkey = ps.l_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+        |  AND p.p_size <= 25
+        |  AND ps.l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_qtyshare" ->
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+        |sh AS (SELECT l_partkey, l_suppkey,
+        |         CAST(sum(CASE WHEN year(l_shipdate) = 1997
+        |                       THEN l_quantity ELSE 0 END) AS BIGINT) AS q97,
+        |         CAST(sum(l_quantity) AS BIGINT) AS qall
+        |       FROM lineitem JOIN pp ON l_partkey = p_partkey GROUP BY 1, 2)
+        |SELECT s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM sh WHERE 5 * q97 > qall)
+        |ORDER BY s_name""".stripMargin,
+    "q21_waiting" ->
+      """WITH late AS (SELECT l_orderkey, l_suppkey FROM lineitem l
+        |              JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |              WHERE o.o_orderstatus = 'F'
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late t1 JOIN supplier s ON s.s_suppkey = t1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = t1.l_orderkey
+        |                AND l2.l_suppkey <> t1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late t3
+        |                  WHERE t3.l_orderkey = t1.l_orderkey
+        |                    AND t3.l_suppkey <> t1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
     "funnel_stages" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'signup' GROUP BY user_id),

@@ -265,6 +265,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"brand predicate must reach the part scan:\n$p")
   }
 
+  test("round-5 TPC-H shapes: broadcast dims, semi/anti forms, no cartesian") {
+    // q2: correlated min as a window over the supply aggregate — one
+    // lineitem scan, dims broadcast
+    val p2 = plan("q2_mincost")
+    assert("BroadcastHashJoin".r.findAllIn(p2).size >= 3,
+      s"q2 part/supplier/nation/region must broadcast:\n$p2")
+    assert("FileScan parquet".r.findAllIn(p2).size == 5 &&
+      p2.contains("Window"),
+      s"q2 must scan lineitem once and use a window for the correlated min:\n$p2")
+    // q9: 6-relation join, three dims broadcast, part filter pushed
+    val p9 = plan("q9_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p9).size >= 3,
+      s"q9 part/supplier/nation must broadcast:\n$p9")
+    assert(p9.contains("StringContains(p_name,red"),
+      s"q9 part name filter must reach the part scan:\n$p9")
+    // q16: complaints exclusion as an anti join, never NOT IN as cartesian
+    val p16 = plan("q16_suppcnt")
+    assert(p16.contains("LeftAnti"), s"q16 exclusion must be anti join:\n$p16")
+    // q20: concentrated-supplier membership as a semi join
+    val p20 = plan("q20_qtyshare")
+    assert(p20.contains("LeftSemi"), s"q20 membership must be semi join:\n$p20")
+    // q21: exists/not-exists as semi + anti joins; no cartesian anywhere
+    val p21 = plan("q21_waiting")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"q21 needs semi (exists) + anti (not exists):\n$p21")
+    Seq("q2" -> p2, "q9" -> p9, "q16" -> p16, "q20" -> p20, "q21" -> p21)
+      .foreach { case (n, p) =>
+        assert(!p.contains("CartesianProduct"), s"$n has a cartesian:\n$p")
+      }
+  }
+
   test("funnel_stages: single user-key shuffle, events scanned once") {
     val p = plan("funnel_stages")
     // one exchange for the user groupBy + one for the 4-row stage count —
