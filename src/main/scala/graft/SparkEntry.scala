@@ -799,12 +799,13 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 10)
       val k = 5
       val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k)
+      val cells = Some(Similarity.trainIvf(e, "vec_id", "embedding", nCells = 16))
       val ivfAll = Similarity.ivfTopK(q, e, "vec_id", "embedding", k,
-          nCells = 16, nProbe = 16)
+          nCells = 16, nProbe = 16, trained = cells)
         .select(col("query_id"), col("neighbor_id"),
           col("cos").as("a_cos"), col("rn").as("a_rn"))
       val ivf4 = Similarity.ivfTopK(q, e, "vec_id", "embedding", k,
-          nCells = 16, nProbe = 4)
+          nCells = 16, nProbe = 4, trained = cells)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("__h4"))
       bf.join(ivfAll, Seq("query_id", "neighbor_id"), "left")
         .join(ivf4, Seq("query_id", "neighbor_id"), "left")

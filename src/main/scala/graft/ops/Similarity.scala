@@ -118,28 +118,44 @@ object Similarity {
     * [[bruteForceTopK]] rather than oracle-hashed (k-means is not
     * reproducible across engines).
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+  /** Train the IVF coarse quantizer alone — callers that probe the same
+    * index at several `nProbe` settings (or reuse it across queries) train
+    * once and pass the model to [[ivfTopK]] instead of paying a k-means
+    * fit per call.
+    *
+    * The sample cap is taken by id-hash order, NOT `limit(trainCap)`
+    * alone: a bare limit takes the first rows in scan order, so a
+    * sorted/clustered corpus would train the quantizer on a biased prefix
+    * (one source, one date, …). Ordering by md5(id) is a deterministic
+    * uniform draw, and orderBy+limit plans as TakeOrdered (per-partition
+    * top-k, then a k-row merge — no global sort), so the sampling pass
+    * stays one linear scan at corpus scale.
+    */
+  def trainIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, seed: Long = 42L)
+      : org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
+    val trainCap = math.max(nCells * 1000, 10000)
+    new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .fit(corpus.select(array_to_vector(col(vecCol)).as("features"),
+          md5(col(idCol).cast("string")).as("__h"))
+        .orderBy("__h").limit(trainCap).select("features"))
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      trained: Option[org.apache.spark.ml.clustering.KMeansModel] = None)
+      : DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
 
     val prep = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       array_to_vector(col(vecCol)).as("features"), l2Norm(col(vecCol)).as("cn"))
     // Train the coarse quantizer on a bounded sample, not the full corpus:
     // cell quality needs only a representative sample, and a full k-means
-    // pass per call would dominate at corpus scale. The cap is taken by
-    // id-hash order, NOT `limit(trainCap)` alone: a bare limit takes the
-    // first rows in scan order, so a sorted/clustered corpus would train
-    // the quantizer on a biased prefix (one source, one date, …). Ordering
-    // by md5(id) is a deterministic uniform draw, and orderBy+limit plans
-    // as TakeOrdered (per-partition top-k, then a k-row merge — no global
-    // sort), so the sampling pass stays one linear scan at corpus scale.
-    val trainCap = math.max(nCells * 1000, 10000)
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
-      .fit(prep.select(col("features"), md5(col("neighbor_id").cast("string")).as("__h"))
-        .orderBy("__h").limit(trainCap).select("features"))
+    // pass per call would dominate at corpus scale (see [[trainIvf]]).
+    val model = trained.getOrElse(trainIvf(corpus, idCol, vecCol, nCells, seed))
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
 
     val assigned = model.transform(prep)
