@@ -1374,6 +1374,11 @@ object SparkEntry {
         .withColumn("dup_rate", round(
           lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 4))
         .orderBy("source")),
+    "ngram_novelty" -> ((s, dir) =>
+      // incremental-content audit: what fraction of each doc's shingles
+      // first appear IN that doc — novelty ~0 flags re-crawls/boilerplate
+      Dedup.ngramNovelty(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     "token_pmi" -> ((s, dir) =>
       TextAnalysis.tokenPmi(t(s, dir, "documents"), "doc_id", "text",
         vocabSize = 20, minPairCount = 5L)
@@ -1808,6 +1813,18 @@ object SparkEntry {
          |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
          |FROM tr JOIN ev ON tr.s = ev.s
          |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    "ngram_novelty" ->
+      s"""WITH $toksCte, $shinglesCte,
+         |d AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |f AS (SELECT s, min(doc_id) AS fd FROM d GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.fd = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  round(CAST(sum(CASE WHEN f.fd = d.doc_id THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 4) AS novelty
+         |FROM d JOIN f ON d.s = f.s
+         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
     "bm25_search" ->
       s"""WITH $toksCte,
          |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) dl FROM toks),

@@ -76,6 +76,38 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * shingles whose FIRST corpus occurrence (minimum id) is this document
+    * — "how much genuinely new content does each doc add", the
+    * incremental-curation signal for ordering and pruning crawl
+    * snapshots (novelty ≈ 0 ⇒ re-crawled/boilerplate content the corpus
+    * already holds; the complement of the pairwise near-dup view).
+    *
+    * One shingle explode + a shingle-keyed window `min` assigns first
+    * ownership without a join back (the shingle relation is evaluated
+    * once), then one id-keyed aggregate. Hot boilerplate shingles make
+    * big window partitions, but the window computes only a streaming
+    * min over them — skew costs partition-size imbalance (AQE-
+    * splittable), never per-key state. Counts are exact integers; the
+    * final ratio divides two exact longs (IEEE-exact on any engine) and
+    * rounds once.
+    *
+    * Output: (idCol, n_shingles, n_novel, novelty).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(wordShingles(col(textCol), n)).as("__s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__s")
+    sh.withColumn("__first", min(col(idCol)).over(w))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 4))
+  }
+
   /** MinHash signature of width `numHashes` over word `shingleWidth`-grams.
     *
     * Hash family: h_j(s) = md5(j || '|' || s) compared lexicographically —

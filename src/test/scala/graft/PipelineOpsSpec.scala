@@ -194,6 +194,22 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no checkpoint data written under $dir")
   }
 
+  test("ngramNovelty: first owner of a shingle is novel, later docs are not") {
+    // doc 1 introduces both its shingles; doc 2 shares "a b c" (owned by
+    // doc 1) and introduces "b c x" -> novelty 0.5; doc 3 is a pure
+    // re-crawl of doc 1 -> novelty 0.
+    val df = docs(1L -> "a b c d", 2L -> "a b c x", 3L -> "a b c d")
+    val got = Dedup.ngramNovelty(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty"))))
+      .toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+  }
+
   test("ngram jaccard: self-similar pair scores 1.0, threshold filters the rest") {
     val df = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "v w x y z")
     val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", minJaccard = 0.5)
