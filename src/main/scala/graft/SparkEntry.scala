@@ -1374,6 +1374,17 @@ object SparkEntry {
         .withColumn("dup_rate", round(
           lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 4))
         .orderBy("source")),
+    "source_drift" -> ((s, dir) =>
+      // ingest-feed health: KL(source ‖ corpus) over the vocab head +
+      // head-coverage companion — feed drift shows here before any
+      // per-document gate fires
+      TextAnalysis.sourceDrift(t(s, dir, "documents"), "source", "text",
+        vocabSize = 50)
+        .orderBy("source")),
+    "zipf_fit" -> ((s, dir) =>
+      // corpus-health diagnostic: OLS of ln(count) on ln(rank) over the
+      // vocab head (natural text ~ slope -1)
+      TextAnalysis.zipfFit(t(s, dir, "documents"), "text", vocabSize = 100)),
     "ngram_novelty" -> ((s, dir) =>
       // incremental-content audit: what fraction of each doc's shingles
       // first appear IN that doc — novelty ~0 flags re-crawls/boilerplate
@@ -1813,6 +1824,59 @@ object SparkEntry {
          |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
          |FROM tr JOIN ev ON tr.s = ev.s
          |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    "source_drift" ->
+      """WITH tk AS (SELECT source, unnest(list_filter(
+        |  regexp_split_to_array(text, ' +'), t -> t <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |      FROM tk GROUP BY 1, 2),
+        |corpus AS (SELECT token, CAST(sum(c) AS BIGINT) AS ct
+        |           FROM c GROUP BY 1),
+        |head AS (SELECT token, ct FROM
+        |  (SELECT token, ct, row_number() OVER (ORDER BY ct DESC, token)
+        |     AS rk FROM corpus) WHERE rk <= 50),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS ctot,
+        |               CAST(count(*) AS DOUBLE) AS hsize FROM head),
+        |salltot AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs_all
+        |            FROM c GROUP BY 1),
+        |grid AS (SELECT s.source, h.token, h.ct, coalesce(c.c, 0) AS c
+        |         FROM (SELECT DISTINCT source FROM c) s
+        |         CROSS JOIN head h
+        |         LEFT JOIN c ON c.source = s.source AND c.token = h.token),
+        |per AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs
+        |        FROM grid GROUP BY 1)
+        |SELECT g.source,
+        |  round(sum(((g.c + 1.0) / (p.cs + t.hsize)) *
+        |    ln(((g.c + 1.0) / (p.cs + t.hsize)) /
+        |       ((g.ct + 1.0) / (t.ctot + t.hsize)))), 6) AS kl,
+        |  round(CAST(p.cs AS DOUBLE) / a.cs_all, 4) AS head_coverage
+        |FROM grid g
+        |JOIN per p ON p.source = g.source
+        |CROSS JOIN tot t
+        |JOIN salltot a ON a.source = g.source
+        |GROUP BY g.source, p.cs, t.ctot, t.hsize, a.cs_all
+        |ORDER BY g.source""".stripMargin,
+    "zipf_fit" ->
+      """WITH tk AS (SELECT unnest(list_filter(
+        |  regexp_split_to_array(text, ' +'), t -> t <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+        |      FROM tk GROUP BY 1),
+        |head AS (SELECT token, n, rk FROM
+        |  (SELECT token, n, row_number() OVER (ORDER BY n DESC, token)
+        |     AS rk FROM c) WHERE rk <= 100),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS nt,
+        |        sum(ln(CAST(rk AS DOUBLE))) AS sx,
+        |        sum(ln(CAST(n AS DOUBLE))) AS sy,
+        |        sum(ln(CAST(rk AS DOUBLE)) * ln(CAST(n AS DOUBLE))) AS sxy,
+        |        sum(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))) AS sxx
+        |      FROM head)
+        |SELECT CAST(nt AS BIGINT) AS n_tokens,
+        |  round((nt * sxy - sx * sy) / (nt * sxx - sx * sx), 4)
+        |    AS zipf_slope,
+        |  round((sy - ((nt * sxy - sx * sy) / (nt * sxx - sx * sx)) * sx)
+        |    / nt, 4) AS intercept
+        |FROM m""".stripMargin,
     "ngram_novelty" ->
       s"""WITH $toksCte, $shinglesCte,
          |d AS (SELECT doc_id, unnest(shingles) AS s FROM sh),

@@ -490,4 +490,85 @@ object TextAnalysis {
       sequence(lit(0), greatest(size(hs) - w, lit(0))),
       i => array_min(slice(hs, i + lit(1), least(lit(w), size(hs)))))))
   }
+
+  /** Per-source vocabulary drift: KL(P_source ‖ P_corpus) over the
+    * corpus's top-`vocabSize` vocabulary head, add-one smoothed — the
+    * ingest-feed health monitor: a feed whose token distribution diverges
+    * from the corpus (boilerplate flood, language shift, spam) spikes
+    * here before any per-document quality gate notices. `head_coverage`
+    * (the fraction of a source's tokens that land in the corpus head) is
+    * the companion signal — a feed of out-of-head tokens drifts even
+    * when its in-head mix looks corpus-like.
+    *
+    * Scale: one corpus-scale token count, then everything is
+    * vocabulary-bounded — the head is V rows (deterministic
+    * (count desc, token) tie-break), the source×head grid is V·|sources|
+    * rows of broadcast-sized relations, and each KL is a V-term sum.
+    * Counts are exact integers, probabilities/logs derive from them
+    * identically on any engine, and the V-term float sum rounds at 6
+    * decimals — far above summation-order noise.
+    */
+  def sourceDrift(df: DataFrame, sourceCol: String, textCol: String,
+      vocabSize: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val corpus = counts.groupBy("token").agg(sum("c").as("ct"))
+    val head = corpus
+      .withColumn("rank",
+        row_number().over(w.orderBy(col("ct").desc, col("token"))))
+      .filter(col("rank") <= vocabSize)
+      .withColumn("ctot", sum("ct").over(w.partitionBy()))
+      // the add-one denominator must add the ACTUAL head size (the head
+      // can be smaller than vocabSize on a narrow vocabulary) or the
+      // smoothed distributions don't normalize and "KL" can go negative
+      .withColumn("hsize", count(lit(1)).over(w.partitionBy()))
+      .select("token", "ct", "ctot", "hsize")
+    val srcAll = counts.groupBy("source").agg(sum("c").as("cs_all"))
+    val grid = broadcast(head)
+      .crossJoin(counts.select("source").distinct())
+      .join(counts, Seq("source", "token"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cs", sum("c").over(w.partitionBy("source")))
+    val v = col("hsize").cast("double")
+    val p = (col("c") + lit(1.0)) / (col("cs") + v)
+    val q = (col("ct") + lit(1.0)) / (col("ctot") + v)
+    grid
+      .groupBy("source")
+      .agg(round(sum(p * log(p / q)), 6).as("kl"),
+        max(col("cs")).as("__cs"))
+      .join(broadcast(srcAll), Seq("source"))
+      .select(col("source").as(sourceCol), col("kl"),
+        round(col("__cs").cast("double") / col("cs_all"), 4)
+          .as("head_coverage"))
+  }
+
+  /** Zipf fit of the vocabulary head: OLS slope/intercept of ln(count)
+    * against ln(rank) over the top-`vocabSize` tokens — the classic
+    * corpus-health diagnostic (natural text sits near slope −1; a
+    * template/boilerplate-flooded corpus flattens, a truncated/synthetic
+    * vocabulary steepens). Rank/count are exact integers; the V-term
+    * moment sums round once at the end.
+    */
+  def zipfFit(df: DataFrame, textCol: String, vocabSize: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val head = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .withColumn("rank",
+        row_number().over(w.orderBy(col("n").desc, col("token"))))
+      .filter(col("rank") <= vocabSize)
+    val x = log(col("rank").cast("double"))
+    val y = log(col("n").cast("double"))
+    val m = head.agg(
+      count(lit(1)).cast("double").as("nt"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    val slope = (col("nt") * col("sxy") - col("sx") * col("sy")) /
+      (col("nt") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("nt").cast("long").as("n_tokens"),
+      round(slope, 4).as("zipf_slope"),
+      round((col("sy") - slope * col("sx")) / col("nt"), 4).as("intercept"))
+  }
 }

@@ -194,6 +194,38 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no checkpoint data written under $dir")
   }
 
+  test("sourceDrift: a source identical to the corpus has zero KL; a divergent feed spikes") {
+    import spark.implicits._
+    // single source == corpus -> p == q -> KL exactly 0, full head coverage
+    val one = Seq((1L, "a b c a b a", "s0")).toDF("doc_id", "text", "source")
+    val solo = graft.ops.TextAnalysis.sourceDrift(one, "source", "text")
+      .collect().head
+    assert(solo.getAs[Double]("kl") == 0.0)
+    assert(solo.getAs[Double]("head_coverage") == 1.0)
+    // s1 repeats the corpus mix, s2 floods one alien token: s2 must
+    // diverge more than s1
+    val two = Seq(
+      (1L, "a b c a b a", "s1"), (2L, "a b c a b a", "s1"),
+      (3L, "z z z z z z", "s2")).toDF("doc_id", "text", "source")
+    val kl = graft.ops.TextAnalysis.sourceDrift(two, "source", "text")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("kl"))
+      .toMap
+    assert(kl("s2") > kl("s1"), s"divergent feed must spike: $kl")
+  }
+
+  test("zipfFit: an exact power-law head fits slope -1") {
+    import spark.implicits._
+    // counts 12, 6, 4, 3 at ranks 1..4 = 12/r exactly -> ln n = ln 12 -
+    // ln r, an exact linear relation: OLS slope -1, intercept ln 12
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val got = graft.ops.TextAnalysis.zipfFit(
+      Seq((1L, text)).toDF("doc_id", "text"), "text").collect().head
+    assert(got.getAs[Long]("n_tokens") == 4L)
+    assert(got.getAs[Double]("zipf_slope") == -1.0)
+    assert(got.getAs[Double]("intercept") == math.round(math.log(12.0) * 1e4) / 1e4)
+  }
+
   test("ngramNovelty: first owner of a shingle is novel, later docs are not") {
     // doc 1 introduces both its shingles; doc 2 shares "a b c" (owned by
     // doc 1) and introduces "b c x" -> novelty 0.5; doc 3 is a pure
