@@ -933,6 +933,33 @@ object SparkEntry {
           ok(col("a90"), col("p90")).as("p90_ok"))
         .orderBy("l_returnflag")
     }),
+    "kll_quantiles" -> ((s, dir) => {
+      // store-once / re-aggregate-forever QUANTILES: per-(returnflag,
+      // linestatus) KLL sketches materialize once; the per-returnflag
+      // answer merges sketch BYTES — no second scan of raw rows. Sketch
+      // estimates are implementation-specific, so the query emits the
+      // exact quantiles (oracle-hashable, same as `quantiles`) next to
+      // 2%-relative gates on the merged estimates (k=400 ⇒ ~0.87%
+      // two-sided rank error; the value error on this distribution is
+      // well inside 2%).
+      val li = t(s, dir, "lineitem")
+      val parts = Quantiles.sketch(li,
+        Seq("l_returnflag", "l_linestatus"), "l_extendedprice")
+      val est = Quantiles.mergeSketches(parts, Seq("l_returnflag"),
+        Seq("a25" -> 0.25, "a50" -> 0.5, "a90" -> 0.9))
+      val ex = Quantiles.exact(li, Seq("l_returnflag"), "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+      def ok(a: Column, e: Column): Column = abs(a - e) <= abs(e) * 0.02
+      ex.join(est, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          round(col("p25"), 4).as("p25"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"),
+          ok(col("a25"), col("p25")).as("p25_ok"),
+          ok(col("a50"), col("p50")).as("p50_ok"),
+          ok(col("a90"), col("p90")).as("p90_ok"))
+        .orderBy("l_returnflag")
+    }),
     "hll_users" -> ((s, dir) => {
       // materialize per-(event_type, day) HLL sketches, then answer the
       // per-type distinct-user question from sketch bytes alone — the
@@ -2941,6 +2968,13 @@ object SparkEntry {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  true AS rel_err_le_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "kll_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  true AS p25_ok, true AS p50_ok, true AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "quantiles_approx" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

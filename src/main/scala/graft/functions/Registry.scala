@@ -34,6 +34,10 @@ object Registry {
       intLit(es(1), "k"), intLit(es(2), "w"))),
     "graft_heavy_hitters" -> (es =>
       HeavyHitters(es(0), intLit(es(1), "k")).toAggregateExpression()),
+    "graft_kll_sketch" -> (es =>
+      KllSketchAgg(es(0), intLit(es(1), "k")).toAggregateExpression()),
+    "graft_kll_merge" -> (es =>
+      KllMergeAgg(es(0), intLit(es(1), "k")).toAggregateExpression()),
     // markers as one pipe-delimited literal ('|' can't occur in a
     // space-padded word marker); BloomMightContain / PqEncode / PqDecode
     // stay Column-only — their filter bytes / codebooks are runtime

@@ -226,4 +226,43 @@ object Quantiles {
       .agg(sum(col("__c")).as("n_rows"),
         min(col("__v")).as("min_val"), max(col("__v")).as("max_val"))
   }
+
+  /** Per-group KLL quantile sketch as a STORABLE binary column — the
+    * quantile member of the mergeable-sketch family (HLL for distincts,
+    * Misra–Gries for heavy hitters). Store per-(group, day) once; any
+    * later rollup/range/quantile question unions the stored bytes via
+    * [[mergeSketches]] and never re-scans raw rows — the property that
+    * makes quantile monitoring tractable at 100 TB.
+    */
+  def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = 400): DataFrame = {
+    val agg = org.apache.spark.sql.graft.column(
+      graft.functions.KllSketchAgg(
+        org.apache.spark.sql.graft.expression(col(valueCol).cast("double")), k)
+        .toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*).agg(agg.as("qsketch"))
+  }
+
+  /** Re-aggregate stored sketches to a coarser grouping and extract the
+    * requested quantiles (normalized ranks). Union preserves the parts'
+    * rank-error guarantee (~0.87% two-sided at k=400).
+    */
+  def mergeSketches(sketches: DataFrame, groupCols: Seq[String],
+      ps: Seq[(String, Double)], k: Int = 400): DataFrame = {
+    val merged = org.apache.spark.sql.graft.column(
+      graft.functions.KllMergeAgg(
+        org.apache.spark.sql.graft.expression(col("qsketch")), k)
+        .toAggregateExpression())
+    val qs = org.apache.spark.sql.graft.column(
+      graft.functions.KllQuantiles(
+        org.apache.spark.sql.graft.expression(col("__merged")),
+        ps.map(_._2)))
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(merged.as("__merged"))
+      .select((groupCols.map(col) :+ qs.as("__qs")): _*)
+      .select((groupCols.map(col) ++
+        ps.zipWithIndex.map { case ((name, _), i) =>
+          element_at(col("__qs"), i + 1).as(name)
+        }): _*)
+  }
 }

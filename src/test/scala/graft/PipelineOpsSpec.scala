@@ -194,6 +194,31 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no checkpoint data written under $dir")
   }
 
+  test("KLL sketch columns: store-by-part, merge, estimate within rank error of exact") {
+    import spark.implicits._
+    // values 1..10000 uniform: p50 exact = 5000.5; KLL at k=400 has
+    // ~0.87% two-sided rank error -> estimate within ~±100 of exact.
+    val df = spark.range(1, 10001).select(
+      (col("id") % 4).as("part"), col("id").cast("double").as("v"))
+    val parts = graft.ops.Quantiles.sketch(df, Seq("part"), "v")
+    assert(parts.count() == 4)
+    val est = graft.ops.Quantiles.mergeSketches(parts, Seq.empty,
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)).collect().head
+    def close(got: Double, want: Double): Boolean =
+      math.abs(got - want) <= 10000 * 0.02 // 2% of the value RANGE
+    assert(close(est.getAs[Double]("p25"), 2500.0), s"p25=${est.get(0)}")
+    assert(close(est.getAs[Double]("p50"), 5000.0), s"p50=${est.get(1)}")
+    assert(close(est.getAs[Double]("p90"), 9000.0), s"p90=${est.get(2)}")
+    // SQL surface: the sketch and merge aggregates work from SQL too
+    graft.functions.Registry.install(spark)
+    df.createOrReplaceTempView("kll_in")
+    val viaSql = spark.sql(
+      """SELECT graft_kll_merge(s, 400) FROM
+        |  (SELECT part, graft_kll_sketch(v, 400) AS s
+        |   FROM kll_in GROUP BY part)""".stripMargin).collect().head
+    assert(viaSql.getAs[Array[Byte]](0).nonEmpty)
+  }
+
   test("sourceDrift: a source identical to the corpus has zero KL; a divergent feed spikes") {
     import spark.implicits._
     // single source == corpus -> p == q -> KL exactly 0, full head coverage
