@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, EventAnalytics, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Relevance, Similarity, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, EventAnalytics, FreqSketch, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Relevance, Sampling, Similarity, TextAnalysis, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -1237,6 +1237,58 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
         .orderBy("source")),
+    "domain_cap" -> ((s, dir) =>
+      // RefinedWeb-style per-domain document cap: at most 40 docs kept
+      // per source, chosen by the md5 permutation through the bounded
+      // BottomK aggregate — cap-sized heap per partial, map-side
+      // combine, never a whale-domain window sort (the oracle's
+      // row_number spelling IS that window sort; answers must agree)
+      Sampling.domainCapIds(t(s, dir, "documents"), "doc_id", "source", 40)
+        .orderBy("source", "doc_id")),
+    "reservoir_sample" -> ((s, dir) =>
+      // deterministic uniform 100-doc sample of the whole corpus — a
+      // reservoir sample with the randomness replaced by the md5
+      // permutation, so the kept set is reproducible across retries,
+      // repartitionings and engines (versionable, unlike seeded rand())
+      Sampling.uniformSampleIds(t(s, dir, "documents"), "doc_id", 100)
+        .orderBy("doc_id")),
+    "cm_counts" -> ((s, dir) => {
+      // Count-Min point-frequency sketch: the exact top-20 tokens probe
+      // the global sketch. Gates (hashable booleans, like hll_users):
+      // CM never undercounts; overshoot stays within 8N/w (E[excess]
+      // = N/w per row, min over d=4 rows); and the union of per-lang
+      // sketches answers EXACTLY like the one-shot global sketch —
+      // element-wise-add merge is lossless, the store-once /
+      // re-aggregate-forever property.
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.tokens(col("text")).as("toks"))
+      val global = toks.agg(FreqSketch.cmSketch(col("toks")).as("sk"),
+        sum(size(col("toks"))).cast("long").as("n_total"))
+      val merged = toks.groupBy("lang")
+        .agg(FreqSketch.cmSketch(col("toks")).as("psk"))
+        .agg(FreqSketch.cmMerge(col("psk")).as("msk"))
+      val top = toks.select(explode(col("toks")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(20)
+      val est = FreqSketch.cmEstimate(col("sk"), col("token"))
+      val estMerged = FreqSketch.cmEstimate(col("msk"), col("token"))
+      top.crossJoin(broadcast(global)).crossJoin(broadcast(merged))
+        .select(col("token"), col("n_exact"),
+          (est >= col("n_exact")).as("no_undercount"),
+          (est.cast("double") <=
+            col("n_exact") + lit(8.0) * col("n_total") / lit(2048.0))
+            .as("within_eps"),
+          (estMerged === est).as("merge_ok"))
+        .orderBy(col("n_exact").desc, col("token"))
+    }),
+    "scd2_history" -> ((s, dir) =>
+      // SCD Type-2 dimension history from the two orders snapshots:
+      // every version becomes a row with valid_from/valid_to/is_current
+      // — changed keys carry a closed old version + an open new one,
+      // built in the diff join's own projection (no second shuffle)
+      KeyDiff.scdType2(ordersOld(s, dir), ordersNew(s, dir),
+          Seq("o_orderkey"), lit("1998-08-01"), lit("1998-09-01"))
+        .orderBy("o_orderkey", "valid_from")),
     "chunk_docs" -> ((s, dir) =>
       Chunking.chunk(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 32, overlap = 8)
@@ -1745,6 +1797,58 @@ object SparkEntry {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    "domain_cap" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 40 ORDER BY source, doc_id""".stripMargin,
+    "reservoir_sample" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+    "cm_counts" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT unnest(toks) AS token FROM toks)
+         |SELECT token, n_exact, TRUE AS no_undercount, TRUE AS within_eps,
+         |  TRUE AS merge_ok
+         |FROM (SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM t
+         |      GROUP BY token ORDER BY n_exact DESC, token LIMIT 20)
+         |ORDER BY n_exact DESC, token""".stripMargin,
+    "scd2_history" ->
+      s"""WITH o AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+         |n AS ($ordersNewSql),
+         |j AS (SELECT
+         |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+         |       WHEN n.o_orderkey IS NULL THEN 'removed'
+         |       WHEN o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+         |        AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+         |        AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+         |        AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+         |        AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority
+         |       THEN 'unchanged' ELSE 'changed' END AS status,
+         |  o.o_orderkey AS ok, o.o_custkey AS oc, o.o_orderstatus AS os,
+         |  o.o_totalprice AS op, o.o_orderdate AS od, o.o_orderpriority AS opr,
+         |  n.o_orderkey AS nk, n.o_custkey AS nc, n.o_orderstatus AS ns,
+         |  n.o_totalprice AS np, n.o_orderdate AS nd, n.o_orderpriority AS npr
+         |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+         |SELECT * FROM (
+         |  SELECT ok AS o_orderkey, oc AS o_custkey, os AS o_orderstatus,
+         |    op AS o_totalprice, od AS o_orderdate, opr AS o_orderpriority,
+         |    DATE '1998-08-01' AS valid_from, DATE '1998-09-01' AS valid_to,
+         |    FALSE AS is_current
+         |  FROM j WHERE status IN ('changed', 'removed')
+         |  UNION ALL
+         |  SELECT ok, oc, os, op, od, opr,
+         |    DATE '1998-08-01', CAST(NULL AS DATE), TRUE
+         |  FROM j WHERE status = 'unchanged'
+         |  UNION ALL
+         |  SELECT nk, nc, ns, np, nd, npr,
+         |    DATE '1998-09-01', CAST(NULL AS DATE), TRUE
+         |  FROM j WHERE status IN ('changed', 'added'))
+         |ORDER BY o_orderkey, valid_from""".stripMargin,
     "quantiles_dist" ->
       """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

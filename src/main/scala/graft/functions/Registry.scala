@@ -38,6 +38,13 @@ object Registry {
       KllSketchAgg(es(0), intLit(es(1), "k")).toAggregateExpression()),
     "graft_kll_merge" -> (es =>
       KllMergeAgg(es(0), intLit(es(1), "k")).toAggregateExpression()),
+    "graft_bottom_k" -> (es =>
+      BottomK(es(0), es(1), intLit(es(2), "k")).toAggregateExpression()),
+    "graft_cm_sketch" -> (es =>
+      CountMinAgg(es(0), intLit(es(1), "w"), intLit(es(2), "d"))
+        .toAggregateExpression()),
+    "graft_cm_merge" -> (es => CountMinMergeAgg(es(0)).toAggregateExpression()),
+    "graft_cm_estimate" -> (es => CountMinEstimate(es(0), es(1))),
     // markers as one pipe-delimited literal ('|' can't occur in a
     // space-padded word marker); BloomMightContain / PqEncode / PqDecode
     // stay Column-only — their filter bytes / codebooks are runtime

@@ -160,6 +160,54 @@ object KeyDiff {
   def summary(diffed: DataFrame): DataFrame =
     diffed.groupBy(StatusCol).count().orderBy(StatusCol)
 
+  /** Slowly-changing-dimension Type-2 history from two keyed snapshots:
+    * every surviving version of every key becomes a row with
+    * `valid_from` / `valid_to` (null = still open) / `is_current` —
+    * the warehouse-standard way to keep history when upstream only
+    * ships full snapshots.
+    *
+    *   - unchanged → one open row carrying the OLD effective date (the
+    *     version predates this snapshot pair);
+    *   - changed   → the old version closed at `newDate` + the new
+    *     version opened at `newDate`;
+    *   - removed   → the old version closed at `newDate`;
+    *   - added     → the new version opened at `newDate`.
+    *
+    * Single-pass on top of [[diff]]: the up-to-2 versions per key are
+    * built as an array in the diff join's projection and exploded —
+    * no second shuffle, no union of re-scans. Incremental use: feed
+    * each new snapshot against the previous one and append the rows
+    * whose `valid_from = newDate`, replacing closed versions by key.
+    *
+    * Output: the payload columns, then `valid_from`, `valid_to`
+    * (date; null while open) and `is_current`.
+    */
+  def scdType2(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keys: Seq[String],
+      oldDate: Column,
+      newDate: Column,
+      cfg: DiffConfig = DiffConfig()): DataFrame = {
+    val d = diff(oldDf, newDf, keys, cfg)
+    def version(payload: Column, from: Column, to: Column,
+        current: Boolean): Column =
+      struct(payload.as("row"), from.cast("date").as("valid_from"),
+        to.cast("date").as("valid_to"), lit(current).as("is_current"))
+    val noDate = lit(null).cast("date")
+    val closedOld = version(col("old"), oldDate, newDate, current = false)
+    val openOld = version(col("old"), oldDate, noDate, current = true)
+    val openNew = version(col("new"), newDate, noDate, current = true)
+    val versions = when(col(StatusCol) === "unchanged", array(openOld))
+      .when(col(StatusCol) === "changed", array(closedOld, openNew))
+      .when(col(StatusCol) === "removed", array(closedOld))
+      .otherwise(array(openNew))
+    d.select(explode(versions).as("__v"))
+      .select(col("__v.row.*"), col("__v.valid_from").as("valid_from"),
+        col("__v.valid_to").as("valid_to"),
+        col("__v.is_current").as("is_current"))
+  }
+
   /** Reconstruct a snapshot from a diff: the diff is lossless (both
     * payloads are kept), so `patch(diff(old, new)) ≡ new` and
     * `patch(diff(old, new), forward = false) ≡ old` — as multisets of

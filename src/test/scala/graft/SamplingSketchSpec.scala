@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{FreqSketch, KeyDiff, Sampling}
+
+/** Unit tests for the round-5 additions: bounded bottom-k sampling
+  * (per-domain caps, deterministic reservoir), the Count-Min frequency
+  * sketch, and the SCD Type-2 history builder. The sf0.01 DuckDB oracle
+  * is the integration gate; these pin the semantic corners.
+  */
+class SamplingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("sampling-sketch-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs(n: Int): DataFrame = {
+    import spark.implicits._
+    // skewed domains: domain d0 holds half the rows — the whale case
+    (1 to n).map { i =>
+      (i.toLong, if (i % 2 == 0) "d0" else s"d${i % 7}")
+    }.toDF("doc_id", "source")
+  }
+
+  test("domainCapIds == the window row_number spelling, caps respected") {
+    val df = docs(500)
+    val got = Sampling.domainCapIds(df, "doc_id", "source", 10)
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select("source", "doc_id")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val sizes = got.groupBy("source").count().collect()
+    assert(sizes.forall(_.getAs[Long]("count") <= 10))
+    // the whale domain actually hit the cap
+    assert(sizes.find(_.getAs[String]("source") == "d0")
+      .exists(_.getAs[Long]("count") == 10))
+  }
+
+  test("domainCap returns full surviving rows, repartition-invariant") {
+    val df = docs(300)
+    val a = Sampling.domainCap(df, "doc_id", "source", 5)
+    val b = Sampling.domainCap(df.repartition(13), "doc_id", "source", 5)
+    assert(a.columns.toSeq == df.columns.toSeq)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("uniformSampleIds: exact n, deterministic, nested under larger n") {
+    val df = docs(400)
+    val s20 = Sampling.uniformSampleIds(df, "doc_id", 20)
+      .collect().map(_.getLong(0)).toSet
+    val s50 = Sampling.uniformSampleIds(df.repartition(17), "doc_id", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(s20.size == 20 && s50.size == 50)
+    // bottom-k of one permutation: the 20-sample is a PREFIX of the
+    // 50-sample — the property that lets a pipeline grow a sample
+    // without resampling (and proves determinism across partitionings)
+    assert(s20.subsetOf(s50))
+  }
+
+  test("uniformSampleIds caps at table size when n > rows") {
+    val df = docs(8)
+    assert(Sampling.uniformSampleIds(df, "doc_id", 100).count() == 8)
+  }
+
+  private def tokenDocs(rows: (String, Seq[String])*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("lang", "toks")
+  }
+
+  test("count-min never undercounts and merged parts == one-shot sketch") {
+    val df = tokenDocs(
+      "en" -> Seq("a", "b", "a", "c"),
+      "en" -> Seq("a", "b"),
+      "de" -> Seq("d", "a"),
+      "de" -> Seq("b", "b", "e"))
+    val exact = Map("a" -> 4L, "b" -> 4L, "c" -> 1L, "d" -> 1L, "e" -> 1L)
+    val one = df.agg(FreqSketch.cmSketch(col("toks"), w = 64, d = 4).as("sk"))
+    val merged = df.groupBy("lang")
+      .agg(FreqSketch.cmSketch(col("toks"), w = 64, d = 4).as("psk"))
+      .agg(FreqSketch.cmMerge(col("psk")).as("sk"))
+    // merge is element-wise addition of the same increments → the
+    // sketch IMAGES are byte-identical, not merely estimate-equal
+    val oneBytes = one.collect().head.getAs[Array[Byte]]("sk")
+    val mergedBytes = merged.collect().head.getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(oneBytes, mergedBytes))
+    exact.foreach { case (item, n) =>
+      val est = graft.functions.CountMin.estimate(oneBytes, item)
+      assert(est >= n, s"undercount for $item: $est < $n")
+      // 10 items in a 64-wide row: overshoot beyond 10 impossible
+      assert(est <= n + 10, s"wild overshoot for $item: $est vs $n")
+    }
+    // absent item estimates at most the collision mass, never negative
+    val ghost = graft.functions.CountMin.estimate(oneBytes, "zz")
+    assert(ghost >= 0L)
+  }
+
+  test("count-min estimate works through the Column/SQL path") {
+    val df = tokenDocs("en" -> Seq("x", "x", "y"))
+    val out = df.agg(FreqSketch.cmSketch(col("toks")).as("sk"))
+      .select(FreqSketch.cmEstimate(col("sk"), lit("x")).as("ex"),
+        FreqSketch.cmEstimate(col("sk"), lit("y")).as("ey"))
+      .collect().head
+    assert(out.getAs[Long]("ex") >= 2L && out.getAs[Long]("ey") >= 1L)
+    graft.functions.Registry.install(spark)
+    df.createOrReplaceTempView("cm_docs")
+    val viaSql = spark.sql(
+      """SELECT graft_cm_estimate(graft_cm_sketch(toks, 2048, 4), 'x') AS ex
+        |FROM cm_docs""".stripMargin).collect().head.getAs[Long]("ex")
+    assert(viaSql == out.getAs[Long]("ex"))
+  }
+
+  private def snap(rows: (Long, String, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("id", "name", "v")
+  }
+
+  test("scdType2 emits the right versions per status") {
+    val old = snap((1L, "keep", 10L), (2L, "edit", 20L), (3L, "drop", 30L))
+    val neu = snap((1L, "keep", 10L), (2L, "edit", 21L), (4L, "new", 40L))
+    val from = lit("2024-01-01")
+    val to = lit("2024-02-01")
+    val hist = KeyDiff.scdType2(old, neu, Seq("id"), from, to)
+      .orderBy("id", "valid_from").collect()
+    assert(hist.length == 5)
+    def row(i: Int) = (hist(i).getAs[Long]("id"), hist(i).getAs[Long]("v"),
+      Option(hist(i).getAs[java.sql.Date]("valid_to")).map(_.toString),
+      hist(i).getAs[Boolean]("is_current"))
+    assert(row(0) == ((1L, 10L, None, true)))                      // unchanged
+    assert(row(1) == ((2L, 20L, Some("2024-02-01"), false)))       // closed
+    assert(row(2) == ((2L, 21L, None, true)))                      // reopened
+    assert(row(3) == ((3L, 30L, Some("2024-02-01"), false)))       // removed
+    assert(row(4) == ((4L, 40L, None, true)))                      // added
+    assert(hist(0).getAs[java.sql.Date]("valid_from").toString == "2024-01-01")
+    assert(hist(2).getAs[java.sql.Date]("valid_from").toString == "2024-02-01")
+  }
+
+  test("scdType2 point-in-time reads reconstruct both snapshots") {
+    val old = snap((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L))
+    val neu = snap((2L, "b", 9L), (3L, "c", 3L), (5L, "e", 5L))
+    val hist = KeyDiff.scdType2(old, neu, Seq("id"),
+      lit("2024-01-01"), lit("2024-02-01"))
+    val cols = old.columns.map(col).toIndexedSeq
+    // current rows == the new snapshot
+    val current = hist.filter(col("is_current")).select(cols: _*)
+    assert(current.exceptAll(neu).isEmpty && neu.exceptAll(current).isEmpty)
+    // rows valid on the old effective date == the old snapshot
+    val asOfOld = hist.filter(col("valid_from") <= lit("2024-01-01") &&
+      (col("valid_to").isNull || col("valid_to") > lit("2024-01-01")))
+      .select(cols: _*)
+    assert(asOfOld.exceptAll(old).isEmpty && old.exceptAll(asOfOld).isEmpty)
+  }
+}
