@@ -981,6 +981,49 @@ object SparkEntry {
             col("n_exact") * 0.05).as("rel_err_le_5pct"))
         .orderBy("event_type")
     }),
+    "theta_overlap" -> ((s, dir) => {
+      // theta sketches: distinct counting WITH set operations — per-type
+      // sketches of "heavy" users (per-user event count above the type
+      // mean, stated in exact integer arithmetic: n·n_users > n_events,
+      // no float boundary), then |A ∩ B| and |A \ B| STRAIGHT FROM THE
+      // SKETCH BYTES. HLL cannot intersect; theta intersects the
+      // retained bottom-k hash sets directly. Exact counts ride along;
+      // gates bound the sketch answers (below k=4096 distincts theta is
+      // exact, so these hold with margin at every test SF).
+      val cnt = t(s, dir, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      val stats = cnt.groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"), sum("n").as("n_events"))
+      val heavy = cnt.join(broadcast(stats), "event_type")
+        .filter(col("n") * col("n_users") > col("n_events"))
+        .select("event_type", "user_id")
+      val sk = DistinctSketch.thetaSketch(heavy, Seq("event_type"), "user_id")
+      val pairs = sk.as("a")
+        .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("a_type"),
+          col("b.event_type").as("b_type"),
+          DistinctSketch.thetaIntersect(col("a.sketch"), col("b.sketch"))
+            .as("est_both"),
+          DistinctSketch.thetaANotB(col("a.sketch"), col("b.sketch"))
+            .as("est_onlya"))
+      val exactBoth = heavy.as("x").join(heavy.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("a_type"),
+          col("y.event_type").as("b_type"))
+        .groupBy("a_type", "b_type").agg(count(lit(1)).as("n_both"))
+      val nA = heavy.groupBy("event_type").agg(count(lit(1)).as("n_a"))
+        .withColumnRenamed("event_type", "a_type")
+      def ok(est: Column, exact: Column): Column =
+        abs(est - exact) <= greatest(lit(1.0), exact * 0.05)
+      pairs.join(exactBoth, Seq("a_type", "b_type"))
+        .join(nA, Seq("a_type"))
+        .select(col("a_type"), col("b_type"), col("n_both"),
+          (col("n_a") - col("n_both")).as("n_only_a"),
+          ok(col("est_both"), col("n_both")).as("both_ok"),
+          ok(col("est_onlya"), col("n_a") - col("n_both")).as("onlya_ok"))
+        .orderBy("a_type", "b_type")
+    }),
     "distinct_users" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy("event_type")
@@ -1797,6 +1840,24 @@ object SparkEntry {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    "theta_overlap" ->
+      """WITH c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) n_users,
+        |  CAST(sum(n) AS BIGINT) n_events FROM c GROUP BY 1),
+        |h AS (SELECT c.event_type, c.user_id FROM c JOIN st USING (event_type)
+        |  WHERE c.n * st.n_users > st.n_events),
+        |p AS (SELECT a.event_type a_type, b.event_type b_type,
+        |  CAST(count(*) AS BIGINT) n_both
+        |  FROM h a JOIN h b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |na AS (SELECT event_type a_type, CAST(count(*) AS BIGINT) n_a
+        |  FROM h GROUP BY 1)
+        |SELECT a_type, b_type, n_both, n_a - n_both AS n_only_a,
+        |  TRUE AS both_ok, TRUE AS onlya_ok
+        |FROM p JOIN na USING (a_type)
+        |ORDER BY a_type, b_type""".stripMargin,
     "domain_cap" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id, row_number() OVER (

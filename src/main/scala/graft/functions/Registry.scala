@@ -45,6 +45,13 @@ object Registry {
         .toAggregateExpression()),
     "graft_cm_merge" -> (es => CountMinMergeAgg(es(0)).toAggregateExpression()),
     "graft_cm_estimate" -> (es => CountMinEstimate(es(0), es(1))),
+    "graft_theta_sketch" -> (es =>
+      ThetaSketchAgg(es(0), intLit(es(1), "lgK")).toAggregateExpression()),
+    "graft_theta_union" -> (es =>
+      ThetaUnionAgg(es(0), intLit(es(1), "lgK")).toAggregateExpression()),
+    "graft_theta_estimate" -> (es => ThetaEstimate(es(0))),
+    "graft_theta_intersect" -> (es => ThetaSetEstimate(es(0), es(1), "intersect")),
+    "graft_theta_anotb" -> (es => ThetaSetEstimate(es(0), es(1), "anotb")),
     // markers as one pipe-delimited literal ('|' can't occur in a
     // space-padded word marker); BloomMightContain / PqEncode / PqDecode
     // stay Column-only — their filter bytes / codebooks are runtime

@@ -38,4 +38,39 @@ object DistinctSketch {
     sketches.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
         .as("approx_distinct"))
+
+  // --- theta sketches: distinct counting WITH set operations ------------
+  // HLL answers "how many distinct"; theta additionally intersects and
+  // differences stored sketches ("users who did A and B", "A but never
+  // B") — see [[graft.functions.ThetaSketchAgg]] for the guarantees.
+
+  import org.apache.spark.sql.{graft => bridge}
+  import graft.functions.{ThetaEstimate, ThetaSetEstimate, ThetaSketchAgg, ThetaUnionAgg}
+
+  /** Per-group theta sketch of `valueCol` (binary column, storable). */
+  def thetaSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(bridge.column(ThetaSketchAgg(
+        bridge.expression(col(valueCol)), lgK).toAggregateExpression())
+        .as("sketch"))
+
+  /** Aggregate: union of stored theta images. */
+  def thetaUnion(sketch: Column, lgK: Int = 12): Column =
+    bridge.column(ThetaUnionAgg(bridge.expression(sketch), lgK)
+      .toAggregateExpression())
+
+  /** Scalar: distinct-count estimate from a stored theta image. */
+  def thetaEstimate(sketch: Column): Column =
+    bridge.column(ThetaEstimate(bridge.expression(sketch)))
+
+  /** Scalar: |A ∩ B| estimate from two stored theta images. */
+  def thetaIntersect(a: Column, b: Column): Column =
+    bridge.column(ThetaSetEstimate(
+      bridge.expression(a), bridge.expression(b), "intersect"))
+
+  /** Scalar: |A \ B| estimate from two stored theta images. */
+  def thetaANotB(a: Column, b: Column): Column =
+    bridge.column(ThetaSetEstimate(
+      bridge.expression(a), bridge.expression(b), "anotb"))
 }

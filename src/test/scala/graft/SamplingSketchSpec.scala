@@ -121,6 +121,41 @@ class SamplingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql == out.getAs[Long]("ex"))
   }
 
+  test("theta: exact below k; union of parts == whole; set ops correct") {
+    import spark.implicits._
+    import graft.ops.DistinctSketch
+    // group g1 = {1..60}, g2 = {41..100}: |∩| = 20, |g1 \ g2| = 40
+    val df = ((1L to 60L).map(("g1", _)) ++ (41L to 100L).map(("g2", _)))
+      .toDF("g", "uid")
+    val sk = DistinctSketch.thetaSketch(df, Seq("g"), "uid")
+    val row = sk.as("a").join(sk.as("b"),
+        col("a.g") === lit("g1") && col("b.g") === lit("g2"))
+      .select(
+        DistinctSketch.thetaEstimate(col("a.sketch")).as("na"),
+        DistinctSketch.thetaIntersect(col("a.sketch"), col("b.sketch")).as("ni"),
+        DistinctSketch.thetaANotB(col("a.sketch"), col("b.sketch")).as("nd"))
+      .collect().head
+    // 120 items < k = 4096 nominal entries ⇒ theta is in exact mode
+    assert(row.getAs[Double]("na") == 60.0)
+    assert(row.getAs[Double]("ni") == 20.0)
+    assert(row.getAs[Double]("nd") == 40.0)
+    // union of per-part sketches answers exactly like one global sketch
+    val whole = df.agg(bridgeSketch(col("uid")).as("sk"))
+      .select(DistinctSketch.thetaEstimate(col("sk")).as("n"))
+      .collect().head.getAs[Double]("n")
+    val merged = sk.agg(DistinctSketch.thetaUnion(col("sketch")).as("sk"))
+      .select(DistinctSketch.thetaEstimate(col("sk")).as("n"))
+      .collect().head.getAs[Double]("n")
+    assert(whole == 100.0 && merged == 100.0)
+  }
+
+  // one-row inline sketch (sketch-of-sketch for the union test)
+  private def bridgeSketch(c: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.{graft => bridge}
+    bridge.column(graft.functions.ThetaSketchAgg(bridge.expression(c))
+      .toAggregateExpression())
+  }
+
   private def snap(rows: (Long, String, Long)*): DataFrame = {
     import spark.implicits._
     rows.toSeq.toDF("id", "name", "v")
