@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, EventAnalytics, FreqSketch, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Relevance, Sampling, Similarity, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, EventAnalytics, FreqSketch, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Similarity, TextAnalysis, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -1073,6 +1073,12 @@ object SparkEntry {
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("a_id", "b_id")),
+    "ppjoin_pairs" -> ((s, dir) =>
+      // EXACT Jaccard>=0.5 pairs via prefix filtering — the oracle is
+      // the UNCAPPED all-pairs shingle join, so a green hash proves the
+      // prefix+length filters dropped no true pair on this corpus
+      Dedup.ppjoinPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("a_id", "b_id")),
     "group_sketch" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
         .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
@@ -1295,6 +1301,20 @@ object SparkEntry {
       // repartitionings and engines (versionable, unlike seeded rand())
       Sampling.uniformSampleIds(t(s, dir, "documents"), "doc_id", 100)
         .orderBy("doc_id")),
+    "topk_group" -> ((s, dir) =>
+      // leaderboard: 5 most active users per event type through the
+      // bounded TopK aggregate — k-sized heap per partial, map-side
+      // combine, ≤ k pairs per (partition, group) on the shuffle. The
+      // oracle's row_number spelling is the whale-hazard window sort
+      // this form replaces; ranks on an exact integer count with
+      // smaller-user_id tie-break, so both engines agree row-for-row
+      Ranking.topKPerGroup(
+          t(s, dir, "events")
+            .groupBy("event_type", "user_id")
+            .agg(count(lit(1)).as("n_events")),
+          Seq("event_type"), "n_events", "user_id", 5,
+          scoreName = "n_events")
+        .orderBy("event_type", "rank")),
     "cm_counts" -> ((s, dir) => {
       // Count-Min point-frequency sketch: the exact top-20 tokens probe
       // the global sketch. Gates (hashable booleans, like hll_users):
@@ -1332,6 +1352,26 @@ object SparkEntry {
       KeyDiff.scdType2(ordersOld(s, dir), ordersNew(s, dir),
           Seq("o_orderkey"), lit("1998-08-01"), lit("1998-09-01"))
         .orderBy("o_orderkey", "valid_from")),
+    "cdc_apply" -> ((s, dir) => {
+      // MERGE a Debezium-style changeset into the orders snapshot:
+      // deletes every 11th key, updates every 13th (price +50), inserts
+      // the even keys the snapshot filter dropped — with overlapping
+      // keys (e.g. %143 = both D and U) resolved by the LSN so the
+      // highest-seq change wins. The oracle states the same final
+      // image in pure CASE logic over membership arithmetic.
+      val o = t(s, dir, "orders")
+      val del = o.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("__op", lit("D")).withColumn("__seq", lit(1L))
+      val upd = o.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 50)
+        .withColumn("__op", lit("U")).withColumn("__seq", lit(2L))
+      val ins = o.filter(col("o_orderkey") % 14 === 0)
+        .withColumn("__op", lit("I")).withColumn("__seq", lit(3L))
+      KeyDiff.applyChangeset(ordersOld(s, dir),
+          del.unionByName(upd).unionByName(ins),
+          Seq("o_orderkey"), "__op", "__seq")
+        .orderBy("o_orderkey")
+    }),
     "chunk_docs" -> ((s, dir) =>
       Chunking.chunk(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 32, overlap = 8)
@@ -1870,6 +1910,16 @@ object SparkEntry {
         |  SELECT doc_id FROM documents
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+    "topk_group" ->
+      """WITH pu AS (SELECT event_type, user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, rank, user_id, n_events FROM (
+        |  SELECT event_type, user_id, n_events, CAST(row_number() OVER (
+        |    PARTITION BY event_type
+        |    ORDER BY n_events DESC, user_id) AS BIGINT) AS rank
+        |  FROM pu)
+        |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
     "cm_counts" ->
       s"""WITH $toksCte,
          |t AS (SELECT unnest(toks) AS token FROM toks)
@@ -1910,6 +1960,21 @@ object SparkEntry {
          |    DATE '1998-09-01', CAST(NULL AS DATE), TRUE
          |  FROM j WHERE status IN ('changed', 'added'))
          |ORDER BY o_orderkey, valid_from""".stripMargin,
+    "cdc_apply" ->
+      // Final-image restatement of the MERGE: latest-op precedence is
+      // I (%14, seq 3) > U (%13, seq 2) > D (%11, seq 1). A key is
+      // present iff an insert or upsert touched it, or it sat in the
+      // snapshot (%7<>0) and no un-overridden delete (%11) removed it.
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 14 = 0 THEN o_totalprice
+        |       WHEN o_orderkey % 13 = 0 THEN o_totalprice + 50
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey % 14 = 0
+        |   OR o_orderkey % 13 = 0
+        |   OR (o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0)
+        |ORDER BY o_orderkey""".stripMargin,
     "quantiles_dist" ->
       """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
@@ -2462,6 +2527,20 @@ object SparkEntry {
          |sz AS (SELECT doc_id, count(*) n FROM ex GROUP BY 1),
          |shared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
          |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 4) AS jaccard
+         |FROM shared JOIN sz x ON a_id = x.doc_id JOIN sz y ON b_id = y.doc_id
+         |WHERE round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 4) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+    "ppjoin_pairs" ->
+      // the exact reference computation: NO frequency cap, all shingle
+      // collisions joined — what the prefix filter must reproduce
+      s"""WITH $toksCte, $shinglesCte,
+         |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+         |sz AS (SELECT doc_id, count(*) n FROM ex GROUP BY 1),
+         |shared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id,
          |  round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 4) AS jaccard

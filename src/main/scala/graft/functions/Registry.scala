@@ -40,6 +40,8 @@ object Registry {
       KllMergeAgg(es(0), intLit(es(1), "k")).toAggregateExpression()),
     "graft_bottom_k" -> (es =>
       BottomK(es(0), es(1), intLit(es(2), "k")).toAggregateExpression()),
+    "graft_top_k" -> (es =>
+      TopK(es(0), es(1), intLit(es(2), "k")).toAggregateExpression()),
     "graft_cm_sketch" -> (es =>
       CountMinAgg(es(0), intLit(es(1), "w"), intLit(es(2), "d"))
         .toAggregateExpression()),

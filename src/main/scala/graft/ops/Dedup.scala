@@ -497,6 +497,63 @@ object Dedup {
     exactKept.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** EXACT Jaccard-threshold self-join via prefix filtering (the
+    * PPJoin-family algorithm: Chaudhuri et al. ICDE'06 prefix filter,
+    * Xiao et al. WWW'08): returns exactly the pairs with
+    * `jaccard >= minJaccard` — no LSH false negatives, no stop-shingle
+    * cap — while still never joining all pairs.
+    *
+    * The algorithmic contract: order every document's distinct shingles
+    * by one GLOBAL total order (document-frequency ascending, then
+    * shingle — rarest first) and index only each document's first
+    * `|d| − ⌈t·|d|⌉ + 1` shingles (its "prefix"). Any pair with
+    * `J ≥ t` shares `≥ ⌈t·|x|⌉` shingles, and two sets that overlap
+    * that much MUST collide inside these prefixes (pigeonhole on the
+    * shared order) — so joining prefixes alone loses nothing; a cheap
+    * length filter (`t·max(|A|,|B|) ≤ min(|A|,|B|)`) prunes further,
+    * then exact verification on the full shingle sets keeps only true
+    * pairs.
+    *
+    * Why it scales where the naive shingle-join needs its cap: join
+    * cost is Σ freq² over the JOIN KEY, and freq-ascending prefixes
+    * are built from each document's RAREST shingles — corpus-wide
+    * boilerplate sorts to the suffix and never enters the join. Skew
+    * dissolves by construction instead of by dropping data. The
+    * per-doc rank window partitions by doc id (bounded by document
+    * length, never a whale key); verification joins touch only
+    * candidate pairs.
+    */
+  def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val docs = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("set"))
+    val sh = docs.select(col("id"), explode(col("set")).as("s"))
+    val freq = sh.groupBy("s").agg(count(col("id")).as("f"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val prefix = sh.join(freq, "s")
+      .select(col("id"), col("s"),
+        row_number().over(byDoc.orderBy(col("f"), col("s"))).as("p"),
+        count(lit(1)).over(byDoc).as("n_sh"))
+      .filter(col("p") <=
+        col("n_sh") - ceil(col("n_sh") * lit(minJaccard)).cast("long") + 1L)
+    val cand = prefix.select(col("id").as("a_id"), col("s"), col("n_sh").as("a_n"))
+      .join(prefix.select(col("id").as("b_id"), col("s"), col("n_sh").as("b_n")), "s")
+      .filter(col("a_id") < col("b_id") &&
+        least(col("a_n"), col("b_n")).cast("double") >=
+          greatest(col("a_n"), col("b_n")) * lit(minJaccard))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(docs.select(col("id").as("a_id"), col("set").as("a_set")), "a_id")
+      .join(docs.select(col("id").as("b_id"), col("set").as("b_set")), "b_id")
+      .withColumn("shared",
+        size(array_intersect(col("a_set"), col("b_set"))).cast("long"))
+      .withColumn("jaccard", round(
+        col("shared").cast("double") /
+          (size(col("a_set")) + size(col("b_set")) - col("shared")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** n-gram Jaccard similarity pairs via shingle-join: explode distinct
     * shingles, join on the shingle, count shared per pair, and compute
     * |A∩B| / (|A| + |B| − |A∩B|). Pairs below `minJaccard` are dropped.

@@ -208,6 +208,43 @@ object KeyDiff {
         col("__v.is_current").as("is_current"))
   }
 
+  /** Apply an EXTERNAL CDC changeset to a keyed snapshot — MERGE INTO
+    * semantics over Debezium-style change rows, producing the next
+    * snapshot. Complements [[patch]] (which replays this engine's own
+    * diff format): here the changes arrive from an upstream log as
+    * `(keys..., payload..., op, seq)` rows with op ∈ I/U/D and a
+    * per-key monotone sequence number (an LSN — required unique per
+    * key, which every CDC log guarantees).
+    *
+    * Semantics (warehouse MERGE):
+    *   - several changes to one key → the HIGHEST-seq change wins;
+    *   - latest op I or U → the change's row image (I on an existing
+    *     key and U on an absent key both behave as upsert — the
+    *     image is authoritative, matching MERGE ... WHEN [NOT] MATCHED);
+    *   - latest op D → the key is absent from the result;
+    *   - key untouched by the changeset → the snapshot row survives.
+    *
+    * Shape at scale: latest-change-per-key is a `max_by` aggregate
+    * (one shuffle, single-row state per key — never a per-key window
+    * sort of the change log), then ONE full-outer join on the key.
+    * Both sides shuffle on the same key, so a snapshot partitioned by
+    * key reuses its layout; nothing is collected or broadcast.
+    */
+  def applyChangeset(snapshot: DataFrame, changes: DataFrame,
+      keys: Seq[String], opCol: String = "op",
+      seqCol: String = "seq"): DataFrame = {
+    val nonKey = snapshot.columns.filterNot(keys.contains).toSeq
+    val image = struct((col(opCol).as("__op") +: nonKey.map(col)): _*)
+    val latest = changes.groupBy(keys.map(col): _*)
+      .agg(max_by(image, col(seqCol)).as("__c"))
+    snapshot.as("s").join(latest, keys, "full_outer")
+      .filter(col("__c").isNull || col("__c.__op") =!= "D")
+      .select(keys.map(col) ++ nonKey.map { n =>
+        when(col("__c").isNotNull, col(s"__c.$n"))
+          .otherwise(col(s"s.$n")).as(n)
+      }: _*)
+  }
+
   /** Reconstruct a snapshot from a diff: the diff is lossless (both
     * payloads are kept), so `patch(diff(old, new)) ≡ new` and
     * `patch(diff(old, new), forward = false) ≡ old` — as multisets of

@@ -275,6 +275,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("ppjoinPairs == uncapped exact shingle join, incl. boilerplate-heavy corpus") {
+    // docs 1/2 are near-dups; 3/4 share only the corpus-wide boilerplate
+    // tail (every doc carries it) — the shape where the capped join drops
+    // shingles but the prefix filter must stay exact; 5 is unrelated
+    val boiler = "all rights reserved by the site"
+    val df = docs(
+      1L -> s"alpha beta gamma delta epsilon $boiler",
+      2L -> s"alpha beta gamma delta zeta $boiler",
+      3L -> s"one two three four five six seven $boiler",
+      4L -> s"red orange yellow green blue indigo $boiler",
+      5L -> "completely different text with nothing shared")
+    // reference: all-pairs exact jaccard with NO pruning
+    val sh = df.select(col("doc_id"),
+      Dedup.wordShingles(col("text"), 3).as("set"))
+    val ref = sh.select(col("doc_id").as("a_id"), col("set").as("a_set"))
+      .crossJoin(sh.select(col("doc_id").as("b_id"), col("set").as("b_set")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("shared", size(array_intersect(col("a_set"), col("b_set"))))
+      .withColumn("jaccard", round(col("shared").cast("double") /
+        (size(col("a_set")) + size(col("b_set")) - col("shared")).cast("double"), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "jaccard")
+    val got = Dedup.ppjoinPairs(df, "doc_id", "text", minJaccard = 0.5)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    // repartition invariance (row_number window + joins must not depend
+    // on physical layout)
+    val again = Dedup.ppjoinPairs(df.repartition(7), "doc_id", "text",
+      minJaccard = 0.5)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
+
   test("normalizeText: case/punct/whitespace-insensitive, enables normalized dedup") {
     import spark.implicits._
     val df = Seq(

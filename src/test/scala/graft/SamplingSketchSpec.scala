@@ -74,6 +74,41 @@ class SamplingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sampling.uniformSampleIds(df, "doc_id", 100).count() == 8)
   }
 
+  test("topKPerGroup == the window row_number spelling, repartition-invariant") {
+    import spark.implicits._
+    // skewed scores with deliberate ties: score = i % 50 collides heavily
+    val df = (1 to 600).map { i =>
+      (s"g${i % 3}", i.toLong, (i % 50).toLong)
+    }.toDF("g", "id", "n")
+    val got = graft.ops.Ranking.topKPerGroup(df, Seq("g"), "n", "id", 7,
+      scoreName = "n")
+    val w = Window.partitionBy("g").orderBy(col("n").desc, col("id"))
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7).select("g", "rank", "id", "n")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val again = graft.ops.Ranking.topKPerGroup(df.repartition(13), Seq("g"),
+      "n", "id", 7, scoreName = "n")
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
+
+  test("topKPerGroup: small group returns all members; SQL path agrees") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 5L), ("a", 2L, 5L), ("b", 3L, 9L))
+      .toDF("g", "id", "n")
+    val got = graft.ops.Ranking.topKPerGroup(df, Seq("g"), "n", "id", 10,
+      scoreName = "n").orderBy("g", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // tie at n=5 breaks toward the smaller id
+    assert(got.toSeq == Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 1L, 3L)))
+    graft.functions.Registry.install(spark)
+    df.createOrReplaceTempView("topk_in")
+    val viaSql = spark.sql(
+      "SELECT g, graft_top_k(n, id, 10) AS top FROM topk_in GROUP BY g")
+      .select(col("g"), explode(col("top.payload")).as("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaSql == Set(("a", 1L), ("a", 2L), ("b", 3L)))
+  }
+
   private def tokenDocs(rows: (String, Seq[String])*): DataFrame = {
     import spark.implicits._
     rows.toSeq.toDF("lang", "toks")
@@ -159,6 +194,32 @@ class SamplingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def snap(rows: (Long, String, Long)*): DataFrame = {
     import spark.implicits._
     rows.toSeq.toDF("id", "name", "v")
+  }
+
+  test("applyChangeset: last-wins merge of I/U/D, untouched rows survive") {
+    import spark.implicits._
+    val snapshot = snap((1L, "keep", 10L), (2L, "del", 20L),
+      (3L, "upd", 30L), (4L, "both", 40L))
+    // (id, label, v, op, seq): id 4 gets D@1 then U@2 (update wins);
+    // id 5 is a fresh insert; id 6 is a D for an absent key (no-op);
+    // id 3 gets U@1 then U@2 (the seq-2 image must win)
+    val changes = Seq(
+      (2L, "del", 20L, "D", 1L),
+      (3L, "upd-old", 31L, "U", 1L),
+      (3L, "upd-new", 32L, "U", 2L),
+      (4L, "both", 40L, "D", 1L),
+      (4L, "both-upd", 41L, "U", 2L),
+      (5L, "ins", 50L, "I", 1L),
+      (6L, "ghost", 60L, "D", 1L))
+      .toDF("id", "name", "v", "op", "seq")
+    val got = KeyDiff.applyChangeset(snapshot, changes, Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[Long]("v")))
+    assert(got.toSeq == Seq(
+      (1L, "keep", 10L),       // untouched
+      (3L, "upd-new", 32L),    // highest-seq update image
+      (4L, "both-upd", 41L),   // U@2 overrides D@1
+      (5L, "ins", 50L)))       // insert; id 2 deleted, id 6 never existed
   }
 
   test("scdType2 emits the right versions per status") {
