@@ -960,6 +960,22 @@ object SparkEntry {
           ok(col("a90"), col("p90")).as("p90_ok"))
         .orderBy("l_returnflag")
     }),
+    "kmeans_fit" -> ((s, dir) => {
+      // fully distributed Lloyd's over every embedding row (the
+      // sampled-training counterpart is ivf_topk): per-iteration
+      // gates are the guaranteed invariants — every row is assigned
+      // each iteration (exact, hashable) and the start-of-iteration
+      // SSE never increases (Lloyd's monotonicity, 1e-9 relative
+      // tolerance for float summation order)
+      import s.implicits._
+      val fit = graft.ops.Clustering.kmeansFit(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3)
+      val h = fit.history
+      h.zip((1, Double.MaxValue, 0L) +: h).map {
+        case ((it, sse, n), (_, prev, _)) =>
+          (it.toLong, n, sse <= prev * (1 + 1e-9))
+      }.toDF("iter", "n_assigned", "sse_nonincreasing").orderBy("iter")
+    }),
     "hll_users" -> ((s, dir) => {
       // materialize per-(event_type, day) HLL sketches, then answer the
       // per-type distinct-user question from sketch bytes alone — the
@@ -3212,6 +3228,14 @@ object SparkEntry {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  true AS rel_err_le_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "kmeans_fit" ->
+      // centroid coordinates are engine-specific; the hashable facts are
+      // the row count reached by every iteration's assignment and
+      // Lloyd's SSE monotonicity
+      """SELECT CAST(i AS BIGINT) AS iter,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_assigned,
+        |  true AS sse_nonincreasing
+        |FROM range(1, 4) t(i) ORDER BY iter""".stripMargin,
     "kll_quantiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

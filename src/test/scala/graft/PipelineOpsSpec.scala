@@ -893,6 +893,39 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"probe2 recall=${recall(probe2)}")
   }
 
+  test("kmeansFit: recovers separated blobs, SSE non-increasing, repartition-invariant") {
+    import spark.implicits._
+    // two tight blobs far apart: Lloyd's must land a centroid on each
+    // blob mean and SSE must collapse after the first re-fit
+    val rows = (1 to 40).map { i =>
+      val base = if (i % 2 == 0) 100.0f else -100.0f
+      (i.toLong, Seq(base + (i % 5) * 0.1f, base - (i % 3) * 0.1f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val fit = ops.Clustering.kmeansFit(df, "vec_id", "embedding", k = 2, iters = 3)
+    // SSE history is non-increasing
+    val sses = fit.history.map(_._2)
+    assert(sses.zip(sses.tail).forall { case (a, b) => b <= a * (1 + 1e-9) },
+      s"sse history not monotone: $sses")
+    // every iteration assigned every row
+    assert(fit.history.forall(_._3 == 40L))
+    // final centroids sit on the two blob means (one positive, one negative)
+    val xs = fit.centroids.map(_(0)).sorted
+    assert(xs(0) < -99 && xs(1) > 99, s"centroids off-blob: ${xs.toSeq}")
+    // assignment splits the blobs cleanly and cell ids are 0/1
+    val cells = ops.Clustering.kmeansAssign(df, "embedding", fit)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.values.toSet == Set(0L, 1L))
+    assert((1 to 40).forall { i =>
+      cells(i.toLong) == cells(if (i % 2 == 0) 2L else 1L)
+    })
+    // deterministic across physical layout
+    val fit2 = ops.Clustering.kmeansFit(df.repartition(7), "vec_id",
+      "embedding", k = 2, iters = 3)
+    assert(fit2.centroids.map(_.toSeq).toSeq == fit.centroids.map(_.toSeq).toSeq)
+  }
+
   test("PQ: determinism, 32x shape, decode fidelity, recall over random order") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val m1 = ops.ProductQuant.train(e, "vec_id", "embedding")
