@@ -960,6 +960,19 @@ object SparkEntry {
           ok(col("a90"), col("p90")).as("p90_ok"))
         .orderBy("l_returnflag")
     }),
+    "click_attrib" -> ((s, dir) => {
+      // batch twin of the stream-stream interval join (EventStream.
+      // intervalJoinStream — clicks ⋈ purchases by the same user within
+      // 10 minutes): StreamingSpec proves two MemoryStreams produce
+      // exactly these rows; this oracle row makes the shared join logic
+      // driver-visible. Watermarks are no-ops in batch mode, so the
+      // SAME function body runs here
+      val ev = t(s, dir, "events")
+      EventStream.intervalJoinStream(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .orderBy("event_id", "purchase_id")
+    }),
     "kmeans_fit" -> ((s, dir) => {
       // fully distributed Lloyd's over every embedding row (the
       // sampled-training counterpart is ivf_topk): per-iteration
@@ -3228,6 +3241,14 @@ object SparkEntry {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  true AS rel_err_le_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "click_attrib" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS purchase_id,
+        |  round(p.value, 2) AS p_value
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |ORDER BY c.event_id, purchase_id""".stripMargin,
     "kmeans_fit" ->
       // centroid coordinates are engine-specific; the hashable facts are
       // the row count reached by every iteration's assignment and
