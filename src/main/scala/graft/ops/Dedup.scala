@@ -503,9 +503,10 @@ object Dedup {
     * `jaccard >= minJaccard` — no LSH false negatives, no stop-shingle
     * cap — while still never joining all pairs.
     *
-    * The algorithmic contract: order every document's distinct shingles
-    * by one GLOBAL total order (document-frequency ascending, then
-    * shingle — rarest first) and index only each document's first
+    * The algorithmic contract: order every document's distinct shingle
+    * fingerprints by one GLOBAL total order (document-frequency
+    * ascending, then fingerprint — rarest first) and index only each
+    * document's first
     * `|d| − ⌈t·|d|⌉ + 1` shingles (its "prefix"). Any pair with
     * `J ≥ t` shares `≥ ⌈t·|x|⌉` shingles, and two sets that overlap
     * that much MUST collide inside these prefixes (pigeonhole on the
@@ -525,31 +526,76 @@ object Dedup {
     */
   def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    // All float pruning bounds carry a 1e-9 slack on the PRUNING side:
+    // a last-ulp rounding error may admit one extra candidate (exact
+    // verification removes it) but must never drop a true pair.
+    val eps = 1e-9
+    // The whole algorithm runs on each document's set of 64-bit shingle
+    // FINGERPRINTS (xxhash64), not the strings: 8 bytes per element
+    // through every shuffle, and the prefix theorem applies verbatim to
+    // fingerprint sets (frequency order + prefix + verification all see
+    // the same universe). Fingerprinting is the only approximation vs
+    // the string-set oracle — two distinct shingles of one compared
+    // pair would have to collide in 64 bits to change any answer
+    // (~2^32 shingles per document before that's likely).
     val docs = df.filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("set"))
-    val sh = docs.select(col("id"), explode(col("set")).as("s"))
-    val freq = sh.groupBy("s").agg(count(col("id")).as("f"))
+    val hsets = docs.select(col("id"),
+      array_sort(array_distinct(transform(col("set"), s => xxhash64(s))))
+        .as("hs"))
+    // Fingerprint-keyed barrier, same posture as [[ngramJaccardPairs]]:
+    // the exploded relation feeds the frequency count AND the prefix
+    // join; one exchange hash-partitioned by `h` lets ReuseExchange
+    // evaluate the shingling once and run the groupBy shuffle-free.
+    // count(id) (not count(*)) keeps `id` referenced below the exchange
+    // so both consumers' exchanges stay identical.
+    // n_sh rides the explode as size(hs) — map-side, no second window
+    // aggregate next to the rank.
+    val sh = hsets.select(col("id"), size(col("hs")).as("n_sh"),
+        explode(col("hs")).as("h"))
+      .repartition(col("h"))
+    // The `when` is vacuous (n_sh is a non-null size ≥ 0) but keeps BOTH
+    // non-key columns referenced in this consumer, so its pruned schema
+    // — and therefore its exchange — matches the prefix join's and
+    // ReuseExchange unifies them.
+    val freq = sh.groupBy("h")
+      .agg(count(when(col("n_sh") >= 0, col("id"))).as("f"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
-    val prefix = sh.join(freq, "s")
-      .select(col("id"), col("s"),
-        row_number().over(byDoc.orderBy(col("f"), col("s"))).as("p"),
-        count(lit(1)).over(byDoc).as("n_sh"))
+    val prefix = sh.join(freq, "h")
+      .select(col("id"), col("h"), col("n_sh").cast("long").as("n_sh"),
+        row_number().over(byDoc.orderBy(col("f"), col("h"))).as("p"))
       .filter(col("p") <=
-        col("n_sh") - ceil(col("n_sh") * lit(minJaccard)).cast("long") + 1L)
-    val cand = prefix.select(col("id").as("a_id"), col("s"), col("n_sh").as("a_n"))
-      .join(prefix.select(col("id").as("b_id"), col("s"), col("n_sh").as("b_n")), "s")
+        col("n_sh") - ceil(col("n_sh") * lit(minJaccard) - eps).cast("long") + 1L)
+    // Candidate join with BOTH classic prunes applied per collision row:
+    //   - length filter: J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|);
+    //   - positional filter: a collision at ranks (pa, pb) bounds the
+    //     intersection by min(pa−1, pb−1) shared elements ordered before
+    //     it plus min(|A|−pa+1, |B|−pb+1) from it on — if that upper
+    //     bound can't reach ⌈t/(1+t)·(|A|+|B|)⌉ the row can't witness a
+    //     qualifying pair. The bound dominates the true intersection, so
+    //     every collision row of a TRUE pair survives (distinct() after
+    //     the filter loses nothing).
+    val oReq = ceil((col("a_n") + col("b_n")) *
+      lit(minJaccard / (1 + minJaccard)) - eps)
+    val posUb = least(col("pa") - 1L, col("pb") - 1L) +
+      least(col("a_n") - col("pa") + 1L, col("b_n") - col("pb") + 1L)
+    val cand = prefix.select(col("id").as("a_id"), col("h"),
+        col("p").as("pa"), col("n_sh").as("a_n"))
+      .join(prefix.select(col("id").as("b_id"), col("h"),
+        col("p").as("pb"), col("n_sh").as("b_n")), "h")
       .filter(col("a_id") < col("b_id") &&
         least(col("a_n"), col("b_n")).cast("double") >=
-          greatest(col("a_n"), col("b_n")) * lit(minJaccard))
+          greatest(col("a_n"), col("b_n")) * lit(minJaccard) - eps &&
+        posUb.cast("double") >= oReq)
       .select("a_id", "b_id").distinct()
     cand
-      .join(docs.select(col("id").as("a_id"), col("set").as("a_set")), "a_id")
-      .join(docs.select(col("id").as("b_id"), col("set").as("b_set")), "b_id")
+      .join(hsets.select(col("id").as("a_id"), col("hs").as("a_hs")), "a_id")
+      .join(hsets.select(col("id").as("b_id"), col("hs").as("b_hs")), "b_id")
       .withColumn("shared",
-        size(array_intersect(col("a_set"), col("b_set"))).cast("long"))
+        size(array_intersect(col("a_hs"), col("b_hs"))).cast("long"))
       .withColumn("jaccard", round(
         col("shared").cast("double") /
-          (size(col("a_set")) + size(col("b_set")) - col("shared")).cast("double"), 4))
+          (size(col("a_hs")) + size(col("b_hs")) - col("shared")).cast("double"), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("a_id", "b_id", "jaccard")
   }

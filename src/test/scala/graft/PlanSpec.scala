@@ -168,6 +168,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"shingling must be evaluated exactly once:\n$p")
   }
 
+  test("ppjoin_pairs: fingerprint exchange reused by freq + both join sides") {
+    val p = planNoAqe("ppjoin_pairs")
+    // the exploded fingerprint relation feeds the frequency count and
+    // both prefix-join sides off ONE hash exchange
+    assert(p.contains("ReusedExchange"), s"fingerprint exchange must be reused:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filter must never degenerate to all-pairs:\n$p")
+  }
+
+  test("topk_group: bounded heap aggregate, never a per-group window sort") {
+    val p = plan("topk_group")
+    // partial + final graft_top_k aggregate; rank comes from posexplode
+    assert("graft_top_k".r.findAllIn(p).size >= 2,
+      s"expected partial+final top-k aggregate in:\n$p")
+    assert(!p.contains("Window"),
+      s"leaderboard must not fall back to a window sort:\n$p")
+  }
+
+  test("cdc_apply: one max_by aggregate + one key-shuffled full outer join") {
+    val p = plan("cdc_apply")
+    assert(p.contains("FullOuter"), s"expected full-outer merge join in:\n$p")
+    assert(p.contains("max_by"), s"latest-change must be a max_by aggregate:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"no window sort of the change log, no all-pairs:\n$p")
+  }
+
   test("q6_forecast: every predicate reaches the parquet scan") {
     val p = plan("q6_forecast")
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
