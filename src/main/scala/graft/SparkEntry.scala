@@ -1330,6 +1330,14 @@ object SparkEntry {
       // repartitionings and engines (versionable, unlike seeded rand())
       Sampling.uniformSampleIds(t(s, dir, "documents"), "doc_id", 100)
         .orderBy("doc_id")),
+    "weighted_sample" -> ((s, dir) =>
+      // 50-doc Efraimidis–Spirakis sample weighted by document length —
+      // longer docs proportionally likelier, yet fully deterministic
+      // (the exponential keys derive from the md5 permutation, so the
+      // oracle restates the identical arithmetic)
+      Sampling.weightedSampleIds(t(s, dir, "documents"), "doc_id",
+          "n_chars", 50)
+        .orderBy("doc_id")),
     "topk_group" -> ((s, dir) =>
       // leaderboard: 5 most active users per event type through the
       // bounded TopK aggregate — k-sized heap per partial, map-side
@@ -1938,6 +1946,16 @@ object SparkEntry {
       """SELECT doc_id FROM (
         |  SELECT doc_id FROM documents
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+    "weighted_sample" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0
+        |  ORDER BY
+        |    -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |         + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE),
+        |    doc_id
+        |  LIMIT 50)
         |ORDER BY doc_id""".stripMargin,
     "topk_group" ->
       """WITH pu AS (SELECT event_type, user_id,

@@ -63,4 +63,36 @@ object Sampling {
   def uniformSampleIds(df: DataFrame, idCol: String, n: Int): DataFrame =
     df.agg(bottomK(md5Of(col(idCol)), col(idCol).cast("long"), n).as("__keep"))
       .select(explode(col("__keep")).as(idCol))
+
+  /** Deterministic WEIGHTED sample without replacement of exactly `n`
+    * ids (Efraimidis–Spirakis A-ES): each row draws its uniform from
+    * the md5 permutation — u = (first-8-hex-digits + 0.5) / 2³² ∈
+    * (0, 1), exact in double — and the n smallest exponential keys
+    * e = −ln(u)/w win, which gives every subset the A-ES
+    * weighted-without-replacement distribution. P(included) rises with
+    * `weightCol`; rows with null/non-positive weight never qualify.
+    *
+    * Determinism has the same versionability argument as
+    * [[uniformSampleIds]] (the "randomness" is the id hash, so retries,
+    * repartitionings, and other engines agree), with one extra scaling
+    * property the tests pin: multiplying ALL weights by a constant
+    * rescales every key by the same factor and leaves the sample
+    * unchanged — quotas tune RELATIVE weights only.
+    *
+    * `orderBy(key).limit(n)` plans as TakeOrderedAndProject:
+    * per-partition bounded top-n, then an n-row merge — never a global
+    * sort, the same bounded-selection posture as the BottomK samplers.
+    */
+  def weightedSampleIds(df: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    val ui = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (ui.cast("double") + 0.5) / 4294967296.0
+    val e = -log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol), e.as("__e"))
+      .orderBy(col("__e"), col(idCol))
+      .limit(n)
+      .select(idCol)
+  }
 }

@@ -74,6 +74,34 @@ class SamplingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sampling.uniformSampleIds(df, "doc_id", 100).count() == 8)
   }
 
+  test("weightedSampleIds: exact n, scale-invariant weights, weight pull, determinism") {
+    import spark.implicits._
+    val df = (1 to 400).map { i =>
+      // doc 7 gets an overwhelming weight; the rest are length-ish
+      (i.toLong, if (i == 7) 1.0e9 else 50.0 + (i % 97))
+    }.toDF("doc_id", "w")
+    val s1 = Sampling.weightedSampleIds(df, "doc_id", "w", 30)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.size == 30)
+    // the whale-weight doc is (deterministically) in the sample
+    assert(s1.contains(7L))
+    // multiplying all weights by a constant must not change the sample
+    val s2 = Sampling.weightedSampleIds(
+      df.withColumn("w", col("w") * 1000.0), "doc_id", "w", 30)
+      .collect().map(_.getLong(0)).toSet
+    assert(s2 == s1)
+    // repartition-invariant (TakeOrdered merge is order-stable)
+    val s3 = Sampling.weightedSampleIds(df.repartition(13), "doc_id", "w", 30)
+      .collect().map(_.getLong(0)).toSet
+    assert(s3 == s1)
+    // zero/negative/null weights never qualify
+    val s4 = Sampling.weightedSampleIds(
+      df.withColumn("w", when(col("doc_id") <= 390, lit(0.0))
+        .otherwise(col("w"))), "doc_id", "w", 30)
+      .collect().map(_.getLong(0)).toSet
+    assert(s4.size == 10 && s4.forall(_ > 390))
+  }
+
   test("topKPerGroup == the window row_number spelling, repartition-invariant") {
     import spark.implicits._
     // skewed scores with deliberate ties: score = i % 50 collides heavily
