@@ -1409,6 +1409,33 @@ object SparkEntry {
           Seq("o_orderkey"), "__op", "__seq")
         .orderBy("o_orderkey")
     }),
+    "ivm_status" -> ((s, dir) => {
+      // incremental view maintenance: the per-status revenue rollup
+      // stays current under the SAME changeset cdc_apply merges, via
+      // stored-aggregate + changed-keys delta — never a re-scan of
+      // unchanged rows. Money is cast to DECIMAL(18,2) BEFORE
+      // maintenance: exact addition is associative, so the incremental
+      // sum is bit-equal to the oracle's full re-aggregation (a float
+      // sum would differ in summation order). Final cast to double
+      // only for a type-stable hash surface.
+      val dec = (d: DataFrame) => d.withColumn("o_totalprice",
+        col("o_totalprice").cast("decimal(18,2)"))
+      val o = t(s, dir, "orders")
+      val del = o.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("__op", lit("D")).withColumn("__seq", lit(1L))
+      val upd = o.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 50)
+        .withColumn("__op", lit("U")).withColumn("__seq", lit(2L))
+      val ins = o.filter(col("o_orderkey") % 14 === 0)
+        .withColumn("__op", lit("I")).withColumn("__seq", lit(3L))
+      KeyDiff.incrementalAgg(dec(ordersOld(s, dir)),
+          dec(del.unionByName(upd).unionByName(ins)),
+          Seq("o_orderkey"), Seq("o_orderstatus"), "o_totalprice",
+          "__op", "__seq")
+        .select(col("o_orderstatus"),
+          col("sum_value").cast("double").as("sum_value"), col("n_rows"))
+        .orderBy("o_orderstatus")
+    }),
     "chunk_docs" -> ((s, dir) =>
       Chunking.chunk(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 32, overlap = 8)
@@ -2022,6 +2049,22 @@ object SparkEntry {
         |   OR o_orderkey % 13 = 0
         |   OR (o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0)
         |ORDER BY o_orderkey""".stripMargin,
+    "ivm_status" ->
+      // full re-aggregation of the merged snapshot (the cdc_apply final
+      // image) in the same exact DECIMAL arithmetic — what the
+      // incremental stored-agg + delta path must reproduce bit-for-bit
+      """WITH merged AS (
+        |  SELECT o_orderstatus,
+        |    CAST(CASE WHEN o_orderkey % 14 = 0 THEN o_totalprice
+        |         WHEN o_orderkey % 13 = 0 THEN o_totalprice + 50
+        |         ELSE o_totalprice END AS DECIMAL(18,2)) AS v
+        |  FROM orders
+        |  WHERE o_orderkey % 14 = 0
+        |     OR o_orderkey % 13 = 0
+        |     OR (o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0))
+        |SELECT o_orderstatus, CAST(sum(v) AS DOUBLE) AS sum_value,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "quantiles_dist" ->
       """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -250,6 +250,46 @@ class SamplingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       (5L, "ins", 50L)))       // insert; id 2 deleted, id 6 never existed
   }
 
+  test("incrementalAgg == re-aggregating the merged snapshot, incl. group moves") {
+    import spark.implicits._
+    // (id, grp, v): the changeset deletes, inserts, updates in place,
+    // and MOVES id 3 from group a to group b; id 9's delete then upsert
+    // must land as an insert (seq order)
+    val snapshot = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 40L), (9L, "b", 90L))
+      .toDF("id", "grp", "v")
+    val changes = Seq(
+      (2L, "a", 0L, "D", 1L),      // delete from a
+      (3L, "b", 31L, "U", 1L),     // move a -> b with a new value
+      (5L, "c", 50L, "I", 1L),     // brand-new group c
+      (9L, "b", 0L, "D", 1L),
+      (9L, "b", 99L, "I", 2L))     // delete then re-insert: seq 2 wins
+      .toDF("id", "grp", "v", "op", "seq")
+    val got = KeyDiff.incrementalAgg(snapshot, changes, Seq("id"),
+      Seq("grp"), "v")
+    val ref = KeyDiff.applyChangeset(snapshot, changes, Seq("id"))
+      .groupBy("grp").agg(sum("v").as("sum_value"),
+        count(lit(1)).as("n_rows"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      s"got=${got.collect().toSeq} ref=${ref.collect().toSeq}")
+    // spot values: a keeps only id 1; b has 4, 3(moved, 31), 9(99)
+    val m = got.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m("a") == ((10L, 1L)))
+    assert(m("b") == ((40L + 31L + 99L, 3L)))
+    assert(m("c") == ((50L, 1L)))
+  }
+
+  test("incrementalAgg drops groups whose count reaches zero") {
+    import spark.implicits._
+    val snapshot = Seq((1L, "only", 7L)).toDF("id", "grp", "v")
+    val changes = Seq((1L, "only", 0L, "D", 1L))
+      .toDF("id", "grp", "v", "op", "seq")
+    val got = KeyDiff.incrementalAgg(snapshot, changes, Seq("id"),
+      Seq("grp"), "v")
+    assert(got.count() == 0)
+  }
+
   test("scdType2 emits the right versions per status") {
     val old = snap((1L, "keep", 10L), (2L, "edit", 20L), (3L, "drop", 30L))
     val neu = snap((1L, "keep", 10L), (2L, "edit", 21L), (4L, "new", 40L))
