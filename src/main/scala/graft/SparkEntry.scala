@@ -1307,6 +1307,18 @@ object SparkEntry {
         .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "split")
     }),
+    "grouped_split" -> ((s, dir) =>
+      // LEAKAGE-SAFE split: the hash draw is on the SOURCE, not the doc,
+      // so every document of one origin lands in the same split —
+      // near-duplicates within a source can never straddle train/test
+      // (the eval-contamination hazard of per-doc splitting). The
+      // all-or-nothing property is the hashable fact: each (source,
+      // split) pair carries the source's full doc count
+      t(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.assignSplit(col("source"), 0.6, 0.2).as("split"))
+        .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "split")),
     "mix_quota" -> ((s, dir) =>
       // curriculum mixing: every source downsampled toward a 600-token
       // quota, keep-rate derived from the measured per-source totals
@@ -2789,6 +2801,16 @@ object SparkEntry {
          |       ELSE 'test' END AS split,
          |  CAST(count(*) AS BIGINT) AS n_docs
          |FROM sampled GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+    },
+    "grouped_split" -> {
+      val train = TextAnalysis.hexThreshold(0.6)
+      val valT = TextAnalysis.hexThreshold(0.8)
+      s"""SELECT source,
+         |  CASE WHEN substr(md5(source), 1, 8) < '$train' THEN 'train'
+         |       WHEN substr(md5(source), 1, 8) < '$valT' THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin
     },
     "chunk_docs" ->
       s"""WITH $toksCte,
