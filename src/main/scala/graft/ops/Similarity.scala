@@ -67,6 +67,35 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rn")
   }
 
+  /** Deterministic signed random projection (Achlioptas-style
+    * Johnson–Lindenstrauss): project an embedding to `outDim` dims with
+    * a ±1 matrix derived from a PURE HASH of the coordinate pair — no
+    * RNG, no stored model, any engine/retry/partitioning regenerates
+    * the identical matrix. Angles are approximately preserved (each
+    * output coordinate is a random-sign sum, so projected cosine
+    * concentrates around true cosine with variance ~1/outDim), which
+    * makes the projected space a 4× cheaper SHORTLIST tier: scan the
+    * small vectors, rerank the shortlist exactly on the originals —
+    * the third member of the compression family next to int8
+    * ([[quantize8]], 4× bytes) and PQ (32× bytes).
+    *
+    * Expression-level (`transform`/`zip_with` over a literal matrix):
+    * map-only, codegen, no shuffle.
+    */
+  def srpProject(vec: Column, inDim: Int, outDim: Int): Column = {
+    val signs: Seq[Seq[Double]] = (0 until outDim).map { j =>
+      (0 until inDim).map { i =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(s"srp:$j:$i")
+        if ((h & 1) == 0) 1.0 else -1.0
+      }
+    }
+    val m = typedlit(signs)
+    transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(zip_with(vec, element_at(m, j + 1),
+          (x, r) => x.cast("double") * r),
+        lit(0.0), (acc, v) => acc + v).cast("float"))
+  }
+
   /** All pairs with cosine ≥ `threshold` (embedding near-duplicate
     * detection). Brute force at test scale; at corpus scale route through
     * [[lshBucket]] first so only same-bucket pairs are scored.

@@ -926,6 +926,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fit2.centroids.map(_.toSeq).toSeq == fit.centroids.map(_.toSeq).toSeq)
   }
 
+  test("SRP projection: deterministic, shape, clustered-data shortlist recall") {
+    import spark.implicits._
+    // clustered fixture (SRP's operating regime — uniform-random vectors
+    // have noise-level cosine gaps no 4x-smaller sketch can rank): 4
+    // well-separated centers, 50 points each, deterministic jitter
+    val dim = 64
+    val rows = (0 until 200).map { i =>
+      val c = i % 4
+      val v = (0 until dim).map { d =>
+        val base = if (d % 4 == c) 10.0f else 0.0f
+        base + (((i * 131 + d * 17) % 7) - 3) * 0.1f
+      }
+      (i.toLong, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+        ops.Similarity.srpProject(col("embedding"), dim, 16).as("embedding"))
+    // deterministic + 16-wide output
+    val p1 = proj(e).collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val p2 = proj(e.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(p1 == p2, "projection must be engine/layout deterministic")
+    assert(p1.values.forall(_.length == 16))
+    // shortlist recall: projected top-30 must contain nearly all of the
+    // exact top-10 (same-cluster points dominate both spaces)
+    val q = e.filter(col("vec_id") < 8)
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = hits(ops.Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 10))
+    val short = hits(ops.Similarity.bruteForceTopK(proj(q), proj(e),
+      "vec_id", "embedding", 30))
+    val recall = (short & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered shortlist recall $recall < 0.9")
+  }
+
   test("PQ: determinism, 32x shape, decode fidelity, recall over random order") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val m1 = ops.ProductQuant.train(e, "vec_id", "embedding")
