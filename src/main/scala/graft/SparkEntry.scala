@@ -1102,6 +1102,14 @@ object SparkEntry {
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("a_id", "b_id")),
+    "snm_pairs" -> ((s, dir) =>
+      // sorted-neighborhood candidates over the normalized-prefix key:
+      // the oracle is the single-sort row_number spelling (one
+      // partition); the engine's range-split + ghost-patched windows
+      // must reproduce its pairs exactly
+      Dedup.sortedNeighborPairs(t(s, dir, "documents"), "doc_id",
+          substring(TextAnalysis.normalizeText(col("text")), 1, 24), w = 5)
+        .orderBy("a_id", "b_id")),
     "ppjoin_pairs" -> ((s, dir) =>
       // EXACT Jaccard>=0.5 pairs via prefix filtering — the oracle is
       // the UNCAPPED all-pairs shingle join, so a green hash proves the
@@ -2635,6 +2643,17 @@ object SparkEntry {
          |FROM shared JOIN sz x ON a_id = x.doc_id JOIN sz y ON b_id = y.doc_id
          |WHERE round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 4) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+    "snm_pairs" ->
+      """WITH k AS (SELECT doc_id,
+        |  substr(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 24) AS key
+        |  FROM documents),
+        |r AS (SELECT doc_id, key,
+        |  row_number() OVER (ORDER BY key, doc_id) AS rk
+        |  FROM k WHERE key IS NOT NULL)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4
+        |ORDER BY a_id, b_id""".stripMargin,
     "ppjoin_pairs" ->
       // the exact reference computation: NO frequency cap, all shingle
       // collisions joined — what the prefix filter must reproduce

@@ -497,6 +497,82 @@ object Dedup {
     exactKept.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Sorted-neighborhood blocking (SNM, Hernández–Stolfo): sort every
+    * record by a blocking key and emit each record paired with its
+    * `w−1` successors in the GLOBAL sort order — the third classic
+    * candidate-generation family next to hash buckets (LSH) and prefix
+    * filtering, and the right one when near-duplicates share a common
+    * PREFIX of a normalized key (typo'd titles, re-crawled URLs,
+    * copy-edited leads).
+    *
+    * The single-sort spelling (`row_number() OVER (ORDER BY key)` —
+    * what the oracle runs) funnels the whole table through ONE
+    * partition. Here the total order is distributed (TeraSort posture):
+    *   1. P−1 range splitters from a bounded md5-ordered sample
+    *      (deterministic draw, P·20 keys of driver metadata, never
+    *      data);
+    *   2. bucket id = splitter fold (map-only literal-array scan);
+    *      equal keys always share a bucket, so in-bucket order by
+    *      (key, id) concatenated across buckets IS the global order;
+    *   3. per-bucket sliding windows emit in-bucket pairs; each
+    *      bucket's last `w−1` rows are duplicated into the next bucket
+    *      as GHOSTS, which sort before its real rows at exactly their
+    *      global offsets — so cross-boundary pairs fall out of the
+    *      same window. Ghost–ghost pairs are dropped (they replay the
+    *      previous bucket's in-bucket pairs); ghost→real pairs are the
+    *      boundary pairs; real rows never duplicate.
+    * Window partitions are bucket-sized (≈ n/P by the splitter draw),
+    * never whale-keyed; precondition is the natural one, w ≪ n/P.
+    *
+    * Output: (a_id, b_id) with `a` the earlier record, each global
+    * w-window pair exactly once — verification (exact equality, edit
+    * distance, Jaccard) composes downstream like any other candidate
+    * relation.
+    */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, sortKey: Column,
+      w: Int = 5, parts: Int = 0): DataFrame = {
+    require(w >= 2, s"window must pair each row with >=1 successor, got $w")
+    val spark = df.sparkSession
+    val p = if (parts > 0) parts
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = df.select(col(idCol).as("id"), sortKey.as("key"))
+      .filter(col("key").isNotNull)
+    val sample = keyed
+      .select(col("key"), md5(col("id").cast("string")).as("__h"))
+      .orderBy("__h").limit(p * 20)
+      .select("key").collect().map(_.getString(0)).sorted
+    val splitters: Seq[String] =
+      if (sample.isEmpty) Nil
+      else (1 until p).map(i => sample(i * sample.length / p)).distinct.sorted
+    val bucket =
+      if (splitters.isEmpty) lit(0)
+      else aggregate(typedlit(splitters), lit(0),
+        (acc, s) => acc + when(col("key") >= s, 1).otherwise(0))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("key", "id")
+    val ranked = keyed.withColumn("bucket", bucket)
+      .repartition(col("bucket"))
+      .withColumn("__r", row_number().over(wB))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+    val ghosts = ranked.filter(col("__r") > col("__n") - (w - 1))
+      .select(col("id"), col("key"), (col("bucket") + 1).as("bucket"),
+        lit(true).as("ghost"))
+    val patched = ranked
+      .select(col("id"), col("key"), col("bucket"), lit(false).as("ghost"))
+      .unionByName(ghosts)
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("key", "id")
+      .rowsBetween(1, w - 1)
+    patched
+      .withColumn("__succ",
+        collect_list(struct(col("id"), col("ghost"))).over(wP))
+      .select(col("id").as("a_id"), col("ghost").as("a_ghost"),
+        explode(col("__succ")).as("__b"))
+      .filter(!(col("a_ghost") && col("__b.ghost")))
+      .select(col("a_id"), col("__b.id").as("b_id"))
+  }
+
   /** EXACT Jaccard-threshold self-join via prefix filtering (the
     * PPJoin-family algorithm: Chaudhuri et al. ICDE'06 prefix filter,
     * Xiao et al. WWW'08): returns exactly the pairs with

@@ -306,6 +306,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
   }
 
+  test("sortedNeighborPairs == single-sort window spelling across bucket boundaries") {
+    import spark.implicits._
+    // 300 rows, many duplicate keys, forced through MANY tiny buckets
+    // (parts=16 on 300 rows) so cross-boundary ghosts do real work
+    val df = (1 to 300).map { i =>
+      (i.toLong, f"key${(i * 7) % 40}%03d")
+    }.toDF("id", "k")
+    val got = Dedup.sortedNeighborPairs(df, "id", col("k"), w = 4, parts = 16)
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy("k", "id")
+    val ref = df.withColumn("rk", row_number().over(wAll))
+      .select(col("id"), col("rk"))
+    val refPairs = ref.as("a").join(ref.as("b"),
+        col("b.rk") > col("a.rk") && col("b.rk") <= col("a.rk") + 3)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    assert(got.exceptAll(refPairs).isEmpty && refPairs.exceptAll(got).isEmpty,
+      s"got ${got.count()} pairs, want ${refPairs.count()}")
+    // repartition invariance (splitter draw + windows are layout-free)
+    val again = Dedup.sortedNeighborPairs(df.repartition(7), "id", col("k"),
+      w = 4, parts = 16)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
+
   test("normalizeText: case/punct/whitespace-insensitive, enables normalized dedup") {
     import spark.implicits._
     val df = Seq(
