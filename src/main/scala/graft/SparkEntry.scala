@@ -1409,6 +1409,36 @@ object SparkEntry {
       KeyDiff.scdType2(ordersOld(s, dir), ordersNew(s, dir),
           Seq("o_orderkey"), lit("1998-08-01"), lit("1998-09-01"))
         .orderBy("o_orderkey", "valid_from")),
+    "ri_check" -> ((s, dir) => {
+      // referential-integrity audit: lineitem→orders holds on the full
+      // parent (0 orphans — a property of the generated data the oracle
+      // re-derives), and breaks by exactly the %7 keys when checked
+      // against the pruned snapshot — the anti-join count is exact
+      val li = t(s, dir, "lineitem")
+      DataTests.referentialIntegrity(li, t(s, dir, "orders"),
+          "l_orderkey", "o_orderkey")
+        .withColumn("check_name", lit("full"))
+        .unionByName(
+          DataTests.referentialIntegrity(li, ordersOld(s, dir),
+              "l_orderkey", "o_orderkey")
+            .withColumn("check_name", lit("pruned")))
+        .select("check_name", "n_child", "n_null_fk", "n_orphans", "ri_ok")
+        .orderBy("check_name")
+    }),
+    "schema_drift" -> ((s, dir) => {
+      // structural companion to the row diff: column-level drift between
+      // the orders snapshot and an evolved variant (one column dropped,
+      // one retyped, one added) — driver-side metadata, oracle = the
+      // literal expected classification
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val evolved = o.drop("o_orderpriority")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+        .withColumn("o_comment", lit("backfilled"))
+      DataTests.schemaDiff(o, evolved)
+        .toDF("column_name", "old_type", "new_type", "status")
+        .orderBy("column_name")
+    }),
     "cdc_apply" -> ((s, dir) => {
       // MERGE a Debezium-style changeset into the orders snapshot:
       // deletes every 11th key, updates every 13th (price +50), inserts
@@ -2054,6 +2084,33 @@ object SparkEntry {
          |    DATE '1998-09-01', CAST(NULL AS DATE), TRUE
          |  FROM j WHERE status IN ('changed', 'added'))
          |ORDER BY o_orderkey, valid_from""".stripMargin,
+    "ri_check" ->
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) n_child,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_null_fk FROM lineitem),
+        |o1 AS (SELECT CAST(count(*) AS BIGINT) n FROM lineitem l
+        |  WHERE l_orderkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |o2 AS (SELECT CAST(count(*) AS BIGINT) n FROM lineitem l
+        |  WHERE l_orderkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+        |      AND o.o_orderkey % 7 <> 0))
+        |SELECT 'full' AS check_name, n_child, n_null_fk,
+        |  o1.n AS n_orphans, o1.n = 0 AS ri_ok FROM c, o1
+        |UNION ALL
+        |SELECT 'pruned', n_child, n_null_fk, o2.n, o2.n = 0 FROM c, o2
+        |ORDER BY check_name""".stripMargin,
+    "schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('o_comment', CAST(NULL AS VARCHAR), 'string', 'added'),
+        |  ('o_custkey', 'bigint', 'bigint', 'unchanged'),
+        |  ('o_orderdate', 'timestamp_ntz', 'timestamp_ntz', 'unchanged'),
+        |  ('o_orderkey', 'bigint', 'bigint', 'unchanged'),
+        |  ('o_orderpriority', 'string', CAST(NULL AS VARCHAR), 'removed'),
+        |  ('o_orderstatus', 'string', 'string', 'unchanged'),
+        |  ('o_totalprice', 'double', 'decimal(18,2)', 'changed')
+        |) AS t(column_name, old_type, new_type, status)
+        |ORDER BY column_name""".stripMargin,
     "cdc_apply" ->
       // Final-image restatement of the MERGE: latest-op precedence is
       // I (%14, seq 3) > U (%13, seq 2) > D (%11, seq 1). A key is

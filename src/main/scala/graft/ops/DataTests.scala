@@ -72,6 +72,30 @@ object DataTests {
     }
   }
 
+  /** Referential-integrity check: child rows whose foreign key has no
+    * match in the parent (orphans). A distributed LEFT ANTI join on the
+    * key — both sides shuffle on it, no broadcast assumption, so the
+    * check scales with the larger table like [[Dedup.incrementalDedup]].
+    * Null foreign keys are reported separately (SQL FK semantics: a
+    * null reference is not an orphan, but a pipeline usually wants to
+    * see the count).
+    *
+    * Output: one row (n_child, n_null_fk, n_orphans, ri_ok).
+    */
+  def referentialIntegrity(child: DataFrame, parent: DataFrame,
+      childKey: String, parentKey: String): DataFrame = {
+    val fk = child.select(col(childKey).as("__fk"))
+    val pk = parent.select(col(parentKey).as("__fk")).distinct()
+    val orphans = fk.filter(col("__fk").isNotNull)
+      .join(pk, Seq("__fk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val base = fk.agg(count(lit(1)).as("n_child"),
+      sum(col("__fk").isNull.cast("long")).as("n_null_fk"))
+    base.crossJoin(orphans)
+      .select(col("n_child"), coalesce(col("n_null_fk"), lit(0L)).as("n_null_fk"),
+        col("n_orphans"), (col("n_orphans") === 0L).as("ri_ok"))
+  }
+
   /** Per-column profile — row count, null count, exact distinct count —
     * in ONE aggregation pass (Catalyst plans the multi-distinct via a
     * single Expand, so the table is scanned once however many columns are

@@ -171,6 +171,21 @@ class CoreDiffSpec extends AnyFunSuite {
     assert(statuses == Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("referentialIntegrity counts orphans and null FKs separately") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val r = DataTests.referentialIntegrity(child, parent, "fk", "pk")
+      .collect()(0)
+    assert(r.getAs[Long]("n_child") == 4L)
+    assert(r.getAs[Long]("n_null_fk") == 1L)   // null FK is not an orphan
+    assert(r.getAs[Long]("n_orphans") == 1L)   // fk=9 has no parent
+    assert(!r.getAs[Boolean]("ri_ok"))
+    val ok = DataTests.referentialIntegrity(
+      child.filter(col("fk") =!= 9L), parent, "fk", "pk").collect()(0)
+    assert(ok.getAs[Long]("n_orphans") == 0L && ok.getAs[Boolean]("ri_ok"))
+  }
+
   test("schemaDiff classifies added/removed/changed/unchanged incl. nested paths") {
     import spark.implicits._
     val old = Seq((1L, "a", 1.0, (1, "x"))).toDF("id", "keep", "drop", "sub")
