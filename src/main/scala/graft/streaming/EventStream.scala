@@ -34,6 +34,26 @@ object EventStream {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked per-window DISTINCT USERS via the mergeable HLL sketch
+    * — the streaming face of [[graft.ops.DistinctSketch]]. Exact
+    * streaming distinct would hold every user id per open window in
+    * state; the sketch holds ~KB per (window, type) regardless of
+    * cardinality, and because HLL union is order-independent
+    * (register-wise max), the incremental stream answer is IDENTICAL
+    * to the batch answer over the same rows — not merely close
+    * (asserted in StreamingSpec). Same shape keeps a 100 TB live
+    * dashboard's state bounded.
+    */
+  def distinctUsersStream(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .as("approx_users"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("approx_users"))
+
   /** Batch sessionization (gaps-and-islands): a new session starts when
     * the gap to the previous event of the same user exceeds `gapMinutes`.
     * Two window passes over the same (user_id, ts, event_id) sort order —

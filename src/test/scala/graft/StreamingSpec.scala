@@ -56,6 +56,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("distinctUsersStream: HLL sketch stream == batch EXACTLY (order-free union)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // duplicate users within and across rows; two windows, two types
+    val rows = Seq(
+      ("2024-01-01 10:05:00", "click", 1L),
+      ("2024-01-01 10:15:00", "click", 1L),
+      ("2024-01-01 10:25:00", "click", 2L),
+      ("2024-01-01 10:35:00", "view", 3L),
+      ("2024-01-01 11:05:00", "click", 1L),
+      ("2024-01-01 11:10:00", "click", 4L))
+    def toDf(s: Seq[(String, String, Long)]) =
+      s.toDF("raw_ts", "event_type", "user_id")
+        .withColumn("ts", to_timestamp(col("raw_ts")))
+    val batch = EventStream.distinctUsersStream(toDf(rows))
+      .orderBy("hour", "event_type").collect()
+    // tiny cardinalities: HLL is exact here — pin the true counts too
+    assert(batch.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("click", 2L), ("view", 1L), ("click", 2L)))
+    val mem = MemoryStream[(String, String, Long)]
+    val stream = EventStream.distinctUsersStream(
+      mem.toDF().toDF("raw_ts", "event_type", "user_id")
+        .withColumn("ts", to_timestamp(col("raw_ts"))))
+    val q = stream.writeStream.format("memory")
+      .queryName("du_stream").outputMode("complete").start()
+    try {
+      // deliver in TWO out-of-order batches: union must not care
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("du_stream")
+        .orderBy("hour", "event_type").collect()
+      assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("sessionizeStream emits a session once the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
