@@ -220,4 +220,66 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     val spread = rows(Similarity.labelSpread(embeds, "vec_id", "embedding", "label"))
     assert(rows(Similarity.labelSpread(embeds.repartition(11), "vec_id", "embedding", "label")) == spread)
   }
+
+  test("property: applyChangeset is idempotent and agrees with incrementalAgg") {
+    import spark.implicits._
+    // generated snapshot + changeset over a shared small key domain so
+    // every op kind collides with existing and absent keys
+    val snapGen = Gen.listOf(for {
+      id <- Gen.chooseNum(0L, 30L)
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(0L, 100L)
+    } yield (id, g, v)).map(_.distinctBy(_._1))
+    val changeGen = Gen.listOf(for {
+      id <- Gen.chooseNum(0L, 40L)
+      g <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.chooseNum(0L, 100L)
+      op <- Gen.oneOf("I", "U", "D")
+    } yield (id, g, v, op))
+    (1 to 5).foreach { seed =>
+      val snap = toChangeDf(sample(snapGen, seed).map(t => (t._1, t._2, t._3)))
+      val changes = sample(changeGen, seed + 100).zipWithIndex
+        .map { case ((id, g, v, op), i) => (id, g, v, op, i.toLong) }
+        .toDF("id", "grp", "v", "op", "seq")
+      val once = KeyDiff.applyChangeset(snap, changes, Seq("id"))
+      val twice = KeyDiff.applyChangeset(once, changes, Seq("id"))
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty,
+        s"seed $seed: applyChangeset not idempotent")
+      val inc = KeyDiff.incrementalAgg(snap, changes, Seq("id"), Seq("grp"), "v")
+      val full = once.groupBy("grp")
+        .agg(sum("v").as("sum_value"), count(lit(1)).as("n_rows"))
+      assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+        s"seed $seed: incrementalAgg != re-aggregation")
+    }
+  }
+
+  private def toChangeDf(rows: List[(Long, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "grp", "v")
+  }
+
+  test("property: TopK aggregate == sort-take-k under ties and layouts") {
+    import spark.implicits._
+    val gen = Gen.listOf(for {
+      g <- Gen.oneOf("g1", "g2")
+      id <- Gen.chooseNum(0L, 200L)
+      n <- Gen.chooseNum(0L, 10L) // heavy score ties
+    } yield (g, id, n))
+    (1 to 5).foreach { seed =>
+      val rows = sample(gen, seed).distinctBy(t => (t._1, t._2))
+      if (rows.nonEmpty) {
+        val df = rows.toDF("g", "id", "n")
+        val got = graft.ops.Ranking.topKPerGroup(df.repartition(5), Seq("g"),
+          "n", "id", 3, scoreName = "n")
+        val want = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("g").orderBy(col("n").desc, col("id"))
+          df.withColumn("rank", row_number().over(w).cast("long"))
+            .filter(col("rank") <= 3).select("g", "rank", "id", "n")
+        }
+        assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+          s"seed $seed: TopK != window spelling")
+      }
+    }
+  }
 }
