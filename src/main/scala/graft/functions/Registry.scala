@@ -23,6 +23,7 @@ object Registry {
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "graft_nearest_centroid" -> (es => NearestCentroid(es(0), es(1))),
     "graft_minhash" -> (es => MinHashSignature(es(0), intLit(es(1), "numHashes"))),
     "graft_shingles" -> (es => WordShingles(es(0), intLit(es(1), "width"))),
     "graft_simhash16" -> (es => SimHash16(es(0))),

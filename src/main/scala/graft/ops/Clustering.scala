@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{graft => bridge}
 
 /** Fully DISTRIBUTED Lloyd's k-means over an embedding column — the
   * cluster-scale complement of [[Similarity.trainIvf]] (which fits
@@ -15,9 +16,11 @@ import org.apache.spark.sql.functions._
   *     the expression as a nested-array literal (same posture as a
   *     broadcast — k·dim doubles of plan metadata, never a join), and
   *     each row computes its nearest centroid inside whole-stage
-  *     codegen; ties break toward the smaller cell id
-  *     (`array_position` finds the FIRST minimum) so assignment is
-  *     deterministic on any engine and partitioning;
+  *     codegen via the native [[graft.functions.NearestCentroid]]
+  *     kernel (one primitive-loop evaluation per row — not the
+  *     interpreted HOF path); ties break toward the smaller cell id
+  *     (first minimum wins) so assignment is deterministic on any
+  *     engine and partitioning;
   *   - **the update step is ONE mergeable aggregate per iteration**:
   *     `posexplode` the vector and `groupBy(cell, pos)` sum/count —
   *     map-side partials, k·dim result rows to the driver (bounded
@@ -26,11 +29,12 @@ import org.apache.spark.sql.functions._
   *     row-level min-distance², so `sum(dist2) / dim` recovers the
   *     exact sum over rows without a second pass.
   *
-  * Initialization is the first k DISTINCT vectors in md5(id) order — a
-  * deterministic uniform draw (the corpus-order-bias and
-  * reproducibility argument of [[Similarity.trainIvf]]), planned as
-  * TakeOrdered, with distinctness preventing born-empty cells. Cells
-  * that still empty out keep their previous centroid (standard).
+  * Initialization is the first k DISTINCT vectors in md5(id) order
+  * within a bounded TakeOrdered sample — a deterministic uniform draw
+  * (the corpus-order-bias and reproducibility argument of
+  * [[Similarity.trainIvf]]), with distinctness preventing born-empty
+  * cells. Cells that still empty out keep their previous centroid
+  * (standard).
   *
   * Lloyd's invariant used by the oracle gate: the SSE measured at the
   * START of each iteration is non-increasing across iterations (both
@@ -50,23 +54,21 @@ object Clustering {
   private def centroidLit(cs: Array[Array[Double]]): Column =
     typedlit(cs.map(_.toSeq).toSeq)
 
-  /** Squared L2 distance from `vec` (any numeric array) to centroid
-    * `c` (array<double> column).
+  /** `struct<cell:int, d2:double>` of the nearest centroid — ONE
+    * codegen'd kernel evaluation per row (see
+    * [[graft.functions.NearestCentroid]]; replaces the interpreted
+    * `transform`/`zip_with`/`aggregate` HOF formula that paid ~3·k·dim
+    * boxed lambda calls per row).
     */
-  private def dist2(vec: Column, c: Column): Column =
-    aggregate(zip_with(vec, c, (x, y) => {
-      val d = x.cast("double") - y
-      d * d
-    }), lit(0.0), (acc, v) => acc + v)
+  def nearestCentroid(vec: Column, cs: Array[Array[Double]]): Column =
+    bridge.column(graft.functions.NearestCentroid(
+      bridge.expression(vec), bridge.expression(centroidLit(cs))))
 
   /** Nearest-centroid cell id (0-based) — map-only, first-min
     * tie-break.
     */
-  def assignCell(vec: Column, cs: Array[Array[Double]]): Column = {
-    val cl = centroidLit(cs)
-    val ds = transform(cl, c => dist2(vec, c))
-    (array_position(ds, array_min(ds)) - 1L).as("cell")
-  }
+  def assignCell(vec: Column, cs: Array[Array[Double]]): Column =
+    nearestCentroid(vec, cs).getField("cell").cast("long").as("cell")
 
   /** Run `iters` Lloyd iterations over the full table. Each iteration
     * is one distributed job: assign (map-only) → per-(cell, dimension)
@@ -75,27 +77,45 @@ object Clustering {
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3): KMeansFit = {
     require(k > 0 && iters > 0, s"need k>0, iters>0; got k=$k iters=$iters")
+    // array-level Cast, NOT transform(_.cast): the higher-order lambda is
+    // CodegenFallback and would break the assignment projection out of
+    // whole-stage codegen — the exact regression the native kernel fixes
     val vecs = df.select(col(idCol).as("__id"),
-      transform(col(vecCol), _.cast("double")).as("__v"))
-    // min(md5) per distinct vector, not dropDuplicates: dropDuplicates
-    // keeps an ARBITRARY survivor's hash among duplicate vectors, which
-    // would make the init draw depend on partitioning
-    var cs: Array[Array[Double]] = vecs
-      .groupBy("__v")
-      .agg(min(md5(col("__id").cast("string"))).as("__h"))
-      .orderBy("__h").limit(k)
-      .collect().map(_.getSeq[Double](0).toArray)
+      col(vecCol).cast("array<double>").as("__v"))
+    // Init = first k DISTINCT vectors in md5(id) order, taken from a
+    // BOUNDED md5-ordered sample (the trainIvf posture): orderBy+limit
+    // plans as TakeOrdered — per-partition top-cap then a cap-row merge,
+    // one linear scan, never a corpus-wide shuffle of every embedding.
+    // Dedup happens driver-side over the sample in hash order, so the
+    // survivor of duplicate vectors is the one with the MIN md5 —
+    // deterministic on any partitioning (dropDuplicates would keep an
+    // arbitrary survivor). When cap >= corpus size this is exactly the
+    // old full-corpus draw; below that it is a deterministic uniform
+    // subsample, which is all an init draw needs.
+    val initCap = math.max(k * 1000, 10000)
+    val sample = vecs
+      .select(md5(col("__id").cast("string")).as("__h"), col("__v"))
+      .orderBy("__h").limit(initCap)
+      .collect()
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+    sample.iterator.foreach { r =>
+      if (seen.size < k) seen += r.getSeq[Double](1)
+    }
+    var cs: Array[Array[Double]] = seen.iterator.map(_.toArray).toArray
     require(cs.length == k,
-      s"corpus has only ${cs.length} distinct vectors, need k=$k")
+      s"found only ${cs.length} distinct vectors in the $initCap-row " +
+        s"init sample, need k=$k")
     val dim = cs(0).length
     val history = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long)]
     (1 to iters).foreach { it =>
-      val cl = centroidLit(cs)
-      val ds = transform(cl, c => dist2(col("__v"), c))
-      val assigned = vecs.select(
-        (array_position(ds, array_min(ds)) - 1L).as("cell"),
-        array_min(ds).as("d2"),
-        posexplode(col("__v")).as(Seq("pos", "x")))
+      // one kernel evaluation per row yields BOTH cell and d2; the
+      // posexplode rides in a second projection so the struct is not
+      // re-derived per exploded element
+      val assigned = vecs
+        .select(nearestCentroid(col("__v"), cs).as("__nc"), col("__v"))
+        .select(col("__nc.cell").cast("long").as("cell"),
+          col("__nc.d2").as("d2"),
+          posexplode(col("__v")).as(Seq("pos", "x")))
       val stats = assigned.groupBy("cell", "pos")
         .agg(sum("x").as("sx"), count(lit(1)).as("n"), sum("d2").as("sd2"))
         .collect()
@@ -126,6 +146,5 @@ object Clustering {
   /** Final assignment under a fitted model: map-only, adds `cell`. */
   def kmeansAssign(df: DataFrame, vecCol: String,
       fit: KMeansFit): DataFrame =
-    df.withColumn("cell", assignCell(
-      transform(col(vecCol), _.cast("double")), fit.centroids))
+    df.withColumn("cell", assignCell(col(vecCol), fit.centroids))
 }

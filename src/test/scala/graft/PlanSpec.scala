@@ -400,6 +400,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(pd.linesIterator.exists(l =>
         l.contains("*(") && l.contains("graft_dot")),
         s"graft_dot must codegen:\n$pd")
+      // kmeans assignment kernel: the round-5 verdict's top item was this
+      // exact expression regressing to the interpreted HOF path (16 s for
+      // a 2,000x64 fit). Pin that NearestCentroid plans inside a starred
+      // stage like the text kernels.
+      val cents = Array(Array.fill(64)(0.0), Array.fill(64)(1.0))
+      val nc = e.select(graft.ops.Clustering.nearestCentroid(
+        org.apache.spark.sql.functions.col("embedding"), cents).as("nc"))
+      val pn = nc.queryExecution.executedPlan.toString
+      assert(pn.linesIterator.exists(l =>
+        l.contains("*(") && l.contains("graft_nearest_centroid")),
+        s"graft_nearest_centroid must codegen:\n$pn")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
