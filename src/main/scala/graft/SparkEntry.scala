@@ -1478,7 +1478,13 @@ object SparkEntry {
         .withColumn("__op", lit("U")).withColumn("__seq", lit(2L))
       val ins = o.filter(col("o_orderkey") % 14 === 0)
         .withColumn("__op", lit("I")).withColumn("__seq", lit(3L))
-      KeyDiff.incrementalAgg(dec(ordersOld(s, dir)),
+      // drive the TRUE-IVM entry point: the stored rollup is an input
+      // (here bootstrapped once, in production read from storage) and the
+      // snapshot is consulted only for changed-key before-images
+      val snap = dec(ordersOld(s, dir))
+      val stored = snap.groupBy("o_orderstatus")
+        .agg(sum("o_totalprice").as("sum_value"), count(lit(1)).as("n_rows"))
+      KeyDiff.incrementalAgg(snap, stored,
           dec(del.unionByName(upd).unionByName(ins)),
           Seq("o_orderkey"), Seq("o_orderstatus"), "o_totalprice",
           "__op", "__seq")

@@ -262,34 +262,39 @@ object KeyDiff {
     * what re-aggregating the merged snapshot would show).
     *
     * Correctness contract (tested differentially, and the oracle
-    * restates it): `incrementalAgg(snap, changes) ≡
-    * groupBy(agg(applyChangeset(snap, changes)))`. Call with an EXACT
-    * value type (integer or decimal): exact addition is associative,
-    * so the incremental sum is bit-equal to the re-scan sum — float
-    * sums are not, which is why the query casts money to DECIMAL
-    * before maintaining it.
+    * restates it): `incrementalAgg(snap, stored, changes) ≡
+    * groupBy(agg(applyChangeset(snap, changes)))` whenever `stored` is
+    * the aggregate of `snap`. Call with an EXACT value type (integer
+    * or decimal): exact addition is associative, so the incremental
+    * sum is bit-equal to the re-scan sum — float sums are not, which
+    * is why the query casts money to DECIMAL before maintaining it.
     *
-    * Output: (groupCols…, sum_value, n_rows) of the maintained view.
+    * Output: (groupCols…, sum_value, n_rows) of the maintained view —
+    * the SAME shape `storedAgg` expects, so batch N's output is batch
+    * N+1's stored input and the snapshot-wide aggregate is computed
+    * exactly once, at bootstrap.
     */
-  def incrementalAgg(snapshot: DataFrame, changes: DataFrame,
-      keys: Seq[String], groupCols: Seq[String], valueCol: String,
-      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+  def incrementalAgg(snapshot: DataFrame, storedAgg: DataFrame,
+      changes: DataFrame, keys: Seq[String], groupCols: Seq[String],
+      valueCol: String, opCol: String, seqCol: String): DataFrame = {
     val kc = keys.map(col)
     val gc = groupCols.map(col)
     val image = struct(
       (col(opCol).as("__op") +: (groupCols :+ valueCol).map(col)): _*)
     val latest = changes.groupBy(kc: _*)
       .agg(max_by(image, col(seqCol)).as("__c"))
-    // before-images of exactly the changed keys
+    // before-images of exactly the changed keys; the explicit existence
+    // flag (not `__old_v IS NOT NULL`) makes a stored row whose VALUE is
+    // null still retract its count when deleted or moved
     val before = snapshot
       .select((kc ++ groupCols.map(g => col(g).as(s"__old_$g")) :+
-        col(valueCol).as("__old_v")): _*)
+        col(valueCol).as("__old_v") :+ lit(true).as("__old_exists")): _*)
     val contribs = latest.join(before, keys, "left")
       .select(explode(array(
-        // retract the old row from its old group (null group marks "no old row")
+        // retract the old row from its old group (no flag = no old row)
         struct(groupCols.map(g => col(s"__old_$g").as(g)) :+
           (-col("__old_v")).as("__v") :+
-          when(col("__old_v").isNotNull, -1L).otherwise(0L).as("__n"): _*),
+          when(col("__old_exists"), -1L).otherwise(0L).as("__n"): _*),
         // insert the new image into its new group unless the latest op is D
         struct(groupCols.map(g =>
           when(col("__c.__op") =!= "D", col(s"__c.$g")).as(g)) :+
@@ -300,15 +305,42 @@ object KeyDiff {
       .filter(col("__n") =!= 0L)
     val delta = contribs.groupBy(gc: _*)
       .agg(sum(col("__v")).as("__dv"), sum(col("__n")).as("__dn"))
-    val oldAgg = snapshot.groupBy(gc: _*)
-      .agg(sum(col(valueCol)).as("__sv"), count(lit(1)).as("__sn"))
-    oldAgg.join(delta, groupCols, "full_outer")
-      .select((gc ++ Seq(
-        (coalesce(col("__sv"), lit(0)) + coalesce(col("__dv"), lit(0)))
+    val stored = storedAgg.select(
+      (groupCols.map(g => col(g).as(s"__s_$g")) :+
+        col("sum_value").as("__sv") :+ col("n_rows").as("__sn")): _*)
+    // null-safe merge (<=>): a null group KEY is one group to groupBy,
+    // so it must be ONE group here too — a plain equi-join would split
+    // it into two output rows
+    val cond = groupCols
+      .map(g => stored(s"__s_$g") <=> delta(g)).reduce(_ && _)
+    stored.join(delta, cond, "full_outer")
+      .select((groupCols.map(g =>
+        coalesce(col(s"__s_$g"), col(g)).as(g)) ++ Seq(
+        // both sides null (e.g. retracting a null-valued row from an
+        // all-null group) must stay null, exactly like re-aggregation
+        when(col("__sv").isNull && col("__dv").isNull, lit(null))
+          .otherwise(coalesce(col("__sv"), lit(0)) +
+            coalesce(col("__dv"), lit(0)))
           .as("sum_value"),
         (coalesce(col("__sn"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
           .as("n_rows"))): _*)
       .filter(col("n_rows") > 0)
+  }
+
+  /** Bootstrap convenience: derive the stored aggregate from the
+    * snapshot, then maintain it. This pays ONE full-snapshot
+    * aggregation — fine for the first batch or a one-shot call; a
+    * production maintenance loop must pass its persisted rollup to the
+    * stored-agg overload above so later batches never touch the
+    * snapshot beyond the key-selective before-image join.
+    */
+  def incrementalAgg(snapshot: DataFrame, changes: DataFrame,
+      keys: Seq[String], groupCols: Seq[String], valueCol: String,
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val stored = snapshot.groupBy(groupCols.map(col): _*)
+      .agg(sum(col(valueCol)).as("sum_value"), count(lit(1)).as("n_rows"))
+    incrementalAgg(snapshot, stored, changes, keys, groupCols, valueCol,
+      opCol, seqCol)
   }
 
   /** Reconstruct a snapshot from a diff: the diff is lossless (both

@@ -253,6 +253,77 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("property: chained stored-agg IVM == re-aggregation, batch 2 never re-scans") {
+    import spark.implicits._
+    // Two consecutive changesets maintained through the TRUE-IVM entry
+    // point: batch 2's stored aggregate is batch 1's OUTPUT, so the
+    // snapshot-wide aggregate is built exactly once (bootstrap) and
+    // batch 2 touches the snapshot only via the changed-key
+    // before-image join.
+    val snapGen = Gen.listOf(for {
+      id <- Gen.chooseNum(0L, 30L)
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(0L, 100L)
+    } yield (id, g, v)).map(_.distinctBy(_._1))
+    val changeGen = Gen.listOf(for {
+      id <- Gen.chooseNum(0L, 40L)
+      g <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.chooseNum(0L, 100L)
+      op <- Gen.oneOf("I", "U", "D")
+    } yield (id, g, v, op))
+    def toChanges(l: List[(Long, String, Long, String)]): DataFrame =
+      l.zipWithIndex.map { case ((id, g, v, op), i) => (id, g, v, op, i.toLong) }
+        .toDF("id", "grp", "v", "op", "seq")
+    (1 to 5).foreach { seed =>
+      val snap0 = toChangeDf(sample(snapGen, seed).map(t => (t._1, t._2, t._3)))
+      val c1 = toChanges(sample(changeGen, seed + 200))
+      val c2 = toChanges(sample(changeGen, seed + 300))
+      val stored0 = snap0.groupBy("grp")
+        .agg(sum("v").as("sum_value"), count(lit(1)).as("n_rows"))
+      val agg1 = KeyDiff.incrementalAgg(snap0, stored0, c1,
+        Seq("id"), Seq("grp"), "v", "op", "seq")
+      val snap1 = KeyDiff.applyChangeset(snap0, c1, Seq("id"))
+      val agg2 = KeyDiff.incrementalAgg(snap1, agg1, c2,
+        Seq("id"), Seq("grp"), "v", "op", "seq")
+      val want = KeyDiff.applyChangeset(snap1, c2, Seq("id"))
+        .groupBy("grp")
+        .agg(sum("v").as("sum_value"), count(lit(1)).as("n_rows"))
+      assert(agg2.exceptAll(want).isEmpty && want.exceptAll(agg2).isEmpty,
+        s"seed $seed: chained stored-agg IVM != re-aggregation")
+    }
+  }
+
+  test("IVM retracts null-valued rows and keeps a null group key whole") {
+    import spark.implicits._
+    // ADVICE round 5: (a) a snapshot row whose VALUE is null must still
+    // retract its count on delete (the old code keyed existence on
+    // `__old_v IS NOT NULL`); (b) a null group KEY is one group under
+    // groupBy, so the stored/delta merge must join it null-safely
+    // instead of splitting it into two output rows.
+    val snap = Seq[(Long, Option[String], Option[Long])](
+      (1L, Some("a"), None),        // null value in group a
+      (2L, Some("a"), Some(10L)),
+      (3L, None, Some(7L)),         // null GROUP key
+      (4L, None, Some(5L))
+    ).toDF("id", "grp", "v")
+    val changes = Seq[(Long, Option[String], Option[Long], String, Long)](
+      (1L, Some("a"), None, "D", 1L),   // delete the null-valued row
+      (3L, None, Some(9L), "U", 2L)     // update inside the null group
+    ).toDF("id", "grp", "v", "op", "seq")
+    val stored = snap.groupBy("grp")
+      .agg(sum("v").as("sum_value"), count(lit(1)).as("n_rows"))
+    val got = KeyDiff.incrementalAgg(snap, stored, changes,
+      Seq("id"), Seq("grp"), "v", "op", "seq")
+    val want = KeyDiff.applyChangeset(snap, changes, Seq("id"))
+      .groupBy("grp")
+      .agg(sum("v").as("sum_value"), count(lit(1)).as("n_rows"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"null-edge IVM mismatch: got ${got.collect().mkString(",")} " +
+        s"want ${want.collect().mkString(",")}")
+    assert(got.filter(col("grp").isNull).count() == 1,
+      "null group key must stay a single output row")
+  }
+
   private def toChangeDf(rows: List[(Long, String, Long)]): DataFrame = {
     import spark.implicits._
     rows.toDF("id", "grp", "v")
