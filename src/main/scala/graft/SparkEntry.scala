@@ -1686,6 +1686,20 @@ object SparkEntry {
         d.filter(col("source") =!= "src0"), "doc_id", "text")
         .orderBy("keep_id")
     }),
+    "incr_neardup" -> ((s, dir) => {
+      // the NEAR-dup ingest loop: the batch probes the corpus's PERSISTED
+      // MinHash signature table through band buckets; the banded probe is
+      // pigeonhole-exhaustive at threshold 0.75 (≥6/8 equal components ⇒
+      // ≤2 unequal < 4 bands), so the oracle — an UNCAPPED batch×corpus
+      // threshold join on the same md5 signature family — hashing green
+      // proves the bucketed path drops no qualifying pair
+      val d = t(s, dir, "documents")
+      val stored = Dedup.minhashSignatures(
+        d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+      Dedup.incrementalNearDedup(
+        d.filter(col("doc_id") % 3 === 0), stored, "doc_id", "text")
+        .status.orderBy("doc_id")
+    }),
     "len_strata" -> ((s, dir) =>
       Quantiles.valueStrata(t(s, dir, "documents"), "n_chars", buckets = 10)
         .orderBy("bucket")),
@@ -3362,6 +3376,24 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM c
         |                  WHERE c.content_hash = b.content_hash)
         |GROUP BY content_hash ORDER BY keep_id""".stripMargin,
+    "incr_neardup" ->
+      // UNCAPPED threshold join (no banding): est ≥ 0.75 over 8
+      // components ⟺ ≥ 6 equal. Green hash = the engine's banded probe
+      // has zero false negatives at the threshold.
+      s"""WITH $toksCte, $shinglesCte, $sigsCte,
+         |b AS (SELECT * FROM sigs WHERE doc_id % 3 = 0),
+         |c AS (SELECT * FROM sigs WHERE doc_id % 3 <> 0),
+         |bc AS (SELECT DISTINCT b1.doc_id FROM b b1 JOIN c ON
+         |  len(list_filter(range(1, 9), i -> b1.sig[i] = c.sig[i])) >= 6),
+         |bb AS (SELECT DISTINCT b2.doc_id FROM b b1 JOIN b b2
+         |  ON b1.doc_id < b2.doc_id
+         |  AND len(list_filter(range(1, 9), i -> b1.sig[i] = b2.sig[i])) >= 6)
+         |SELECT s.doc_id,
+         |  s.doc_id IN (SELECT doc_id FROM bc) AS dup_of_corpus,
+         |  s.doc_id IN (SELECT doc_id FROM bb) AS dup_in_batch,
+         |  NOT (s.doc_id IN (SELECT doc_id FROM bc)
+         |       OR s.doc_id IN (SELECT doc_id FROM bb)) AS survives
+         |FROM b s ORDER BY doc_id""".stripMargin,
     "len_strata" ->
       """WITH h AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
         |           FROM documents GROUP BY 1),

@@ -153,6 +153,32 @@ object Dedup {
         concat_ws(",", (0 until numHashes).map(j => col(s"h$j")): _*).as("sketch")): _*)
   }
 
+  /** Explode a signature df into its (band, bandHash) buckets.
+    *
+    * The repartition is a materialization barrier: without it Catalyst's
+    * CollapseProject inlines the (expensive, interpreter-evaluated)
+    * signature expression into every consumer — each band hash, each
+    * join side, the jaccard estimate — recomputing the full MinHash per
+    * reference. The shuffle is tiny (one row per doc: id + k hashes) and
+    * ReuseExchange then computes it exactly once for every consumer.
+    */
+  private def bandedSigs(sigs: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.repartition(col(idCol)).select(
+      col(idCol), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b => struct(
+        b.as("band"),
+        md5(concat_ws(",", slice(col("sig"), b * lit(rowsPerBand) + lit(1),
+          lit(rowsPerBand)))).as("bh")))).as("bucket"))
+      .select(col(idCol), col("sig"), col("bucket.band"), col("bucket.bh"))
+
+  /** Fraction of equal signature components between `a_sig`/`b_sig` —
+    * the signature estimate of Jaccard similarity.
+    */
+  private def estJaccard: Column = round(
+    size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+      m => m)).cast("double") / size(col("a_sig")).cast("double"), 4)
+
   /** LSH banding over a signature df: explode each signature into
     * `bands` buckets of `rowsPerBand` components, hash each band, and
     * self-join on (band, bandHash) to produce candidate pairs with
@@ -166,20 +192,7 @@ object Dedup {
     // self-join silently degenerates to the full n² cross product.
     require(bands * rowsPerBand <= numHashes,
       s"bands ($bands) × rowsPerBand ($rowsPerBand) exceeds signature width $numHashes")
-    // Materialization barrier: without it Catalyst's CollapseProject
-    // inlines the (expensive, interpreter-evaluated) signature expression
-    // into every consumer — each band hash, each join side, the jaccard
-    // estimate — recomputing the full MinHash per reference. The shuffle
-    // is tiny (one row per doc: id + k hashes) and ReuseExchange then
-    // computes it exactly once for both sides of the self-join.
-    val mat = sigs.repartition(col(idCol))
-    val banded = mat.select(
-      col(idCol), col("sig"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b => struct(
-        b.as("band"),
-        md5(concat_ws(",", slice(col("sig"), b * lit(rowsPerBand) + lit(1),
-          lit(rowsPerBand)))).as("bh")))).as("bucket"))
-      .select(col(idCol), col("sig"), col("bucket.band"), col("bucket.bh"))
+    val banded = bandedSigs(sigs, idCol, bands, rowsPerBand)
     val a = banded.select(col(idCol).as("a_id"), col("sig").as("a_sig"),
       col("band"), col("bh"))
     val b = banded.select(col(idCol).as("b_id"), col("sig").as("b_sig"),
@@ -191,15 +204,100 @@ object Dedup {
     // shape, first(round(zip_with…)), re-ran the HOF inside both the
     // partial and final aggregate for every joined row (up to `bands` ×
     // per pair, and 2× for partial+final).
-    val estJaccard = round(
-      size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
-        m => m)).cast("double") / size(col("a_sig")).cast("double"), 4)
     a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_bands"),
         first(col("a_sig")).as("a_sig"), first(col("b_sig")).as("b_sig"))
       .select(col("a_id"), col("b_id"), col("n_bands"),
         estJaccard.as("est_jaccard"))
+  }
+
+  /** Result of one incremental near-dup ingest batch: per-doc `status`
+    * flags, the surviving batch rows, and the updated signature table
+    * (stored ∪ survivor signatures) to persist for the next batch.
+    */
+  final case class IncrNearDedup(status: DataFrame, survivors: DataFrame,
+      signatures: DataFrame)
+
+  /** Incremental NEAR-dup dedup of a new batch against a PERSISTED
+    * MinHash signature table — the near-dup complement of
+    * [[incrementalDedup]], and the operation a daily ingest loop runs at
+    * 100 TB: near-dups of every prior crawl are caught WITHOUT
+    * re-pairing the stored corpus, because the corpus participates only
+    * through its (id, sig) table (numHashes strings per doc, ~1000×
+    * smaller than documents) and only stored buckets that collide with a
+    * BATCH band hash are ever touched.
+    *
+    * Semantics (greedy min-id keeper, matching the exact-dedup
+    * convention): a batch doc is dropped iff its signature-estimated
+    * Jaccard reaches `threshold` against ANY stored doc
+    * (`dup_of_corpus`) or against a SMALLER-id batch doc
+    * (`dup_in_batch` — pairwise, not transitive; feed the pair list to
+    * [[dedupClusters]] when transitive resolution is wanted). Survivor
+    * signatures are appended to the table, so a near-dup of a batch-N
+    * survivor is caught in batch N+1.
+    *
+    * The banded probe is EXACT at the threshold, not probabilistic: a
+    * pair at est ≥ t disagrees on at most numHashes − ⌈t·numHashes⌉
+    * signature components, so requiring MORE bands than that pigeonholes
+    * at least one fully-equal band — every qualifying pair collides
+    * somewhere, which is what lets a plain uncapped threshold join serve
+    * as the oracle. The require below enforces that precondition
+    * loudly.
+    *
+    * Scale shape: both sides stay distributed (no broadcast of the
+    * stored table); shuffle key = (band, bandHash); probe cost is
+    * Σ |batch bucket|·|stored bucket| over COLLIDING buckets only. The
+    * est-jaccard is evaluated once per candidate pair (`first`-aggregate
+    * trick, see [[lshCandidates]]).
+    */
+  def incrementalNearDedup(batch: DataFrame, storedSigs: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int = 8, shingleWidth: Int = 3,
+      bands: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.75): IncrNearDedup = {
+    require(bands * rowsPerBand <= numHashes,
+      s"bands ($bands) × rowsPerBand ($rowsPerBand) exceeds signature width $numHashes")
+    val maxUnequal = numHashes - math.ceil(threshold * numHashes).toInt
+    require(bands > maxUnequal,
+      s"banded probe is not exhaustive at threshold $threshold: a " +
+        s"qualifying pair may disagree on $maxUnequal components but " +
+        s"only $bands bands exist — raise bands or the threshold")
+    val batchSigs = minhashSignatures(batch, idCol, textCol,
+      numHashes, shingleWidth)
+    val bb = bandedSigs(batchSigs, idCol, bands, rowsPerBand)
+    val a = bb.select(col(idCol).as("a_id"), col("sig").as("a_sig"),
+      col("band"), col("bh"))
+    // batch → stored probe: every qualifying (batch, stored) pair
+    // collides in ≥1 band (pigeonhole above)
+    val sb = bandedSigs(storedSigs, idCol, bands, rowsPerBand)
+      .select(col(idCol).as("b_id"), col("sig").as("b_sig"),
+        col("band"), col("bh"))
+    val corpusDup = a.join(sb, Seq("band", "bh"))
+      .groupBy("a_id", "b_id")
+      .agg(first(col("a_sig")).as("a_sig"), first(col("b_sig")).as("b_sig"))
+      .filter(estJaccard >= threshold)
+      .select(col("a_id").as(idCol)).distinct()
+      .withColumn("__corpus_dup", lit(true))
+    // in-batch pairs at the same threshold; drop the larger id of each
+    val batchDup = lshCandidates(batchSigs, idCol, bands, rowsPerBand,
+        numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("b_id").as(idCol)).distinct()
+      .withColumn("__batch_dup", lit(true))
+    val status = batchSigs.select(col(idCol))
+      .join(corpusDup, Seq(idCol), "left")
+      .join(batchDup, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__corpus_dup"), lit(false)).as("dup_of_corpus"),
+        coalesce(col("__batch_dup"), lit(false)).as("dup_in_batch"))
+      .withColumn("survives",
+        !col("dup_of_corpus") && !col("dup_in_batch"))
+    val keep = status.filter(col("survives")).select(idCol)
+    IncrNearDedup(
+      status,
+      batch.join(keep, Seq(idCol)),
+      storedSigs.unionByName(batchSigs.join(keep, Seq(idCol))))
   }
 
   /** 16-bit SimHash from token md5s: bit j is set iff the majority of

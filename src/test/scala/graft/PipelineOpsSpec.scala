@@ -1478,6 +1478,47 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(11L -> 2L, 13L -> 1L))
   }
 
+  test("incrementalNearDedup: two batches — near-dups of batch-1 survivors caught in batch 2") {
+    val longA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val longANear = longA.replace("alpha15", "CHANGED") // genuine near-dup
+    val freshT = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val corpus = docs(1L -> longA, 2L -> "totally unrelated corpus text")
+    val stored0 = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    // batch 1: 10 = exact copy of corpus doc 1, 13 = NEAR copy of it,
+    // 11 = fresh, 12 = in-batch copy of 11
+    val b1 = docs(10L -> longA, 11L -> freshT, 12L -> freshT, 13L -> longANear)
+    val out1 = Dedup.incrementalNearDedup(b1, stored0, "doc_id", "text")
+    val st1 = out1.status.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Boolean]("dup_of_corpus"), r.getAs[Boolean]("dup_in_batch"),
+        r.getAs[Boolean]("survives")))).toMap
+    assert(st1(10L) == ((true, false, false)), s"exact corpus copy: ${st1(10L)}")
+    assert(st1(11L) == ((false, false, true)))
+    assert(st1(12L) == ((false, true, false)), "in-batch copy keeps min id")
+    // the genuine near-dup's fate must equal the brute-force signature
+    // comparison (no banding) — the exhaustiveness claim, differentially
+    val sigOf = Dedup.minhashSignatures(
+        docs(1L -> longA, 13L -> longANear), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[String](1)).toMap
+    val nEq = sigOf(1L).zip(sigOf(13L)).count { case (x, y) => x == y }
+    assert(st1(13L)._1 == (nEq >= 6),
+      s"banded probe disagrees with brute force: eq=$nEq, got ${st1(13L)}")
+    // batch 2: 20 = copy of batch-1 SURVIVOR 11 — must be caught via the
+    // UPDATED signature table; 21 = fresh
+    val b2 = docs(20L -> freshT,
+      21L -> (1 to 30).map(i => s"gamma$i").mkString(" "))
+    val out2 = Dedup.incrementalNearDedup(b2, out1.signatures,
+      "doc_id", "text")
+    val st2 = out2.status.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Boolean]("survives")).toMap
+    assert(st2 == Map(20L -> false, 21L -> true),
+      s"batch-2 near-dup of a batch-1 survivor must be caught: $st2")
+    // dropped batch-1 docs never entered the signature table
+    val sigIds = out2.signatures.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(sigIds == Set(1L, 2L, 11L, 21L) ++ (if (nEq >= 6) Set.empty[Long] else Set(13L)))
+  }
+
   test("valueStrata: tie groups never split across buckets") {
     import spark.implicits._
     val df = Seq(1L, 1L, 1L, 2L).toDF("v")
