@@ -906,31 +906,60 @@ object SparkEntry {
     "quantiles_approx" -> ((s, dir) => {
       // The scale path Quantiles.scala documents: Greenwald–Khanna sketch,
       // mergeable partials, parallelism NOT bounded by group count (the
-      // exact form's limit). GK's last digits can't hash against DuckDB's
-      // t-digest, so the query emits the EXACT quantiles (hash-checked
-      // against quantile_cont like the `quantiles` query) next to
-      // per-quantile gates that the sketch landed within 1% relative of
-      // exact — at accuracy=10000 the rank error is <=n/10000, orders of
-      // magnitude inside a 1% value bound on this distribution.
+      // exact form's limit). The gate is GK's own DETERMINISTIC rank
+      // guarantee, checked by two plain counting aggregates per quantile
+      // — no sort, no window: the exact-rank interval (count(<v),
+      // count(<=v)] of each returned value must reach the target rank
+      // widened by 2ε·n (ε = 1/accuracy, doubled to absorb the 0/1-based
+      // rank convention — still only ~120 rows of slack in 600k). The
+      // round-4 spelling instead re-derived the EXACT quantiles inside
+      // the timed query (a full per-group sort that the suite already
+      // hashes in `quantiles`/`kll_quantiles`); the exact values hashed
+      // here are the cheap scan aggregates n_vals/min/max.
+      val acc = 10000
       val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("__v"))
+        .filter(col("__v").isNotNull)
+      // the sketch output is 3 rows of model metadata — collect it (the
+      // exactDistributed posture: bounded driver state, never data) and
+      // inline the thresholds as literals, so the gate pass is a plain
+      // codegen'd counting scan with no join stage at all
       val ap = li.groupBy("l_returnflag")
-        .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.25), lit(0.5), lit(0.9)), lit(10000)).as("ps"))
-        .select(col("l_returnflag"),
-          element_at(col("ps"), 1).as("a25"),
-          element_at(col("ps"), 2).as("a50"),
-          element_at(col("ps"), 3).as("a90"))
-      val ex = Quantiles.exact(li, Seq("l_returnflag"), "l_extendedprice",
-        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
-      def ok(a: Column, e: Column): Column = abs(a - e) <= abs(e) * 0.01
-      ex.join(ap, Seq("l_returnflag"))
-        .select(col("l_returnflag"),
-          round(col("p25"), 4).as("p25"),
-          round(col("p50"), 4).as("p50"),
-          round(col("p90"), 4).as("p90"),
-          ok(col("a25"), col("p25")).as("p25_ok"),
-          ok(col("a50"), col("p50")).as("p50_ok"),
-          ok(col("a90"), col("p90")).as("p90_ok"))
+        .agg(percentile_approx(col("__v"),
+          array(lit(0.25), lit(0.5), lit(0.9)), lit(acc)).as("ps"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      def thr(q: Int): Column = {
+        val m = ap.map { case (f, ps) => (f, ps(q)) }
+        m.tail.foldLeft(when(col("l_returnflag") === m.head._1,
+          lit(m.head._2))) { case (c, (f, v)) =>
+          c.when(col("l_returnflag") === f, lit(v))
+        }
+      }
+      val counted = li
+        .select(col("l_returnflag"), col("__v"),
+          thr(0).as("a25"), thr(1).as("a50"), thr(2).as("a90"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_vals"),
+          round(min(col("__v")), 4).as("min_price"),
+          round(max(col("__v")), 4).as("max_price"),
+          sum(when(col("__v") < col("a25"), 1L).otherwise(0L)).as("lt25"),
+          sum(when(col("__v") <= col("a25"), 1L).otherwise(0L)).as("le25"),
+          sum(when(col("__v") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("__v") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("__v") < col("a90"), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("__v") <= col("a90"), 1L).otherwise(0L)).as("le90"))
+      def ok(p: Double, ltc: Column, lec: Column): Column = {
+        val n = col("n_vals").cast("double")
+        val eps = 2.0 / acc
+        ltc.cast("double") <= (lit(p) + lit(eps)) * n &&
+          lec.cast("double") >= (lit(p) - lit(eps)) * n
+      }
+      counted.select(col("l_returnflag"), col("n_vals"),
+          col("min_price"), col("max_price"),
+          ok(0.25, col("lt25"), col("le25")).as("p25_ok"),
+          ok(0.5, col("lt50"), col("le50")).as("p50_ok"),
+          ok(0.9, col("lt90"), col("le90")).as("p90_ok"))
         .orderBy("l_returnflag")
     }),
     "kll_quantiles" -> ((s, dir) => {
@@ -3462,10 +3491,13 @@ object SparkEntry {
         |  true AS p25_ok, true AS p50_ok, true AS p90_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "quantiles_approx" ->
+      // exact quantiles already hash in `quantiles`/`kll_quantiles`; here
+      // the hashable exact values are the scan aggregates, and the GK
+      // rank-guarantee gates are literally true
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  CAST(count(l_extendedprice) AS BIGINT) AS n_vals,
+        |  round(min(l_extendedprice), 4) AS min_price,
+        |  round(max(l_extendedprice), 4) AS max_price,
         |  true AS p25_ok, true AS p50_ok, true AS p90_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
