@@ -631,14 +631,28 @@ object Dedup {
       w: Int = 5, parts: Int = 0): DataFrame = {
     require(w >= 2, s"window must pair each row with >=1 successor, got $w")
     val spark = df.sparkSession
-    val p = if (parts > 0) parts
+    val p0 = if (parts > 0) parts
       else spark.sessionState.conf.numShufflePartitions
     val keyed = df.select(col(idCol).as("id"), sortKey.as("key"))
       .filter(col("key").isNotNull)
     val sample = keyed
       .select(col("key"), md5(col("id").cast("string")).as("__h"))
-      .orderBy("__h").limit(p * 20)
+      .orderBy("__h").limit(p0 * 20)
       .select("key").collect().map(_.getString(0)).sorted
+    // Ghosts hop exactly ONE bucket, so correctness needs every interior
+    // bucket to hold >= w-1 real rows. Two defenses (the round-5 advice:
+    // the w << n/P precondition was documented but unenforced, failing
+    // SILENTLY on small or skewed tables):
+    //  1. when the sample came back uncapped it IS the table, so n is
+    //     known exactly — clamp the bucket count so buckets average
+    //     >= 4w rows (a small table degrades to fewer, fatter buckets
+    //     and ultimately one — losing parallelism it couldn't use
+    //     anyway, never pairs);
+    //  2. a per-row assert_true below fails LOUDLY if a skewed splitter
+    //     draw still produces a thin interior bucket.
+    val p = if (sample.length < p0 * 20)
+      math.max(1, math.min(p0, sample.length / (4 * w)))
+    else p0
     val splitters: Seq[String] =
       if (sample.isEmpty) Nil
       else (1 until p).map(i => sample(i * sample.length / p)).distinct.sorted
@@ -653,10 +667,25 @@ object Dedup {
       .withColumn("__r", row_number().over(wB))
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
-    val ghosts = ranked.filter(col("__r") > col("__n") - (w - 1))
+    // Interior buckets only: bucket 0 has no predecessor to forward and
+    // the last bucket no successor to reach, so a window can only skip
+    // PAST a thin bucket strictly between them. Every splitter value is
+    // a real key, so interior buckets are never empty — some row always
+    // carries the assert for its bucket.
+    val guarded =
+      if (splitters.length <= 1) ranked
+      else ranked.filter(assert_true(
+        col("bucket") === 0 || col("bucket") === splitters.length ||
+          col("__n") >= (w - 1),
+        concat(lit("sortedNeighborPairs: interior bucket "), col("bucket"),
+          lit(" holds "), col("__n"),
+          lit(s" rows < w-1 = ${w - 1}; the one-bucket ghost patch would" +
+            s" silently drop cross-boundary pairs — lower `parts` or" +
+            s" reduce sortKey skew"))).isNull)
+    val ghosts = guarded.filter(col("__r") > col("__n") - (w - 1))
       .select(col("id"), col("key"), (col("bucket") + 1).as("bucket"),
         lit(true).as("ghost"))
-    val patched = ranked
+    val patched = guarded
       .select(col("id"), col("key"), col("bucket"), lit(false).as("ghost"))
       .unionByName(ghosts)
     val wP = org.apache.spark.sql.expressions.Window

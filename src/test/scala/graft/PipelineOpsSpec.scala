@@ -328,6 +328,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
   }
 
+  test("sortedNeighborPairs: small table + many parts clamps buckets, drops no pairs") {
+    import spark.implicits._
+    // 10 rows forced through parts=10: pre-guard each bucket held ~1 row
+    // and every w=5 window spanned 2+ buckets, so cross-boundary pairs
+    // silently vanished (the round-5 advice item). The known-n clamp now
+    // collapses this to one bucket; the pair set must equal the
+    // single-sort spelling exactly.
+    val df = (1 to 10).map(i => (i.toLong, f"k$i%02d")).toDF("id", "k")
+    val got = Dedup.sortedNeighborPairs(df, "id", col("k"), w = 5, parts = 10)
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy("k", "id")
+    val ref = df.withColumn("rk", row_number().over(wAll))
+      .select(col("id"), col("rk"))
+    val refPairs = ref.as("a").join(ref.as("b"),
+        col("b.rk") > col("a.rk") && col("b.rk") <= col("a.rk") + 4)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    assert(got.exceptAll(refPairs).isEmpty && refPairs.exceptAll(got).isEmpty,
+      s"got ${got.count()} pairs, want ${refPairs.count()}")
+  }
+
+  test("sortedNeighborPairs: thin interior bucket fails loudly, never silently") {
+    import spark.implicits._
+    // 60 distinct keys at parts=3 sits exactly at the sample cap, so the
+    // clamp cannot prove n; with w=25 the 20-row interior bucket is
+    // thinner than the window and one-hop ghosts WOULD drop pairs like
+    // (rank 20, rank 45). The in-plan assert must throw instead.
+    val df = (1 to 60).map(i => (i.toLong, f"k$i%02d")).toDF("id", "k")
+    val ex = intercept[Throwable] {
+      Dedup.sortedNeighborPairs(df, "id", col("k"), w = 25, parts = 3)
+        .collect()
+    }
+    val chain = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(chain.contains("sortedNeighborPairs"),
+      s"expected the loud precondition failure, got: $chain")
+  }
+
   test("normalizeText: case/punct/whitespace-insensitive, enables normalized dedup") {
     import spark.implicits._
     val df = Seq(
