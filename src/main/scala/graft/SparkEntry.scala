@@ -150,8 +150,12 @@ object SparkEntry {
       // hash-match the same parity answer as keydiff_status — a full-path
       // correctness row for the scan/codec/schema surface the unit suite
       // previously gated alone.
-      val tmp = java.nio.file.Files.createTempDirectory("graft_avro_e2e")
-        .toString
+      // fixed per-sfDir scratch path, overwritten on every invocation:
+      // bench/verify call each query several times, and a fresh
+      // createTempDirectory per call leaked two snapshot copies per run
+      // (round-5 advice)
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_avro_e2e_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")).toString
       ordersOld(s, dir).write.format("avro").mode("overwrite")
         .save(s"$tmp/old")
       ordersNew(s, dir).write.format("avro").mode("overwrite")
@@ -1404,8 +1408,11 @@ object SparkEntry {
     "cm_counts" -> ((s, dir) => {
       // Count-Min point-frequency sketch: the exact top-20 tokens probe
       // the global sketch. Gates (hashable booleans, like hll_users):
-      // CM never undercounts; overshoot stays within 8N/w (E[excess]
-      // = N/w per row, min over d=4 rows); and the union of per-lang
+      // CM never undercounts; overshoot stays within 16N/w (E[excess] =
+      // N/w per row ⇒ P[>16N/w] ≤ 1/16 by Markov, minimum over d=4
+      // rows ⇒ ≤ 16⁻⁴ per token — wide enough that the CM guarantee,
+      // which is probabilistic, is not hash-gated at a tightness it
+      // never promised; round-5 advice); and the union of per-lang
       // sketches answers EXACTLY like the one-shot global sketch —
       // element-wise-add merge is lossless, the store-once /
       // re-aggregate-forever property.
@@ -1425,7 +1432,7 @@ object SparkEntry {
         .select(col("token"), col("n_exact"),
           (est >= col("n_exact")).as("no_undercount"),
           (est.cast("double") <=
-            col("n_exact") + lit(8.0) * col("n_total") / lit(2048.0))
+            col("n_exact") + lit(16.0) * col("n_total") / lit(2048.0))
             .as("within_eps"),
           (estMerged === est).as("merge_ok"))
         .orderBy(col("n_exact").desc, col("token"))

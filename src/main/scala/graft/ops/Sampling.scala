@@ -33,15 +33,34 @@ object Sampling {
 
   private def md5Of(id: Column): Column = md5(id.cast("string"))
 
+  /** The BottomK samplers carry the id through the heap as a LONG
+    * payload; a non-integral id would cast to NULL and be silently
+    * skipped by the aggregate — the sample would come back EMPTY instead
+    * of erroring (round-5 advice). Fail loudly at plan time instead.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    val t = df.schema(idCol).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType).contains(t),
+      s"id column '$idCol' is ${t.sql}, but the BottomK sampler payload " +
+        "is a long — a non-integral id casts to NULL and every row would " +
+        "be silently skipped; use an integral id (or number rows first)")
+  }
+
   /** Kept (domain, id) pairs: at most `cap` ids per domain, chosen by the
     * md5 permutation. One shuffle (domain-keyed aggregate with bounded
     * partials); the explode output is ≤ cap rows per domain.
     */
   def domainCapIds(df: DataFrame, idCol: String, domainCol: String,
-      cap: Int): DataFrame =
+      cap: Int): DataFrame = {
+    requireIntegralId(df, idCol)
     df.groupBy(domainCol)
       .agg(bottomK(md5Of(col(idCol)), col(idCol).cast("long"), cap).as("__keep"))
       .select(col(domainCol), explode(col("__keep")).as(idCol))
+  }
 
   /** Full surviving rows: the kept-id relation joined back as a
     * distributed semi join on (domain, id) — no broadcast assumption, the
@@ -60,9 +79,11 @@ object Sampling {
     * single-group final merge sees (#partitions × n) entries — n is
     * sample-sized (10³–10⁵), never corpus-sized.
     */
-  def uniformSampleIds(df: DataFrame, idCol: String, n: Int): DataFrame =
+  def uniformSampleIds(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    requireIntegralId(df, idCol)
     df.agg(bottomK(md5Of(col(idCol)), col(idCol).cast("long"), n).as("__keep"))
       .select(explode(col("__keep")).as(idCol))
+  }
 
   /** Deterministic WEIGHTED sample without replacement of exactly `n`
     * ids (Efraimidis–Spirakis A-ES): each row draws its uniform from
