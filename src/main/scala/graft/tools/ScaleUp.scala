@@ -1,0 +1,139 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe data generator: writes a `factor`×-larger copy of a
+  * driver testdata dir (e.g. sf0.1 → an sf1-equivalent) by unioning
+  * key-shifted replicas of each table.
+  *
+  * This exists for ONE purpose — the BASELINE.md scaling probe that
+  * measures per-query sf0.1→sf1 time ratios to catch super-linear
+  * growth (`ppjoin_pairs` Σ freq², `winnow_overlap`, `lsh_pairs`)
+  * with data instead of reasoning. It is NOT test input for the
+  * correctness gate (the driver's parquet stays the only oracle
+  * input).
+  *
+  * Replication rules — chosen so the measured workload grows the way
+  * a real corpus grows (linear in rows AND in interesting structure):
+  *
+  *   - **fixed dims** (`region`, `nation`): copied once — their
+  *     cardinality is SF-invariant in TPC-H;
+  *   - **keyed tables**: every key/FK column is shifted by
+  *     `replica × max(key)`, so replicas are disjoint and ALL
+  *     foreign-key joins stay 1:1 with the original — join
+  *     selectivity is preserved, output rows scale ×factor;
+  *   - **documents**: each replica r > 0 appends a replica token to
+  *     `text` (and recomputes `n_chars`). Without it every doc would
+  *     gain factor−1 verbatim twins, and pair-producing queries
+  *     (ppjoin, LSH, SNM, winnow overlap) would grow ×factor² BY
+  *     CONSTRUCTION — the probe would read "super-linear" for data
+  *     reasons, masking any algorithmic regression. With it,
+  *     within-replica dup structure is byte-preserved and
+  *     cross-replica near-dups vanish, so true pair counts scale
+  *     ×factor, the null hypothesis the probe tests against;
+  *   - **embeddings**: replica r > 0 shifts `embedding[0]` by
+  *     `r × 8.0` — same argument in cosine space (within-replica
+  *     geometry untouched, cross-replica neighbors pushed apart).
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <factor>
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: ScaleUp <srcDir> <outDir> <factor>")
+    val Array(srcDir, outDir, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = SparkSession.builder()
+      .master(sys.env.get("SPARK_GRAFT_CPUS").map(c => s"local[$c]").getOrElse("local[*]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scaleup")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try scaleAll(spark, srcDir, outDir, factor)
+    finally spark.stop()
+  }
+
+  def scaleAll(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    def rd(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[scaleup] $t: ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
+    }
+    // one tiny driver scalar per keyed table: the shift stride
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head().getLong(0)
+
+    // fixed dims: SF-invariant
+    wr(rd("region"), "region")
+    wr(rd("nation"), "nation")
+
+    val cust = rd("customer"); val cMax = maxOf(cust, "c_custkey")
+    val supp = rd("supplier"); val sMax = maxOf(supp, "s_suppkey")
+    val part = rd("part"); val pMax = maxOf(part, "p_partkey")
+    val ords = rd("orders"); val oMax = maxOf(ords, "o_orderkey")
+    val line = rd("lineitem")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark can't infer or
+    // re-write; read it as raw BIGINT nanos (the graft.Tables.events
+    // posture) and write it back as plain INT64 so Tables.events' explicit
+    // `ts BIGINT` schema keeps working against the scaled dir
+    val evts = spark.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$srcDir/events.parquet")
+    val eMax = maxOf(evts, "event_id"); val uMax = maxOf(evts, "user_id")
+    val docs = rd("documents"); val dMax = maxOf(docs, "doc_id")
+    val embs = rd("embeddings"); val vMax = maxOf(embs, "vec_id")
+
+    def replicate(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(r => shift(df, r)).reduce(_.unionAll(_))
+    def bump(c: String, stride: Long, r: Int) =
+      (col(c) + lit(stride * r)).as(c)
+
+    wr(replicate(cust) { (df, r) =>
+      df.withColumn("c_custkey", bump("c_custkey", cMax, r))
+    }, "customer")
+    wr(replicate(supp) { (df, r) =>
+      df.withColumn("s_suppkey", bump("s_suppkey", sMax, r))
+    }, "supplier")
+    wr(replicate(part) { (df, r) =>
+      df.withColumn("p_partkey", bump("p_partkey", pMax, r))
+    }, "part")
+    wr(replicate(ords) { (df, r) =>
+      df.withColumn("o_orderkey", bump("o_orderkey", oMax, r))
+        .withColumn("o_custkey", bump("o_custkey", cMax, r))
+    }, "orders")
+    wr(replicate(line) { (df, r) =>
+      df.withColumn("l_orderkey", bump("l_orderkey", oMax, r))
+        .withColumn("l_partkey", bump("l_partkey", pMax, r))
+        .withColumn("l_suppkey", bump("l_suppkey", sMax, r))
+    }, "lineitem")
+    wr(replicate(evts) { (df, r) =>
+      // same time range, factor× user population and event density —
+      // how a stream actually grows
+      df.withColumn("event_id", bump("event_id", eMax, r))
+        .withColumn("user_id", bump("user_id", uMax, r))
+    }, "events")
+    wr(replicate(docs) { (df, r) =>
+      val bumped = df.withColumn("doc_id", bump("doc_id", dMax, r))
+      if (r == 0) bumped
+      else bumped
+        .withColumn("text", concat(col("text"), lit(s" qrep$r")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }, "documents")
+    wr(replicate(embs) { (df, r) =>
+      val bumped = df.withColumn("vec_id", bump("vec_id", vMax, r))
+      if (r == 0) bumped
+      else bumped.withColumn("embedding",
+        // shift dim 0 only: cheap, order-preserving within a replica
+        concat(
+          array((element_at(col("embedding"), 1) + lit(r * 8.0)).cast("float")),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1)))
+    }, "embeddings")
+  }
+}
