@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-probe data generator: writes a `factor`×-larger copy of a
@@ -65,9 +65,11 @@ object ScaleUp {
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"[scaleup] $t: ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
     }
-    // one tiny driver scalar per keyed table: the shift stride
+    // one tiny driver scalar per keyed table: the shift stride (max+1 —
+    // keys are 0-based, so a stride of max alone would collide each
+    // replica's top key with the next replica's bottom key)
     def maxOf(df: DataFrame, c: String): Long =
-      df.agg(max(col(c).cast("long"))).head().getLong(0)
+      df.agg(max(col(c).cast("long"))).head().getLong(0) + 1L
 
     // fixed dims: SF-invariant
     wr(rd("region"), "region")
@@ -119,21 +121,42 @@ object ScaleUp {
       df.withColumn("event_id", bump("event_id", eMax, r))
         .withColumn("user_id", bump("user_id", uMax, r))
     }, "events")
+    // Per-replica Caesar cipher on letters: an INJECTIVE char map, so
+    // tokenization boundaries, shingle equality, winnow k-grams and
+    // simhash collisions are preserved EXACTLY within a replica, while
+    // cross-replica token spaces are disjoint (shift 7r mod 26; 7 is
+    // invertible mod 26, so every replica pair differs). A naive
+    // append-one-token perturbation leaves simhash/minhash signatures
+    // ~unchanged — every doc keeps factor−1 cross-replica near-copies
+    // and pair queries grow ×factor² by construction (measured: 64× on
+    // simhash64_pairs at factor 10). Length is preserved, so n_chars
+    // stays valid.
+    def caesar(c: Column, r: Int): Column = {
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      val s = (r * 7) % 26
+      translate(c, lower + upper,
+        lower.drop(s) + lower.take(s) + upper.drop(s) + upper.take(s))
+    }
     wr(replicate(docs) { (df, r) =>
       val bumped = df.withColumn("doc_id", bump("doc_id", dMax, r))
       if (r == 0) bumped
-      else bumped
-        .withColumn("text", concat(col("text"), lit(s" qrep$r")))
-        .withColumn("n_chars", length(col("text")).cast("long"))
+      else bumped.withColumn("text", caesar(col("text"), r))
     }, "documents")
+    // Per-replica cyclic rotation of the vector: preserves every
+    // within-replica dot product and norm (geometry is identical up to
+    // a coordinate permutation) and decorrelates cross-replica cosine.
+    // An additive dim-0 shift instead makes the shifted dim dominate
+    // EVERY vector of EVERY replica, turning unrelated cross-replica
+    // docs into near-dups (measured: 56× on embed_neardup).
     wr(replicate(embs) { (df, r) =>
       val bumped = df.withColumn("vec_id", bump("vec_id", vMax, r))
-      if (r == 0) bumped
+      val s = r % 64
+      if (s == 0) bumped
       else bumped.withColumn("embedding",
-        // shift dim 0 only: cheap, order-preserving within a replica
         concat(
-          array((element_at(col("embedding"), 1) + lit(r * 8.0)).cast("float")),
-          slice(col("embedding"), lit(2), size(col("embedding")) - 1)))
+          slice(col("embedding"), lit(s + 1), size(col("embedding")) - s),
+          slice(col("embedding"), lit(1), lit(s))))
     }, "embeddings")
   }
 }
