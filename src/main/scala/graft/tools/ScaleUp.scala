@@ -121,42 +121,56 @@ object ScaleUp {
       df.withColumn("event_id", bump("event_id", eMax, r))
         .withColumn("user_id", bump("user_id", uMax, r))
     }, "events")
-    // Per-replica Caesar cipher on letters: an INJECTIVE char map, so
+    // Per-replica letter-permutation cipher: an INJECTIVE char map, so
     // tokenization boundaries, shingle equality, winnow k-grams and
     // simhash collisions are preserved EXACTLY within a replica, while
-    // cross-replica token spaces are disjoint (shift 7r mod 26; 7 is
-    // invertible mod 26, so every replica pair differs). A naive
-    // append-one-token perturbation leaves simhash/minhash signatures
-    // ~unchanged — every doc keeps factor−1 cross-replica near-copies
-    // and pair queries grow ×factor² by construction (measured: 64× on
+    // cross-replica token spaces are disjoint. A seeded Fisher–Yates
+    // permutation of the alphabet per replica (not a Caesar shift —
+    // shifts repeat mod 26, so factors > 26 would hand same-cipher
+    // replica pairs right back to the similarity ops) gives 26!
+    // mutually-distinct mappings. A naive append-one-token
+    // perturbation leaves simhash/minhash signatures ~unchanged —
+    // every doc keeps factor−1 cross-replica near-copies and pair
+    // queries grow ×factor² by construction (measured: 64× on
     // simhash64_pairs at factor 10). Length is preserved, so n_chars
     // stays valid.
-    def caesar(c: Column, r: Int): Column = {
+    def cipher(c: Column, r: Int): Column = {
       val lower = "abcdefghijklmnopqrstuvwxyz"
-      val upper = lower.toUpperCase
-      val s = (r * 7) % 26
-      translate(c, lower + upper,
-        lower.drop(s) + lower.take(s) + upper.drop(s) + upper.take(s))
+      val perm = new scala.util.Random(r.toLong * 1000003L)
+        .shuffle(lower.toList).mkString
+      translate(c, lower + lower.toUpperCase, perm + perm.toUpperCase)
     }
     wr(replicate(docs) { (df, r) =>
       val bumped = df.withColumn("doc_id", bump("doc_id", dMax, r))
       if (r == 0) bumped
-      else bumped.withColumn("text", caesar(col("text"), r))
+      else bumped.withColumn("text", cipher(col("text"), r))
     }, "documents")
-    // Per-replica cyclic rotation of the vector: preserves every
-    // within-replica dot product and norm (geometry is identical up to
-    // a coordinate permutation) and decorrelates cross-replica cosine.
-    // An additive dim-0 shift instead makes the shifted dim dominate
+    // Per-replica signed rotation of the vector: cyclic shift by
+    // r mod dim composed with a seeded ±1 sign flip per dimension.
+    // Both are orthogonal transforms, so every within-replica dot
+    // product and norm is preserved exactly (geometry identical up to
+    // a signed coordinate permutation) while cross-replica cosine is
+    // decorrelated; the sign flip keeps replica pairs distinct even
+    // when factor > dim and the rotation alone would repeat. An
+    // additive dim-0 shift instead makes the shifted dim dominate
     // EVERY vector of EVERY replica, turning unrelated cross-replica
     // docs into near-dups (measured: 56× on embed_neardup).
+    val embDim = embs.select(size(col("embedding"))).head().getInt(0)
     wr(replicate(embs) { (df, r) =>
       val bumped = df.withColumn("vec_id", bump("vec_id", vMax, r))
-      val s = r % 64
-      if (s == 0) bumped
-      else bumped.withColumn("embedding",
-        concat(
-          slice(col("embedding"), lit(s + 1), size(col("embedding")) - s),
-          slice(col("embedding"), lit(1), lit(s))))
+      if (r == 0) bumped
+      else {
+        val s = r % embDim
+        val rot =
+          if (s == 0) col("embedding")
+          else concat(
+            slice(col("embedding"), lit(s + 1), size(col("embedding")) - s),
+            slice(col("embedding"), lit(1), lit(s)))
+        val rnd = new scala.util.Random(r.toLong * 7368787L)
+        val signs = Array.fill(embDim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+        bumped.withColumn("embedding",
+          zip_with(rot, typedlit(signs.toSeq), (x, sg) => (x * sg).cast("float")))
+      }
     }, "embeddings")
   }
 }

@@ -78,9 +78,10 @@ class ScaleUpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(docStats.getLong(0) == 0L, "cipher must preserve text length")
     assert(docStats.getInt(1) == 0, "replica twins must share no lettered token")
 
-    // embeddings: the per-replica rotation preserves each vector's
-    // element multiset (so all within-replica geometry is intact) while
-    // the vectors themselves differ (cross-replica exact/near dups gone)
+    // embeddings: the per-replica signed rotation is orthogonal — the
+    // |element| multiset (and thus the norm and all within-replica
+    // geometry) is intact while the vectors themselves differ
+    // (cross-replica exact/near dups gone)
     val embs = rd(out, "embeddings")
     val nVecs = rd(src, "embeddings").count()
     val bv = embs.filter(col("vec_id") < nVecs)
@@ -89,7 +90,8 @@ class ScaleUpSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select((col("vec_id") - nVecs).as("b_id"), col("embedding").as("r_v"))
     val vecStats = bv.join(rv, "b_id")
       .select(
-        when(array_sort(col("b_v")) === array_sort(col("r_v")), 0L).otherwise(1L)
+        when(array_sort(transform(col("b_v"), x => abs(x))) ===
+            array_sort(transform(col("r_v"), x => abs(x))), 0L).otherwise(1L)
           .as("bad_multiset"),
         when(col("b_v") === col("r_v"), 1L).otherwise(0L).as("identical"))
       .agg(sum("bad_multiset").as("bad"), sum("identical").as("same"))
