@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, EventAnalytics, FreqSketch, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Similarity, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, EventAnalytics, FreqSketch, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Similarity, Skew, Stats, TextAnalysis, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -1749,7 +1749,46 @@ object SparkEntry {
         .orderBy("hour", "event_type")),
     "sessionize" -> ((s, dir) =>
       EventStream.sessionizeBatch(t(s, dir, "events"))
-        .orderBy("user_id", "session_id"))
+        .orderBy("user_id", "session_id")),
+    // --- round-7 additions: sub-document dedup, pre-flight audits, -------
+    // --- exact-arithmetic statistics, smoothing ---------------------------
+    "span_dedup" -> ((s, dir) =>
+      // Lee et al. exact substring dedup: every duplicated 8-token span
+      // keeps only its first (doc, pos) occurrence corpus-wide; the pages
+      // survive, the pasted boilerplate paragraph does not
+      Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", spanLen = 8)
+        .orderBy("doc_id")),
+    "skew_audit" -> ((s, dir) =>
+      // pre-flight shuffle-key audit: hottest keys + skew factor vs the
+      // uniform expectation — the "do I need saltedJoin" question answered
+      // from one aggregate before the 100 TB join runs
+      Skew.keySkewAudit(t(s, dir, "lineitem"), "l_suppkey", topK = 20)),
+    "join_size_est" -> ((s, dir) => {
+      // exact equi-join output cardinality WITHOUT the join (Σ cnt_a·cnt_b
+      // over matching keys): the explosion/hot-key check for a planned
+      // self-join, from two distinct-keys-sized aggregates
+      val l = t(s, dir, "lineitem")
+      Skew.joinSizeEstimate(l, "l_partkey", l, "l_partkey")
+    }),
+    "corr_matrix" -> ((s, dir) =>
+      // Pearson correlations from EXACT decimal sums (2-decimal fixed
+      // point ×100): bit-reproducible across engines/retries, unlike
+      // corr()'s order-dependent co-moment accumulation
+      Stats.corrMatrix(t(s, dir, "lineitem"),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+        .orderBy("col_a", "col_b")),
+    "chi2_indep" -> ((s, dir) =>
+      // source × language independence: does language mix vary by ingest
+      // feed — the stratification warning for sampling plans
+      Stats.chi2Independence(t(s, dir, "documents"), "source", "lang")),
+    "ewma_events" -> ((s, dir) =>
+      // bounded-memory adjusted EWMA per user: K=12 lag terms sharing one
+      // user-keyed window, explicit left-associated sum for cross-engine
+      // bit-reproducibility
+      EventAnalytics.ewmaSmooth(t(s, dir, "events"))
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("event_id"), col("value"), col("ewma"))
+        .orderBy("user_id", "ts_ms", "event_id"))
   )
 
   /** Shared DuckDB CTE fragments mirroring TextAnalysis.tokens /
@@ -3506,6 +3545,141 @@ object SparkEntry {
         |  round(min(l_extendedprice), 4) AS min_price,
         |  round(max(l_extendedprice), 4) AS max_price,
         |  true AS p25_ok, true AS p50_ok, true AS p90_ok
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "span_dedup" ->
+      // first-(doc,pos)-occurrence ownership per 8-token span; every other
+      // occurrence's positions are scrubbed and survivors re-joined
+      s"""WITH $toksCte,
+         |sp AS (SELECT doc_id, unnest(range(0, len(toks)-7)) AS i, toks
+         |  FROM toks WHERE len(toks) >= 8),
+         |spans AS (SELECT doc_id, i,
+         |  array_to_string(toks[i+1:i+8], ' ') AS span FROM sp),
+         |rn AS (SELECT doc_id, i, row_number()
+         |    OVER (PARTITION BY span ORDER BY doc_id, i) AS rn FROM spans),
+         |cov AS (SELECT DISTINCT doc_id, p FROM
+         |  (SELECT doc_id, unnest(range(i, i+8)) AS p FROM rn WHERE rn > 1)),
+         |tp AS (SELECT doc_id, unnest(range(0, len(toks))) AS p, toks
+         |  FROM toks),
+         |tok AS (SELECT doc_id, p, toks[p+1] AS tok FROM tp),
+         |kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
+         |  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+         |  WHERE cov.p IS NULL),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ct
+         |  FROM kept GROUP BY 1),
+         |rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nr
+         |  FROM cov GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  coalesce(rem.nr, 0) AS n_removed,
+         |  coalesce(agg.ct, '') AS clean_text
+         |FROM toks t
+         |LEFT JOIN rem ON t.doc_id = rem.doc_id
+         |LEFT JOIN agg ON t.doc_id = agg.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+    "skew_audit" ->
+      """WITH c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS nkeys FROM c)
+        |SELECT l_suppkey, cnt,
+        |  round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |  round(CAST(cnt AS DOUBLE) * CAST(nkeys AS DOUBLE)
+        |    / CAST(total AS DOUBLE), 4) AS skew
+        |FROM c, t ORDER BY cnt DESC, l_suppkey LIMIT 20""".stripMargin,
+    "join_size_est" ->
+      """WITH c AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        |f AS (SELECT k, n * n AS fan FROM c)
+        |SELECT CAST(sum(fan) AS BIGINT) AS est_rows,
+        |  CAST(count(*) AS BIGINT) AS n_match_keys,
+        |  CAST(max(fan) AS BIGINT) AS max_fanout,
+        |  (SELECT k FROM f ORDER BY fan DESC, k LIMIT 1) AS hot_key
+        |FROM f""".stripMargin,
+    "corr_matrix" ->
+      // exact HUGEINT sums of the x100-scaled fixed-point values; float
+      // enters only in the final scalar formula (scale factor cancels)
+      """WITH s AS (SELECT
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(round(l_discount*100) AS HUGEINT)) AS sd,
+        |    sum(CAST(round(l_extendedprice*100) AS HUGEINT)) AS sp,
+        |    sum(CAST(round(l_quantity*100) AS HUGEINT)) AS sq,
+        |    sum(CAST(round(l_tax*100) AS HUGEINT)) AS st,
+        |    sum(CAST(round(l_discount*100) AS HUGEINT)
+        |      * CAST(round(l_discount*100) AS HUGEINT)) AS pdd,
+        |    sum(CAST(round(l_discount*100) AS HUGEINT)
+        |      * CAST(round(l_extendedprice*100) AS HUGEINT)) AS pdp,
+        |    sum(CAST(round(l_discount*100) AS HUGEINT)
+        |      * CAST(round(l_quantity*100) AS HUGEINT)) AS pdq,
+        |    sum(CAST(round(l_discount*100) AS HUGEINT)
+        |      * CAST(round(l_tax*100) AS HUGEINT)) AS pdt,
+        |    sum(CAST(round(l_extendedprice*100) AS HUGEINT)
+        |      * CAST(round(l_extendedprice*100) AS HUGEINT)) AS ppp,
+        |    sum(CAST(round(l_extendedprice*100) AS HUGEINT)
+        |      * CAST(round(l_quantity*100) AS HUGEINT)) AS ppq,
+        |    sum(CAST(round(l_extendedprice*100) AS HUGEINT)
+        |      * CAST(round(l_tax*100) AS HUGEINT)) AS ppt,
+        |    sum(CAST(round(l_quantity*100) AS HUGEINT)
+        |      * CAST(round(l_quantity*100) AS HUGEINT)) AS pqq,
+        |    sum(CAST(round(l_quantity*100) AS HUGEINT)
+        |      * CAST(round(l_tax*100) AS HUGEINT)) AS pqt,
+        |    sum(CAST(round(l_tax*100) AS HUGEINT)
+        |      * CAST(round(l_tax*100) AS HUGEINT)) AS ptt
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+        |    sd AS sa, sp AS sb, pdp AS sab, pdd AS saa, ppp AS sbb, n FROM s
+        |  UNION ALL SELECT 'l_discount', 'l_quantity',
+        |    sd, sq, pdq, pdd, pqq, n FROM s
+        |  UNION ALL SELECT 'l_discount', 'l_tax',
+        |    sd, st, pdt, pdd, ptt, n FROM s
+        |  UNION ALL SELECT 'l_extendedprice', 'l_quantity',
+        |    sp, sq, ppq, ppp, pqq, n FROM s
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |    sp, st, ppt, ppp, ptt, n FROM s
+        |  UNION ALL SELECT 'l_quantity', 'l_tax',
+        |    sq, st, pqt, pqq, ptt, n FROM s)
+        |SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 9) AS corr
+        |FROM p ORDER BY col_a, col_b""".stripMargin,
+    "chi2_indep" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS observed
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, CAST(sum(observed) AS BIGINT) AS rt
+        |  FROM c GROUP BY 1),
+        |k AS (SELECT lang, CAST(sum(observed) AS BIGINT) AS ct
+        |  FROM c GROUP BY 1),
+        |g AS (SELECT CAST(sum(observed) AS BIGINT) AS gt FROM c)
+        |SELECT c.source, c.lang, c.observed,
+        |  round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |    / CAST(gt AS DOUBLE), 6) AS expected,
+        |  round((CAST(observed AS DOUBLE) - CAST(rt AS DOUBLE)
+        |      * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE))
+        |    * (CAST(observed AS DOUBLE) - CAST(rt AS DOUBLE)
+        |      * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE))
+        |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |      / CAST(gt AS DOUBLE)), 6) AS contrib
+        |FROM c JOIN r ON c.source = r.source JOIN k ON c.lang = k.lang, g
+        |ORDER BY c.source, c.lang""".stripMargin,
+    "ewma_events" -> {
+      // the weight literals are Scala-computed doubles interpolated at
+      // full round-trip precision, and the sum is written as the same
+      // left-associated chain the Spark expression builds — identical
+      // IEEE evaluation on both engines
+      val terms = (0 until 12).map { j =>
+        val w = math.pow(1 - 0.3, j)
+        (s"coalesce((lag(value, $j) OVER w) * $w, 0.0)",
+          s"CASE WHEN lag(value, $j) OVER w IS NOT NULL THEN $w ELSE 0.0 END")
+      }
+      s"""SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value,
+         |  round((${terms.map(_._1).mkString("\n     + ")})
+         |    / (${terms.map(_._2).mkString("\n     + ")}), 9) AS ewma
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, ts_ms, event_id""".stripMargin
+    }
   )
 }

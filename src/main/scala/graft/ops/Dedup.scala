@@ -851,4 +851,64 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("a_id", "b_id", "jaccard")
   }
+
+  /** Exact duplicated-SPAN removal — the sub-document complement of every
+    * doc-level dedup family above (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022): any `spanLen`-token span
+    * that occurs more than once in the corpus keeps only its FIRST
+    * occurrence (minimum (doc, position)); every other occurrence's token
+    * positions are scrubbed and the survivors re-joined. Doc-level dedup
+    * cannot catch a boilerplate paragraph pasted into a thousand otherwise
+    * distinct pages — span dedup removes exactly that paragraph and keeps
+    * the pages.
+    *
+    * Plan shape (scale posture): one span explode (n_tokens rows, each a
+    * fixed-width hash-sized key — the span string; at production scale
+    * substitute xxhash64 of the span for the key with identical
+    * semantics), ONE span-keyed window `min` assigns first ownership with
+    * no join back (the [[ngramNovelty]] posture — hot boilerplate spans
+    * cost only a streaming min over a big partition, never per-key state),
+    * one id-keyed aggregate collects each doc's removed positions (bounded
+    * by the doc's own token count — documents are chunk-bounded upstream),
+    * and one id-keyed join back rebuilds the text. The rebuild filter is a
+    * per-row lambda over the doc's own token array — bounded work per row,
+    * no shuffle.
+    *
+    * Overlap semantics: a position is removed iff it falls inside ANY
+    * non-first occurrence's [i, i+spanLen) interval. A doc repeating its
+    * own span keeps only the first occurrence; overlapping duplicate
+    * spans union their intervals. Counts are exact integers.
+    *
+    * Output: (idCol, n_tokens, n_removed, clean_text), one row per input
+    * doc (docs shorter than `spanLen` pass through untouched).
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 8): DataFrame = {
+    val base = df.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val spans = base
+      .where(size(col("__toks")) >= spanLen)
+      .select(col(idCol),
+        explode(sequence(lit(0), size(col("__toks")) - spanLen)).as("__i"),
+        col("__toks"))
+      .select(col(idCol), col("__i"),
+        concat_ws(" ", slice(col("__toks"), col("__i") + 1, lit(spanLen)))
+          .as("__span"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__span")
+    val dups = spans
+      .withColumn("__first", min(struct(col(idCol), col("__i"))).over(w))
+      .where(struct(col(idCol), col("__i")) =!= col("__first"))
+    val covered = dups
+      .select(col(idCol),
+        explode(sequence(col("__i"), col("__i") + (spanLen - 1))).as("__p"))
+      .groupBy(idCol).agg(collect_set(col("__p")).as("__cov"))
+    base.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ", filter(col("__toks"),
+          (_, i) => !array_contains(
+            coalesce(col("__cov"), array().cast("array<int>")), i)))
+          .as("clean_text"))
+  }
 }

@@ -188,4 +188,37 @@ object EventAnalytics {
       .agg(count(lit(1)).as("conversions"),
         round(sum(col(valueCol)), 2).as("total_value"))
   }
+
+  /** Per-user exponentially-weighted moving average of `valueCol` — the
+    * time-series smoother for per-entity metric streams (rate limits,
+    * quality scores, spend), here in the bounded-memory K-term form:
+    * ewma_n = Σ_{j<K} (1−α)^j·x_{n−j} ÷ Σ_{j<K} (1−α)^j over the terms
+    * that exist (the standard "adjusted" EWMA; at j=K the weight is
+    * (1−α)^K ≤ 0.3¹² ≈ 5·10⁻⁷ — truncation below any rounded digit).
+    *
+    * Reproducibility: the weights are Scala-computed double literals and
+    * the numerator is an EXPLICIT left-associated sum of K lag terms, so
+    * any IEEE engine evaluating the same expression tree produces the
+    * same bits — unlike a fold whose accumulation order floats. The K
+    * lag expressions share ONE user-keyed window (one exchange, one
+    * sort); per-row state is the frame's K rows, whale-user safe.
+    *
+    * Output: input keys + (value, ewma), one row per event.
+    */
+  def ewmaSmooth(events: DataFrame, alpha: Double = 0.3, k: Int = 12,
+      userCol: String = "user_id", tsCol: String = "ts",
+      orderCol: String = "event_id", valueCol: String = "value"): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(orderCol))
+    val terms = (0 until k).map { j =>
+      (lag(col(valueCol), j).over(w), math.pow(1 - alpha, j))
+    }
+    val num = terms.map { case (x, wj) => coalesce(x * lit(wj), lit(0.0)) }
+      .reduceLeft(_ + _)
+    val den = terms.map { case (x, wj) =>
+      when(x.isNotNull, lit(wj)).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    events.select(col(userCol), col(tsCol), col(orderCol),
+      col(valueCol), round(num / den, 9).as("ewma"))
+  }
 }

@@ -42,4 +42,60 @@ object Skew {
     saltedLarge.join(replicatedSmall, (keys :+ "__salt").toIndexedSeq, "inner")
       .drop("__salt")
   }
+
+  /** Pre-flight key-skew audit for a planned shuffle key: the top-`topK`
+    * hottest keys with their share of all rows and their skew factor
+    * (observed count ÷ the uniform per-key expectation). Run this BEFORE
+    * a 100 TB join/groupBy on the key — a skew factor in the hundreds
+    * says the shuffle needs [[saltedJoin]] / AQE skew splitting, and the
+    * listed keys say which values to special-case.
+    *
+    * Plan shape: one key-keyed partial-aggregated count (the only
+    * data-scale shuffle), a 1-row global rollup of that aggregate
+    * broadcast back over it, and a TakeOrdered top-k — the full per-key
+    * relation is never sorted and never collected. Counts are exact
+    * integers; the two ratios divide exact longs and round once.
+    *
+    * Output: (key, cnt, share, skew), top `topK` by (cnt desc, key asc).
+    */
+  def keySkewAudit(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("cnt"),
+        round(col("cnt").cast("double") / col("__total").cast("double"), 6)
+          .as("share"),
+        round(col("cnt").cast("double") * col("__nkeys").cast("double")
+          / col("__total").cast("double"), 4).as("skew"))
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(topK)
+  }
+
+  /** Join-size estimate WITHOUT running the join: for an equi-join on
+    * `aKey = bKey`, the exact output cardinality is Σ_k cnt_a(k)·cnt_b(k)
+    * over matching keys — computable from the two per-key count
+    * aggregates, whose join is distinct-keys-sized, not rows-sized. The
+    * pre-flight explosion check for a 100 TB join: `est_rows` says
+    * whether the output is storable at all, `max_fanout` says whether one
+    * hot key produces it (salt that key), and `hot_key` names it.
+    *
+    * For a SELF-join pass the same DataFrame/key twice — Σ cnt² is the
+    * classic self-join-size bound from the query-optimization literature.
+    *
+    * Output: 1 row (est_rows, n_match_keys, max_fanout, hot_key) — exact
+    * integers (the "estimate" is exact for equi-joins; only non-equi
+    * residual predicates would make it an upper bound).
+    */
+  def joinSizeEstimate(a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String): DataFrame = {
+    val ca = a.groupBy(col(aKey).as("__k")).agg(count(lit(1)).as("__ca"))
+    val cb = b.groupBy(col(bKey).as("__k")).agg(count(lit(1)).as("__cb"))
+    ca.join(cb, "__k")
+      .select(col("__k"), (col("__ca") * col("__cb")).as("__fan"))
+      .agg(sum(col("__fan")).as("est_rows"),
+        count(lit(1)).as("n_match_keys"),
+        max(col("__fan")).as("max_fanout"),
+        min_by(col("__k"), struct(-col("__fan"), col("__k"))).as("hot_key"))
+  }
 }

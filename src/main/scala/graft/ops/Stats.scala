@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-audit statistics: exact-arithmetic correlation and
+  * independence tests over fixed-point measure columns.
+  *
+  * Both operators follow the exact-integer discipline the TPC-H shapes
+  * established (q11/q17/q20): the shuffled/aggregated quantities are
+  * EXACT integers or decimals (2-decimal fixed-point values scaled by
+  * 100), and floating point enters only in a final scalar formula over
+  * those exact sums — so the answers are bit-reproducible across
+  * engines, retries, and partitionings, unlike a naive `corr()` whose
+  * co-moment accumulation order varies per run.
+  *
+  * Scale posture: each operator is ONE map-side-combined aggregate pass
+  * producing O(columns² or cells) scalars; nothing data-sized shuffles
+  * and nothing reaches the driver.
+  */
+object Stats {
+
+  /** Pairwise Pearson correlation matrix over 2-decimal fixed-point
+    * columns, computed from exact decimal sums.
+    *
+    * Each input column is scaled by 100 and rounded to an exact
+    * DECIMAL(18,0); the single aggregate pass accumulates Σx, Σx², Σxy
+    * for every pair as DECIMAL(38,0) — exact up to ~10³⁸, which at
+    * 100 TB (10¹² rows of 10⁹-scaled values squared) still has 10+
+    * digits of headroom. The final per-pair formula
+    * `(nΣxy − ΣxΣy) / √(nΣx²−(Σx)²) √(nΣy²−(Σy)²)` runs in double over
+    * the exact scalars of the 1-row aggregate, where the scaling factor
+    * cancels. One aggregate, one explode of a columns²-sized array.
+    *
+    * Output: (col_a, col_b, n, corr) for each unordered pair, corr
+    * rounded to 9 places.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got $cols")
+    def scaled(c: String): Column =
+      round(col(c) * 100).cast("decimal(18,0)")
+    val sums =
+      Seq(count(lit(1)).as("__n")) ++
+        cols.map(c => sum(scaled(c)).as(s"__s_$c")) ++
+        cols.flatMap(a => cols.filter(_ >= a).map(b =>
+          sum((scaled(a) * scaled(b)).cast("decimal(38,0)"))
+            .as(s"__p_${a}_$b")))
+    val agg = df.agg(sums.head, sums.tail: _*)
+    val pairs = cols.flatMap(a => cols.filter(_ > a).map(b => (a, b)))
+    val rows = pairs.map { case (a, b) =>
+      val n = col("__n").cast("double")
+      def s(c: String): Column = col(s"__s_$c").cast("double")
+      def p(x: String, y: String): Column = {
+        val (lo, hi) = if (x <= y) (x, y) else (y, x)
+        col(s"__p_${lo}_$hi").cast("double")
+      }
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").as("n"),
+        round((n * p(a, b) - s(a) * s(b)) /
+          (sqrt(n * p(a, a) - s(a) * s(a)) *
+            sqrt(n * p(b, b) - s(b) * s(b))), 9).as("corr"))
+    }
+    agg.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
+  /** Chi-square test of independence between two categorical columns,
+    * with per-cell observed/expected/contribution detail.
+    *
+    * The contingency counts are one (a, b)-keyed exact-count aggregate;
+    * row totals, column totals, and the grand total derive from it by
+    * two cells²-bounded re-aggregations that ride broadcasts back onto
+    * the cell relation — the data-sized scan happens once. The expected
+    * count r·c/N and the contribution (o − r·c/N)²/(r·c/N) are computed
+    * per cell from exact longs (the division is the only float step,
+    * identical on any IEEE engine), rounded once.
+    *
+    * A large `chi2 = Σ contrib` over (source, lang) says language mix
+    * varies by ingest feed — the stratification warning for sampling.
+    *
+    * Output: one row per observed cell
+    * (aCol, bCol, observed, expected, contrib), ordered.
+    */
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy(col(aCol))
+      .agg(sum(col("observed")).as("__r"))
+    val colTot = cells.groupBy(col(bCol))
+      .agg(sum(col("observed")).as("__c"))
+    val grand = cells.agg(sum(col("observed")).as("__t"))
+    val expected = col("__r").cast("double") * col("__c").cast("double") /
+      col("__t").cast("double")
+    cells.join(broadcast(rowTot), Seq(aCol))
+      .join(broadcast(colTot), Seq(bCol))
+      .crossJoin(broadcast(grand))
+      .select(col(aCol), col(bCol), col("observed"),
+        round(expected, 6).as("expected"),
+        round((col("observed").cast("double") - expected) *
+          (col("observed").cast("double") - expected) / expected, 6)
+          .as("contrib"))
+      .orderBy(aCol, bCol)
+  }
+}
