@@ -1,0 +1,71 @@
+package graft
+
+import java.io.File
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke checks against the REAL driver-generated parquet at
+  * `/root/testdata/sf0.001` — the rest of the suite builds inputs from
+  * in-memory DataFrames, so nothing else exercises [[Tables]] against the
+  * driver's actual file formats. Round 6 lost 13 oracle queries to a
+  * silent events-timestamp unit flip that `sbt test` could not see; this
+  * suite converts any future data-format drift into a named local failure.
+  *
+  * Skips (rather than fails) when the testdata directory is absent, so
+  * the suite still runs on a bare checkout.
+  */
+class TestdataSmokeSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def available: Boolean = new File(sfDir).isDirectory
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("every table loads with rows > 0") {
+    assume(available, s"$sfDir not present")
+    for (name <- Tables.names) {
+      val n = Tables.load(spark, sfDir, name).count()
+      assert(n > 0, s"table $name is empty")
+    }
+  }
+
+  test("events.ts is TimestampType and spans the documented 2024 range") {
+    assume(available, s"$sfDir not present")
+    val ev = Tables.events(spark, sfDir)
+    assert(ev.schema("ts").dataType == TimestampType,
+      s"events.ts decoded as ${ev.schema("ts").dataType}, want TimestampType")
+    val row = ev.agg(min("ts"), max("ts"), count(lit(1))).head
+    val (lo, hi) = (row.getTimestamp(0), row.getTimestamp(1))
+    val floor = Timestamp.valueOf("2023-12-01 00:00:00")
+    val ceil = Timestamp.valueOf("2025-01-01 00:00:00")
+    assert(lo.after(floor) && lo.before(ceil),
+      s"events.ts min=$lo outside the documented 2024 window — unit drift?")
+    assert(hi.after(floor) && hi.before(ceil),
+      s"events.ts max=$hi outside the documented 2024 window — unit drift?")
+    // The generator writes a multi-day stream; a collapsed span means a
+    // 1000x unit compression even if both endpoints land in-range.
+    val spanDays = (hi.getTime - lo.getTime).toDouble / 86400000.0
+    assert(spanDays > 1.0,
+      f"events.ts span is $spanDays%.4f days — timestamps look compressed")
+  }
+
+  test("key tables have the expected TPC-H-ish columns") {
+    assume(available, s"$sfDir not present")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    for (c <- Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+      assert(li.columns.contains(c), s"lineitem missing $c")
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(docs.columns.contains("text"), "documents missing text")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    assert(emb.columns.contains("embedding"), "embeddings missing embedding")
+  }
+}
