@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, EventAnalytics, FreqSketch, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Similarity, Skew, Stats, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, EventAnalytics, EventTime, FreqSketch, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Similarity, Skew, Stats, TextAnalysis, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -729,8 +729,8 @@ object SparkEntry {
       AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", "ts",
         tieBreak = Seq("event_id"))
         .select(col("event_id"), col("user_id"),
-          unix_millis(col("ts")).as("ts_ms"),
-          unix_millis(col("r_ts")).as("p_ts_ms"),
+          EventTime.ms(col("ts")).as("ts_ms"),
+          EventTime.ms(col("r_ts")).as("p_ts_ms"),
           round(col("r_value"), 2).as("p_value"))
         .orderBy("event_id")
     }),
@@ -757,8 +757,8 @@ object SparkEntry {
       AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", "ts",
         inner = false, tieBreak = Seq("event_id"))
         .select(col("event_id"), col("user_id"),
-          unix_millis(col("ts")).as("ts_ms"),
-          unix_millis(col("r_ts")).as("p_ts_ms"),
+          EventTime.ms(col("ts")).as("ts_ms"),
+          EventTime.ms(col("r_ts")).as("p_ts_ms"),
           round(col("r_value"), 2).as("p_value"))
         .orderBy("event_id")
     }),
@@ -1786,7 +1786,7 @@ object SparkEntry {
       // user-keyed window, explicit left-associated sum for cross-engine
       // bit-reproducibility
       EventAnalytics.ewmaSmooth(t(s, dir, "events"))
-        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        .select(col("user_id"), EventTime.ms(col("ts")).as("ts_ms"),
           col("event_id"), col("value"), col("ewma"))
         .orderBy("user_id", "ts_ms", "event_id"))
   )
@@ -3588,10 +3588,10 @@ object SparkEntry {
     "join_size_est" ->
       """WITH c AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
         |  FROM lineitem GROUP BY 1),
-        |f AS (SELECT k, n * n AS fan FROM c)
-        |SELECT CAST(sum(fan) AS BIGINT) AS est_rows,
+        |f AS (SELECT k, CAST(n AS HUGEINT) * n AS fan FROM c)
+        |SELECT CAST(sum(fan) AS DECIMAL(38,0)) AS est_rows,
         |  CAST(count(*) AS BIGINT) AS n_match_keys,
-        |  CAST(max(fan) AS BIGINT) AS max_fanout,
+        |  CAST(max(fan) AS DECIMAL(38,0)) AS max_fanout,
         |  (SELECT k FROM f ORDER BY fan DESC, k LIMIT 1) AS hot_key
         |FROM f""".stripMargin,
     "corr_matrix" ->

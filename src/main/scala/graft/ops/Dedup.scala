@@ -865,14 +865,17 @@ object Dedup {
     * Plan shape (scale posture): one span explode (n_tokens rows, each a
     * fixed-width hash-sized key — the span string; at production scale
     * substitute xxhash64 of the span for the key with identical
-    * semantics), ONE span-keyed window `min` assigns first ownership with
-    * no join back (the [[ngramNovelty]] posture — hot boilerplate spans
-    * cost only a streaming min over a big partition, never per-key state),
-    * one id-keyed aggregate collects each doc's removed positions (bounded
-    * by the doc's own token count — documents are chunk-bounded upstream),
-    * and one id-keyed join back rebuilds the text. The rebuild filter is a
-    * per-row lambda over the doc's own token array — bounded work per row,
-    * no shuffle.
+    * semantics), first ownership as a MERGEABLE `groupBy(span).agg(min)`
+    * — map-side combined, so a hot boilerplate span collapses to one row
+    * per map task before the shuffle (a window `min` would instead drag
+    * every occurrence of the hot span to a single task, and hot spans are
+    * exactly the operator's target data) — joined back against only the
+    * spans with cnt > 1, one id-keyed aggregate collects each doc's
+    * removed positions (bounded by the doc's own token count — documents
+    * are chunk-bounded upstream), and one id-keyed join back rebuilds the
+    * text via `array_except` (hash-set membership, O(n_tokens + n_cov))
+    * rather than a per-token `array_contains` scan (O(n·k), quadratic for
+    * heavily duplicated long docs).
     *
     * Overlap semantics: a position is removed iff it falls inside ANY
     * non-first occurrence's [i, i+spanLen) interval. A doc repeating its
@@ -894,21 +897,26 @@ object Dedup {
       .select(col(idCol), col("__i"),
         concat_ws(" ", slice(col("__toks"), col("__i") + 1, lit(spanLen)))
           .as("__span"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("__span")
-    val dups = spans
-      .withColumn("__first", min(struct(col(idCol), col("__i"))).over(w))
+    val firsts = spans.groupBy("__span")
+      .agg(min(struct(col(idCol), col("__i"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+      .where(col("__cnt") > 1)
+      .select("__span", "__first")
+    val dups = spans.join(firsts, "__span")
       .where(struct(col(idCol), col("__i")) =!= col("__first"))
     val covered = dups
       .select(col(idCol),
         explode(sequence(col("__i"), col("__i") + (spanLen - 1))).as("__p"))
       .groupBy(idCol).agg(collect_set(col("__p")).as("__cov"))
+    val allPos = when(size(col("__toks")) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), size(col("__toks")) - 1))
     base.join(covered, Seq(idCol), "left")
       .select(col(idCol),
         size(col("__toks")).cast("long").as("n_tokens"),
         coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
-        concat_ws(" ", filter(col("__toks"),
-          (_, i) => !array_contains(
-            coalesce(col("__cov"), array().cast("array<int>")), i)))
-          .as("clean_text"))
+        concat_ws(" ", transform(
+          array_except(allPos, coalesce(col("__cov"),
+            array().cast("array<int>"))),
+          p => element_at(col("__toks"), p + 1))).as("clean_text"))
   }
 }

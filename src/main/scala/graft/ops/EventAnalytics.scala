@@ -172,8 +172,8 @@ object EventAnalytics {
       valueCol: String = "value"): DataFrame = {
     val byUser = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(orderCol))
-    val gapMs = gapMinutes * 60L * 1000L
-    val ms = unix_millis(col(tsCol))
+    val gapMs = EventTime.minutesMs(gapMinutes)
+    val ms = EventTime.ms(col(tsCol))
     val prevMs = lag(ms, 1).over(byUser)
     val isNew = when(prevMs.isNull || ms - prevMs > gapMs, 1L).otherwise(0L)
     val bySession = Window.partitionBy(col(userCol), col("__session"))

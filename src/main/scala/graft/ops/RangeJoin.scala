@@ -27,9 +27,9 @@ object RangeJoin {
     val width = upperMs - lowerMs
     val keyCols = keys.map(col)
 
-    val l = left.withColumn("__lms", unix_millis(col(leftTs)))
+    val l = left.withColumn("__lms", EventTime.ms(col(leftTs)))
     val r = right.select(
-      (keyCols :+ unix_millis(col(rightTs)).as("__rms") :+
+      (keyCols :+ EventTime.ms(col(rightTs)).as("__rms") :+
         struct(right.columns.map(col).toIndexedSeq: _*).as("__rrow")): _*)
 
     // Left window [lms+lower, lms+upper] spans bins floor((lms+lower)/w)

@@ -85,15 +85,20 @@ object Skew {
     *
     * Output: 1 row (est_rows, n_match_keys, max_fanout, hot_key) — exact
     * integers (the "estimate" is exact for equi-joins; only non-equi
-    * residual predicates would make it an upper bound).
+    * residual predicates would make it an upper bound). Fan and its sum
+    * run in DECIMAL(38,0): the pathological hot-key joins this operator
+    * exists to detect (~4e9 rows on one key → fan ~1.6e19) overflow
+    * BIGINT, and a silently wrapped negative est_rows is worse than
+    * useless exactly when the answer matters most.
     */
   def joinSizeEstimate(a: DataFrame, aKey: String,
       b: DataFrame, bKey: String): DataFrame = {
     val ca = a.groupBy(col(aKey).as("__k")).agg(count(lit(1)).as("__ca"))
     val cb = b.groupBy(col(bKey).as("__k")).agg(count(lit(1)).as("__cb"))
     ca.join(cb, "__k")
-      .select(col("__k"), (col("__ca") * col("__cb")).as("__fan"))
-      .agg(sum(col("__fan")).as("est_rows"),
+      .select(col("__k"),
+        (col("__ca").cast("decimal(38,0)") * col("__cb")).as("__fan"))
+      .agg(sum(col("__fan")).cast("decimal(38,0)").as("est_rows"),
         count(lit(1)).as("n_match_keys"),
         max(col("__fan")).as("max_fanout"),
         min_by(col("__k"), struct(-col("__fan"), col("__k"))).as("hot_key"))

@@ -37,28 +37,35 @@ object Stats {
     */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need at least 2 columns, got $cols")
-    def scaled(c: String): Column =
-      round(col(c) * 100).cast("decimal(18,0)")
+    require(cols.distinct.size == cols.size,
+      s"columns must be distinct, got $cols")
+    // Internal aliases are PAIR-INDEXED (__p_0_2), never name-joined —
+    // underscore-bearing column names would otherwise collide (("x","y_z")
+    // and ("x_y","z") both alias to __p_x_y_z). Scaled values are
+    // projected ONCE before the aggregate so each round/×100/cast runs
+    // once per row instead of once per referencing sum.
+    val n = cols.size
+    val scaled = df.select(cols.zipWithIndex.map { case (c, i) =>
+      round(col(c) * 100).cast("decimal(18,0)").as(s"__x$i")
+    }: _*)
+    def x(i: Int): Column = col(s"__x$i")
     val sums =
       Seq(count(lit(1)).as("__n")) ++
-        cols.map(c => sum(scaled(c)).as(s"__s_$c")) ++
-        cols.flatMap(a => cols.filter(_ >= a).map(b =>
-          sum((scaled(a) * scaled(b)).cast("decimal(38,0)"))
-            .as(s"__p_${a}_$b")))
-    val agg = df.agg(sums.head, sums.tail: _*)
-    val pairs = cols.flatMap(a => cols.filter(_ > a).map(b => (a, b)))
+        (0 until n).map(i => sum(x(i)).as(s"__s_$i")) ++
+        (0 until n).flatMap(i => (i until n).map(j =>
+          sum((x(i) * x(j)).cast("decimal(38,0)")).as(s"__p_${i}_$j")))
+    val agg = scaled.agg(sums.head, sums.tail: _*)
+    val pairs = for (i <- 0 until n; j <- i + 1 until n) yield (i, j)
     val rows = pairs.map { case (a, b) =>
-      val n = col("__n").cast("double")
-      def s(c: String): Column = col(s"__s_$c").cast("double")
-      def p(x: String, y: String): Column = {
-        val (lo, hi) = if (x <= y) (x, y) else (y, x)
-        col(s"__p_${lo}_$hi").cast("double")
-      }
-      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+      val cnt = col("__n").cast("double")
+      def s(i: Int): Column = col(s"__s_$i").cast("double")
+      def p(i: Int, j: Int): Column =
+        col(s"__p_${math.min(i, j)}_${math.max(i, j)}").cast("double")
+      struct(lit(cols(a)).as("col_a"), lit(cols(b)).as("col_b"),
         col("__n").as("n"),
-        round((n * p(a, b) - s(a) * s(b)) /
-          (sqrt(n * p(a, a) - s(a) * s(a)) *
-            sqrt(n * p(b, b) - s(b) * s(b))), 9).as("corr"))
+        round((cnt * p(a, b) - s(a) * s(b)) /
+          (sqrt(cnt * p(a, a) - s(a) * s(a)) *
+            sqrt(cnt * p(b, b) - s(b) * s(b))), 9).as("corr"))
     }
     agg.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }

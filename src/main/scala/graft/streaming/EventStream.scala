@@ -65,7 +65,7 @@ object EventStream {
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val gapMs = gapMinutes * 60L * 1000L
-    val ms = unix_millis(col("ts"))
+    val ms = graft.ops.EventTime.ms(col("ts"))
     val prevMs = lag(ms, 1).over(byUser)
     val isNew = when(prevMs.isNull || ms - prevMs > gapMs, 1L).otherwise(0L)
     events

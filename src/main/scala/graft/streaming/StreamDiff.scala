@@ -43,7 +43,7 @@ object StreamDiff {
       keyCol.as("key"),
       lit(side).as("side"),
       to_json(struct(payloadCols.map(col).toIndexedSeq: _*)).as("payload"),
-      unix_millis(col(tsCol)).as("ts_ms")).as[TaggedRow]
+      graft.ops.EventTime.ms(col(tsCol)).as("ts_ms")).as[TaggedRow]
   }
 
   /** Diff two tagged streams. `quietMinutes` is both the watermark delay

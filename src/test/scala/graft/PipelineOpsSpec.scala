@@ -1567,6 +1567,45 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(0L -> ((3L, 1L, 1L)), 1L -> ((1L, 2L, 2L))))
   }
 
+  test("spanDedup: hot span pasted into thousands of docs — first occurrence survives, rest scrubbed") {
+    import spark.implicits._
+    // One viral boilerplate span shared by every doc — the window-based
+    // first-occurrence pass used to drag all its occurrences to one task;
+    // the mergeable groupBy must give the same answer.
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val df = (0 until 2000).map(i => (i.toLong, s"u$i x$i " + boiler))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", spanLen = 8).cache()
+    try {
+      // doc 0 owns the first occurrence (min (doc_id, pos)) and keeps it
+      val first = out.filter($"doc_id" === 0).head
+      assert(first.getAs[Long]("n_removed") == 0L)
+      assert(first.getAs[String]("clean_text") == "u0 x0 " + boiler)
+      // every other doc loses exactly the 8 boilerplate token positions
+      val mm = out.filter($"doc_id" =!= 0)
+        .agg(min("n_removed"), max("n_removed"), count(lit(1))).head
+      assert(mm.getLong(0) == 8L && mm.getLong(1) == 8L && mm.getLong(2) == 1999L)
+      assert(out.filter($"doc_id" === 5).head
+        .getAs[String]("clean_text") == "u5 x5")
+    } finally out.unpersist()
+  }
+
+  test("spanDedup: overlapping duplicate spans union their intervals; short docs pass through") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),   // owns first occurrences
+      (2L, "z a b c d e f"), // spans (a..e) and (b..f) overlap: covers 1..6
+      (3L, "tiny")           // shorter than spanLen: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", spanLen = 5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_removed") == 0L)
+    assert(out(1).getAs[Long]("n_removed") == 6L)
+    assert(out(1).getAs[String]("clean_text") == "z")
+    assert(out(2).getAs[Long]("n_removed") == 0L)
+    assert(out(2).getAs[String]("clean_text") == "tiny")
+  }
+
   test("valueStrata: equal-count deciles on distinct values") {
     import spark.implicits._
     val df = (1L to 100L).toDF("v")

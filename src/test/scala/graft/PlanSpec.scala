@@ -489,4 +489,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(winIdx >= 0 && aggIdx > winIdx,
       s"window must consume the aggregated pair counts:\n$p")
   }
+
+  test("span_dedup: first-occurrence pass partially aggregates — no hot-span window") {
+    val p = plan("span_dedup")
+    // A window min over partitionBy(span) would drag every occurrence of a
+    // hot boilerplate span to one task (hot spans are the operator's whole
+    // point); the mergeable groupBy must show a map-side partial min.
+    assert(!p.contains("Window"), s"hot-span window found in:\n$p")
+    assert(p.contains("partial_min"),
+      s"expected map-side partial_min on the span relation in:\n$p")
+  }
 }
