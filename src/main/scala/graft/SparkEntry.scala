@@ -1750,6 +1750,28 @@ object SparkEntry {
     "sessionize" -> ((s, dir) =>
       EventStream.sessionizeBatch(t(s, dir, "events"))
         .orderBy("user_id", "session_id")),
+    "sessionize_rocksdb" -> ((s, dir) => {
+      // the SAME sessionization semantics through a real incremental
+      // streaming execution — MemoryStream micro-batches, watermark,
+      // event-time timeouts — with state backed by RocksDB
+      // (StateStores.useRocksDB, asserted via the query's rocksdb*
+      // state-store metrics); shares sessionize's oracle row-for-row
+      graft.streaming.StateStores.useRocksDB(s,
+        changelogCheckpointing = false, maxMemoryMB = 256L)
+      // state-partition count is fixed per streaming query at start; the
+      // replay's state is O(active users), so 8 partitions keeps the
+      // per-micro-batch RocksDB open/commit cost proportionate without
+      // changing any answer (restored in finally)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try EventStream.sessionizeReplay(t(s, dir, "events"),
+          chunks = 4, requireRocksDB = true)
+        .orderBy("user_id", "session_id")
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        graft.streaming.StateStores.useDefault(s)
+      }
+    }),
     // --- round-7 additions: sub-document dedup, pre-flight audits, -------
     // --- exact-arithmetic statistics, smoothing ---------------------------
     "span_dedup" -> ((s, dir) =>
@@ -3042,6 +3064,23 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, ts, epoch_ms(ts) ms,
+        |  CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |       THEN 1 ELSE 0 END ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT user_id, ms,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) session_id
+        |  FROM x)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ms) AS start_ms, max(ms) AS end_ms,
+        |  max(ms) - min(ms) AS duration_ms
+        |FROM y GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "sessionize_rocksdb" ->
+      // identical sessions to the batch query: the streaming replay must
+      // reproduce the gaps-and-islands answer bit-for-bit
       """WITH x AS (SELECT user_id, event_id, ts, epoch_ms(ts) ms,
         |  CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
         |         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000

@@ -151,8 +151,14 @@ object EventStream {
   /** Streaming sessionization with explicit state:
     * `flatMapGroupsWithState` keyed by user, event-time timeout at
     * gap past the last seen event. Events inside the gap extend the
-    * session; a timeout (watermark passed last+gap) emits and clears it.
-    * Late events beyond the watermark are dropped by the upstream
+    * session; a gap wider than `gapMinutes` WITHIN a trigger closes the
+    * earlier session immediately (in-batch split — rows are sorted by
+    * event time inside the group, the batch window's exact total
+    * order), and the final open session emits on event-time timeout
+    * once the watermark passes last+gap. With in-order arrival the
+    * emitted sessions are row-identical to [[sessionizeBatch]] — pinned
+    * by the driver-visible `sessionize_rocksdb` oracle query. Late
+    * events beyond the watermark are dropped by the upstream
     * watermark — the standard correctness/latency trade.
     */
   def sessionizeStream(events: Dataset[SessionEvent],
@@ -168,19 +174,26 @@ object EventStream {
         Iterator.single(
           Session(userId, s.start_ms, s.end_ms, s.n_events, s.end_ms - s.start_ms))
       } else {
-        // Within one trigger the group's rows are not ordered; fold by
-        // min/max — correct because any in-batch gap larger than gapMs is
-        // closed by the next timeout, not mid-batch (same policy as
-        // Spark's own session windows with lateness bounded by watermark).
-        var s = state.getOption.getOrElse(
-          SessionState(Long.MaxValue, Long.MinValue, 0L))
-        rows.foreach { e =>
-          s = SessionState(math.min(s.start_ms, e.ts_ms),
-            math.max(s.end_ms, e.ts_ms), s.n_events + 1)
+        val out = Seq.newBuilder[Session]
+        var cur = state.getOption
+        rows.toSeq.sortBy(_.ts_ms).foreach { e =>
+          cur match {
+            case Some(s) if e.ts_ms - s.end_ms <= gapMs =>
+              cur = Some(SessionState(math.min(s.start_ms, e.ts_ms),
+                math.max(s.end_ms, e.ts_ms), s.n_events + 1))
+            case Some(s) =>
+              out += Session(userId, s.start_ms, s.end_ms, s.n_events,
+                s.end_ms - s.start_ms)
+              cur = Some(SessionState(e.ts_ms, e.ts_ms, 1L))
+            case None =>
+              cur = Some(SessionState(e.ts_ms, e.ts_ms, 1L))
+          }
         }
-        state.update(s)
-        state.setTimeoutTimestamp(s.end_ms + gapMs)
-        Iterator.empty
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end_ms + gapMs)
+        }
+        out.result().iterator
       }
     }
 
@@ -190,6 +203,74 @@ object EventStream {
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Drives [[sessionizeStream]] over a batch `events` DataFrame through a
+    * REAL incremental streaming execution — MemoryStream micro-batches in
+    * event-time order, watermark advancement, event-time timeouts, and
+    * whatever state-store provider the session has selected (see
+    * [[StateStores.useRocksDB]]) — then returns the emitted sessions with
+    * batch-compatible `session_id` numbering, so the result is
+    * row-identical to [[sessionizeBatch]] and shares its oracle.
+    *
+    * This is the correctness REPLAY harness, not a production operator: a
+    * MemoryStream is fed from the driver by definition (bounded here by
+    * the verify scale factor, exactly like StreamingSpec's fixtures); a
+    * production deployment points `readStream` at the source and never
+    * materializes the stream driver-side. A far-future sentinel user
+    * advances the watermark so every real user's final open session
+    * flushes through its event-time timeout.
+    *
+    * @param requireRocksDB assert the finished query reported rocksdb*
+    *   state-store metrics — proof the provider actually backed the
+    *   state, not merely that a conf was set
+    */
+  def sessionizeReplay(events: DataFrame, gapMinutes: Int = 30,
+      chunks: Int = 8, requireRocksDB: Boolean = false): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events
+      .select(col("user_id"), graft.ops.EventTime.ms(col("ts")).as("ts_ms"))
+      .orderBy("ts_ms", "user_id")
+      .as[SessionEvent].collect()
+    require(rows.nonEmpty, "sessionizeReplay: empty events input")
+    val name = "__sessionize_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SessionEvent]
+    val q = sessionizeStream(mem.toDS(), gapMinutes)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val chunkSize = math.max(1, (rows.length + chunks - 1) / chunks)
+      rows.grouped(chunkSize).foreach { c =>
+        mem.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+      // Sentinel advances the watermark past every real end+gap; its own
+      // session is filtered out below. Two triggers: the first moves the
+      // watermark, the second fires the resulting timeouts.
+      val flushMs = graft.ops.EventTime.minutesMs(gapMinutes + 60L)
+      mem.addData(Seq(SessionEvent(-1L, rows.last.ts_ms + flushMs)))
+      q.processAllAvailable()
+      mem.addData(Seq(SessionEvent(-1L, rows.last.ts_ms + 2 * flushMs)))
+      q.processAllAvailable()
+      if (requireRocksDB) {
+        val metricKeys = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq)
+          .flatMap(_.customMetrics.keySet.asScala)
+        require(metricKeys.exists(_.startsWith("rocksdb")),
+          s"sessionizeReplay: no rocksdb state-store metrics in $metricKeys")
+      }
+    } finally q.stop()
+    val byUser = Window.partitionBy("user_id").orderBy("start_ms")
+    spark.table(name)
+      .filter(col("user_id") =!= -1L)
+      .withColumn("session_id", row_number().over(byUser).cast("bigint"))
+      .select("user_id", "session_id", "n_events", "start_ms", "end_ms",
+        "duration_ms")
   }
 
   // --- streaming event transitions (stateful, bounded) --------------------

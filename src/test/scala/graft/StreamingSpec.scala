@@ -93,6 +93,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("sessionizeStream splits on in-trigger gaps immediately, matching batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.SessionEvent]
+    val sessions = EventStream.sessionizeStream(mem.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_split").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      // user 9: two events 2h apart arrive in the SAME trigger — the
+      // first session must close mid-batch, not merge into one span
+      mem.addData(EventStream.SessionEvent(9L, t0),
+        EventStream.SessionEvent(9L, t0 + 2 * 60 * 60 * 1000))
+      q.processAllAvailable()
+      val out = spark.table("sessions_split").as[EventStream.Session].collect()
+      assert(out.length == 1, s"expected the first session emitted in-batch, got ${out.toSeq}")
+      assert(out.head.user_id == 9L && out.head.n_events == 1L &&
+        out.head.start_ms == t0 && out.head.duration_ms == 0L)
+    } finally q.stop()
+  }
+
+  test("sessionizeReplay over a batch frame == sessionizeBatch row-for-row") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"), (2L, 1L, "2024-01-01 10:10:00"),
+      (3L, 1L, "2024-01-01 12:00:00"), // > 30 min gap: user 1, session 2
+      (4L, 2L, "2024-01-01 09:00:00"),
+      (5L, 2L, "2024-01-01 09:29:00"), (6L, 2L, "2024-01-01 09:59:00"))
+      .map { case (e, u, s) => (e, u, java.sql.Timestamp.valueOf(s)) }
+      .toDF("event_id", "user_id", "ts")
+    val batch = EventStream.sessionizeBatch(ev)
+      .select("user_id", "session_id", "n_events", "start_ms", "end_ms",
+        "duration_ms")
+      .orderBy("user_id", "session_id").collect()
+    val replay = EventStream.sessionizeReplay(ev, chunks = 2)
+      .orderBy("user_id", "session_id").collect()
+    assert(replay.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
   test("sessionizeStream emits a session once the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
