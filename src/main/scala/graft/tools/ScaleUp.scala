@@ -80,14 +80,11 @@ object ScaleUp {
     val part = rd("part"); val pMax = maxOf(part, "p_partkey")
     val ords = rd("orders"); val oMax = maxOf(ords, "o_orderkey")
     val line = rd("lineitem")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark can't infer or
-    // re-write; read it as raw BIGINT nanos (the graft.Tables.events
-    // posture) and write it back as plain INT64 so Tables.events' explicit
-    // `ts BIGINT` schema keeps working against the scaled dir
-    val evts = spark.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$srcDir/events.parquet")
+    // Load events through the unit-adaptive Tables loader (the driver has
+    // flipped the parquet timestamp unit between rounds) and write `ts`
+    // back as a plain TimestampType column — Spark emits TIMESTAMP_MICROS,
+    // which the same loader reads natively from the scaled dir.
+    val evts = graft.Tables.events(spark, srcDir)
     val eMax = maxOf(evts, "event_id"); val uMax = maxOf(evts, "user_id")
     val docs = rd("documents"); val dMax = maxOf(docs, "doc_id")
     val embs = rd("embeddings"); val vMax = maxOf(embs, "vec_id")
