@@ -206,57 +206,73 @@ object EventStream {
   }
 
   /** Drives [[sessionizeStream]] over a batch `events` DataFrame through a
-    * REAL incremental streaming execution — MemoryStream micro-batches in
-    * event-time order, watermark advancement, event-time timeouts, and
-    * whatever state-store provider the session has selected (see
-    * [[StateStores.useRocksDB]]) — then returns the emitted sessions with
-    * batch-compatible `session_id` numbering, so the result is
-    * row-identical to [[sessionizeBatch]] and shares its oracle.
+    * REAL incremental streaming execution — a parquet file SOURCE replayed
+    * as event-time-ordered micro-batches (`maxFilesPerTrigger = 1` under
+    * `Trigger.AvailableNow`), watermark advancement, event-time timeouts,
+    * a parquet SINK, and whatever state-store provider the session has
+    * selected (see [[StateStores.useRocksDB]]) — then returns the emitted
+    * sessions with batch-compatible `session_id` numbering, so the result
+    * is row-identical to [[sessionizeBatch]] and shares its oracle.
     *
-    * This is the correctness REPLAY harness, not a production operator: a
-    * MemoryStream is fed from the driver by definition (bounded here by
-    * the verify scale factor, exactly like StreamingSpec's fixtures); a
-    * production deployment points `readStream` at the source and never
-    * materializes the stream driver-side. A far-future sentinel user
-    * advances the watermark so every real user's final open session
-    * flushes through its event-time timeout.
+    * Everything data-sized stays distributed: the chunk files are written
+    * by Spark jobs (one per event-time slice, so the replay's arrival
+    * order is the stream's event order), the stream reads them as files,
+    * and sessions land in a parquet sink — the driver only handles the
+    * min/max timestamp scalars and the two one-row sentinel appends. The
+    * far-future sentinel user advances the watermark past every real
+    * session's end+gap (first sentinel batch) and fires the resulting
+    * timeouts (second), flushing each user's final open session; sentinel
+    * rows are filtered from the returned frame.
     *
     * @param requireRocksDB assert the finished query reported rocksdb*
     *   state-store metrics — proof the provider actually backed the
     *   state, not merely that a conf was set
     */
   def sessionizeReplay(events: DataFrame, gapMinutes: Int = 30,
-      chunks: Int = 8, requireRocksDB: Boolean = false): DataFrame = {
+      chunks: Int = 4, requireRocksDB: Boolean = false): DataFrame = {
     import scala.jdk.CollectionConverters._
     val spark = events.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = events
-      .select(col("user_id"), graft.ops.EventTime.ms(col("ts")).as("ts_ms"))
-      .orderBy("ts_ms", "user_id")
-      .as[SessionEvent].collect()
-    require(rows.nonEmpty, "sessionizeReplay: empty events input")
-    val name = "__sessionize_replay_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val mem = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[SessionEvent]
-    val q = sessionizeStream(mem.toDS(), gapMinutes)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
+    val ev = events.select(col("user_id"),
+      graft.ops.EventTime.ms(col("ts")).as("ts_ms"))
+    val mm = ev.agg(min("ts_ms"), max("ts_ms"), count(lit(1))).head
+    require(mm.getLong(2) > 0L, "sessionizeReplay: empty events input")
+    val (minMs, maxMs) = (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (maxMs - minMs) / chunks + 1L)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_replay_")
+    val (src, sink, chk) =
+      (s"$tmp/src", s"$tmp/sink", s"$tmp/chk")
+    // One file per event-time slice, appended in slice order with
+    // distinct mtimes: the file source orders pending files by
+    // (modification time, path), so each slice becomes one micro-batch
+    // and the stream sees events in event-time order — no late data.
+    def append(df: DataFrame): Unit = {
+      df.coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(15)
+    }
+    (0 until chunks).foreach { r =>
+      append(ev.filter(col("ts_ms") >= minMs + r * width &&
+        col("ts_ms") < minMs + (r + 1) * width))
+    }
+    val flushMs = graft.ops.EventTime.minutesMs(gapMinutes + 60L)
+    append(Seq((-1L, maxMs + flushMs)).toDF("user_id", "ts_ms"))
+    append(Seq((-1L, maxMs + 2 * flushMs)).toDF("user_id", "ts_ms"))
+
+    val stream = spark.readStream
+      .schema("user_id BIGINT, ts_ms BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .as[SessionEvent]
+    val q = sessionizeStream(stream, gapMinutes)
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", chk)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
     try {
-      val chunkSize = math.max(1, (rows.length + chunks - 1) / chunks)
-      rows.grouped(chunkSize).foreach { c =>
-        mem.addData(c.toSeq)
-        q.processAllAvailable()
-      }
-      // Sentinel advances the watermark past every real end+gap; its own
-      // session is filtered out below. Two triggers: the first moves the
-      // watermark, the second fires the resulting timeouts.
-      val flushMs = graft.ops.EventTime.minutesMs(gapMinutes + 60L)
-      mem.addData(Seq(SessionEvent(-1L, rows.last.ts_ms + flushMs)))
-      q.processAllAvailable()
-      mem.addData(Seq(SessionEvent(-1L, rows.last.ts_ms + 2 * flushMs)))
-      q.processAllAvailable()
+      q.awaitTermination()
       if (requireRocksDB) {
         val metricKeys = Option(q.lastProgress).toSeq
           .flatMap(_.stateOperators.toSeq)
@@ -266,7 +282,7 @@ object EventStream {
       }
     } finally q.stop()
     val byUser = Window.partitionBy("user_id").orderBy("start_ms")
-    spark.table(name)
+    spark.read.parquet(sink)
       .filter(col("user_id") =!= -1L)
       .withColumn("session_id", row_number().over(byUser).cast("bigint"))
       .select("user_id", "session_id", "n_events", "start_ms", "end_ms",
