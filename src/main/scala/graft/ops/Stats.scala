@@ -42,16 +42,22 @@ object Stats {
     // Internal aliases are PAIR-INDEXED (__p_0_2), never name-joined —
     // underscore-bearing column names would otherwise collide (("x","y_z")
     // and ("x_y","z") both alias to __p_x_y_z). Scaled values are
-    // projected ONCE before the aggregate so each round/×100/cast runs
-    // once per row instead of once per referencing sum.
+    // projected ONCE before the aggregate as LONGS: a 2-decimal measure
+    // scaled ×100 is an exact integer, and the per-row cross product of
+    // two such values stays exact in a codegen'd long multiply up to
+    // |x| ≤ ~3e9 (3e7 unscaled — far above any fixed-point business
+    // measure), where Spark's Decimal multiply would round-trip through
+    // java.math.BigDecimal on every row. Exactness beyond long range
+    // lives only in the SUM, which accumulates as DECIMAL(38,0).
     val n = cols.size
     val scaled = df.select(cols.zipWithIndex.map { case (c, i) =>
-      round(col(c) * 100).cast("decimal(18,0)").as(s"__x$i")
+      round(col(c) * 100).cast("long").as(s"__x$i")
     }: _*)
     def x(i: Int): Column = col(s"__x$i")
     val sums =
       Seq(count(lit(1)).as("__n")) ++
-        (0 until n).map(i => sum(x(i)).as(s"__s_$i")) ++
+        (0 until n).map(i =>
+          sum(x(i).cast("decimal(38,0)")).as(s"__s_$i")) ++
         (0 until n).flatMap(i => (i until n).map(j =>
           sum((x(i) * x(j)).cast("decimal(38,0)")).as(s"__p_${i}_$j")))
     val agg = scaled.agg(sums.head, sums.tail: _*)
