@@ -1772,6 +1772,36 @@ object SparkEntry {
         graft.streaming.StateStores.useDefault(s)
       }
     }),
+    "transitions_stream" -> ((s, dir) => {
+      // the online Markov-transition operator made driver-visible: the
+      // real events table replayed through transitionsStream as
+      // event-time-ordered micro-batches (state = ONE last-event row per
+      // user), aggregated to the batch event_transitions answer
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("user_id"),
+        EventTime.ms(col("ts")).as("ts_ms"), col("event_id"),
+        col("event_type"))
+      EventStream.fileReplay(ev, "ts_ms", chunks = 4)(df =>
+          EventStream.transitionsStream(df.as[EventStream.TransEvent]))
+        .groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
+    }),
+    "funnel_stream" -> ((s, dir) => {
+      // the online funnel-progression operator made driver-visible:
+      // StageReached rows emitted the moment each user's next stage
+      // fills (state = filled stage-time prefix, <= K longs per user),
+      // counted per stage to the batch funnel_stages answer
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      EventStream.fileReplay(ev, "ts_us", chunks = 4)(df =>
+          EventStream.funnelStream(df.as[EventStream.FunnelEvent],
+            Seq("signup", "view", "click", "purchase"),
+            windowSec = Some(48L * 3600)))
+        .groupBy("stage").agg(count(lit(1)).as("users"))
+        .orderBy("stage")
+    }),
     // --- round-7 additions: sub-document dedup, pre-flight audits, -------
     // --- exact-arithmetic statistics, smoothing ---------------------------
     "span_dedup" -> ((s, dir) =>
@@ -3095,6 +3125,38 @@ object SparkEntry {
         |  min(ms) AS start_ms, max(ms) AS end_ms,
         |  max(ms) - min(ms) AS duration_ms
         |FROM y GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "transitions_stream" ->
+      // identical counts to the batch event_transitions oracle: the
+      // streaming replay must reproduce the Markov matrix exactly
+      """SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT event_type AS next_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS prev_type
+        |      FROM events)
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "funnel_stream" ->
+      // identical stage counts to the batch funnel_stages oracle
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 48 HOUR GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t2 + INTERVAL 48 HOUR GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        |       JOIN s3 ON e.user_id = s3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+        |         AND e.ts <= s3.t3 + INTERVAL 48 HOUR GROUP BY e.user_id)
+        |SELECT stage, users FROM (
+        |  SELECT 1 AS stage, CAST(count(*) AS BIGINT) AS users FROM s1
+        |  UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 4, CAST(count(*) AS BIGINT) FROM s4)
+        |ORDER BY stage""".stripMargin,
     "q8_share" ->
       """SELECT o_year, round(sum(CASE WHEN supp_nation = 'NATION_3'
         |    THEN volume ELSE 0 END) / sum(volume), 4) AS mkt_share

@@ -230,41 +230,70 @@ object EventStream {
     */
   def sessionizeReplay(events: DataFrame, gapMinutes: Int = 30,
       chunks: Int = 4, requireRocksDB: Boolean = false): DataFrame = {
-    import scala.jdk.CollectionConverters._
     val spark = events.sparkSession
     import spark.implicits._
     val ev = events.select(col("user_id"),
       graft.ops.EventTime.ms(col("ts")).as("ts_ms"))
-    val mm = ev.agg(min("ts_ms"), max("ts_ms"), count(lit(1))).head
-    require(mm.getLong(2) > 0L, "sessionizeReplay: empty events input")
-    val (minMs, maxMs) = (mm.getLong(0), mm.getLong(1))
-    val width = math.max(1L, (maxMs - minMs) / chunks + 1L)
+    val maxMs = ev.agg(max("ts_ms")).head.getLong(0)
+    // Sentinel advances the watermark past every real end+gap (first
+    // sentinel batch) and fires the resulting timeouts (second),
+    // flushing each user's final open session; filtered out below.
+    val flushMs = graft.ops.EventTime.minutesMs(gapMinutes + 60L)
+    val sentinels = Seq(
+      Seq((-1L, maxMs + flushMs)).toDF("user_id", "ts_ms"),
+      Seq((-1L, maxMs + 2 * flushMs)).toDF("user_id", "ts_ms"))
+    val sessions = fileReplay(ev, "ts_ms", chunks, sentinels,
+      requireRocksDB)(df => sessionizeStream(df.as[SessionEvent], gapMinutes))
+    val byUser = Window.partitionBy("user_id").orderBy("start_ms")
+    sessions
+      .filter(col("user_id") =!= -1L)
+      .withColumn("session_id", row_number().over(byUser).cast("bigint"))
+      .select("user_id", "session_id", "n_events", "start_ms", "end_ms",
+        "duration_ms")
+  }
 
+  /** Generic file-source replay harness: writes `input` as `chunks`
+    * half-open `orderCol`-range slices (one file per slice, appended in
+    * slice order with distinct mtimes — the file source orders pending
+    * files by (modification time, path), so each slice becomes one
+    * micro-batch and the stream sees rows in `orderCol` order, no late
+    * data), optionally appends `extras` frames as further ordered
+    * batches (sentinels), runs `xform`'s streaming Dataset to a parquet
+    * sink under `Trigger.AvailableNow` with `maxFilesPerTrigger = 1`,
+    * and returns the sink read back as a DataFrame. Rows with equal
+    * `orderCol` values always share a slice, so a within-batch sort in
+    * the stateful operator reproduces the batch total order exactly.
+    *
+    * Everything data-sized stays distributed — slice writes are Spark
+    * jobs, the stream reads files, results land in parquet; the driver
+    * handles only the min/max range scalars.
+    */
+  def fileReplay(input: DataFrame, orderCol: String, chunks: Int,
+      extras: Seq[DataFrame] = Nil, requireRocksDB: Boolean = false)
+      (xform: DataFrame => Dataset[_]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = input.sparkSession
+    val mm = input.agg(min(col(orderCol)).cast("long"),
+      max(col(orderCol)).cast("long"), count(lit(1))).head
+    require(mm.getLong(2) > 0L, "fileReplay: empty input")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (hi - lo) / chunks + 1L)
     val tmp = java.nio.file.Files.createTempDirectory("graft_replay_")
-    val (src, sink, chk) =
-      (s"$tmp/src", s"$tmp/sink", s"$tmp/chk")
-    // One file per event-time slice, appended in slice order with
-    // distinct mtimes: the file source orders pending files by
-    // (modification time, path), so each slice becomes one micro-batch
-    // and the stream sees events in event-time order — no late data.
+    val (src, sink, chk) = (s"$tmp/src", s"$tmp/sink", s"$tmp/chk")
     def append(df: DataFrame): Unit = {
       df.coalesce(1).write.mode("append").parquet(src)
       Thread.sleep(15)
     }
     (0 until chunks).foreach { r =>
-      append(ev.filter(col("ts_ms") >= minMs + r * width &&
-        col("ts_ms") < minMs + (r + 1) * width))
+      append(input.filter(col(orderCol) >= lo + r * width &&
+        col(orderCol) < lo + (r + 1) * width))
     }
-    val flushMs = graft.ops.EventTime.minutesMs(gapMinutes + 60L)
-    append(Seq((-1L, maxMs + flushMs)).toDF("user_id", "ts_ms"))
-    append(Seq((-1L, maxMs + 2 * flushMs)).toDF("user_id", "ts_ms"))
-
+    extras.foreach(append)
     val stream = spark.readStream
-      .schema("user_id BIGINT, ts_ms BIGINT")
+      .schema(input.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-      .as[SessionEvent]
-    val q = sessionizeStream(stream, gapMinutes)
+    val q = xform(stream)
       .writeStream.format("parquet")
       .option("path", sink)
       .option("checkpointLocation", chk)
@@ -278,15 +307,10 @@ object EventStream {
           .flatMap(_.stateOperators.toSeq)
           .flatMap(_.customMetrics.keySet.asScala)
         require(metricKeys.exists(_.startsWith("rocksdb")),
-          s"sessionizeReplay: no rocksdb state-store metrics in $metricKeys")
+          s"fileReplay: no rocksdb state-store metrics in $metricKeys")
       }
     } finally q.stop()
-    val byUser = Window.partitionBy("user_id").orderBy("start_ms")
     spark.read.parquet(sink)
-      .filter(col("user_id") =!= -1L)
-      .withColumn("session_id", row_number().over(byUser).cast("bigint"))
-      .select("user_id", "session_id", "n_events", "start_ms", "end_ms",
-        "duration_ms")
   }
 
   // --- streaming event transitions (stateful, bounded) --------------------

@@ -6,6 +6,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Smoke checks against the REAL driver-generated parquet at
@@ -18,7 +19,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * Skips (rather than fails) when the testdata directory is absent, so
   * the suite still runs on a bare checkout.
   */
-class TestdataSmokeSpec extends AnyFunSuite {
+class TestdataSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val sfDir = "/root/testdata/sf0.001"
   private def available: Boolean = new File(sfDir).isDirectory
@@ -29,6 +30,10 @@ class TestdataSmokeSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  // Stop the session so the next suite's builder applies its own STATIC
+  // confs — a leaked getOrCreate session broke BucketingSpec downstream.
+  override def afterAll(): Unit = spark.stop()
 
   test("every table loads with rows > 0") {
     assume(available, s"$sfDir not present")
