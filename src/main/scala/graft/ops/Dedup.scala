@@ -83,14 +83,16 @@ object Dedup {
     * snapshots (novelty ≈ 0 ⇒ re-crawled/boilerplate content the corpus
     * already holds; the complement of the pairwise near-dup view).
     *
-    * One shingle explode + a shingle-keyed window `min` assigns first
-    * ownership without a join back (the shingle relation is evaluated
-    * once), then one id-keyed aggregate. Hot boilerplate shingles make
-    * big window partitions, but the window computes only a streaming
-    * min over them — skew costs partition-size imbalance (AQE-
-    * splittable), never per-key state. Counts are exact integers; the
-    * final ratio divides two exact longs (IEEE-exact on any engine) and
-    * rounds once.
+    * Every pass is a MERGEABLE aggregate — no `partitionBy(shingle)`
+    * window (whose hot partition cannot be split and has no map-side
+    * partials: the hazard the spanDedup rewrite removed) and no
+    * shingle-keyed join of a data-sized relation. One (id, shingle)
+    * count aggregate (map-side combined; the key includes the doc id,
+    * so a hot boilerplate shingle spreads across its documents), one
+    * per-shingle aggregate taking `min(id)` AND — via `min_by` — that
+    * first owner's own occurrence count, then two doc-sized roll-ups
+    * joined on id. Counts are exact integers; the final ratio divides
+    * two exact longs (IEEE-exact on any engine) and rounds once.
     *
     * Output: (idCol, n_shingles, n_novel, novelty).
     */
@@ -98,12 +100,19 @@ object Dedup {
       n: Int = 3): DataFrame = {
     val sh = df.select(col(idCol),
       explode(wordShingles(col(textCol), n)).as("__s"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("__s")
-    sh.withColumn("__first", min(col(idCol)).over(w))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
-          .as("n_novel"))
+    val pairs = sh.groupBy(col(idCol), col("__s"))
+      .agg(count(lit(1)).as("__c"))
+    // per distinct shingle: the first owner and the first owner's count
+    val firsts = pairs.groupBy("__s")
+      .agg(min(col(idCol)).as("__first"),
+        min_by(col("__c"), col(idCol)).as("__fc"))
+    val novel = firsts.groupBy(col("__first").as(idCol))
+      .agg(sum(col("__fc")).as("n_novel"))
+    val totals = pairs.groupBy(idCol)
+      .agg(sum(col("__c")).as("n_shingles"))
+    totals.join(novel, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_shingles"), 4))
   }

@@ -490,6 +490,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"window must consume the aggregated pair counts:\n$p")
   }
 
+  test("ngram_novelty: all-mergeable aggregates — no hot-shingle window") {
+    val p = plan("ngram_novelty")
+    assert(!p.contains("Window"), s"hot-shingle window found in:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("partial_min"),
+      s"expected map-side partial first-owner aggregate in:\n$p")
+  }
+
   test("span_dedup: first-occurrence pass partially aggregates — no hot-span window") {
     val p = plan("span_dedup")
     // A window min over partitionBy(span) would drag every occurrence of a
