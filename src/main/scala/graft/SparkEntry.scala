@@ -1758,19 +1758,10 @@ object SparkEntry {
       // state-store metrics); shares sessionize's oracle row-for-row
       graft.streaming.StateStores.useRocksDB(s,
         changelogCheckpointing = false, maxMemoryMB = 256L)
-      // state-partition count is fixed per streaming query at start; the
-      // replay's state is O(active users), so 8 partitions keeps the
-      // per-micro-batch RocksDB open/commit cost proportionate without
-      // changing any answer (restored in finally)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
       try EventStream.sessionizeReplay(t(s, dir, "events"),
           chunks = 4, requireRocksDB = true)
         .orderBy("user_id", "session_id")
-      finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        graft.streaming.StateStores.useDefault(s)
-      }
+      finally graft.streaming.StateStores.useDefault(s)
     }),
     "transitions_stream" -> ((s, dir) => {
       // the online Markov-transition operator made driver-visible: the

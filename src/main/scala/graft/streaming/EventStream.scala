@@ -269,7 +269,8 @@ object EventStream {
     * handles only the min/max range scalars.
     */
   def fileReplay(input: DataFrame, orderCol: String, chunks: Int,
-      extras: Seq[DataFrame] = Nil, requireRocksDB: Boolean = false)
+      extras: Seq[DataFrame] = Nil, requireRocksDB: Boolean = false,
+      statePartitions: Int = 8)
       (xform: DataFrame => Dataset[_]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val spark = input.sparkSession
@@ -293,13 +294,21 @@ object EventStream {
       .schema(input.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-    val q = xform(stream)
-      .writeStream.format("parquet")
-      .option("path", sink)
-      .option("checkpointLocation", chk)
-      .outputMode(OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    // State-partition count is fixed per streaming query at start; the
+    // replayed operators keep O(active keys) state, so a small count
+    // keeps the per-micro-batch state-store open/commit cost
+    // proportionate without changing any answer (restored below).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q =
+      try xform(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       q.awaitTermination()
       if (requireRocksDB) {
