@@ -1257,6 +1257,14 @@ object SparkEntry {
         "doc_id", "text", "vec_id", "embedding",
         terms = Seq("join", "window", "vector"), queryVecId = 0L,
         shortlist = 50, topK = 10)),
+    "rrf_fusion" -> ((s, dir) =>
+      // score-free hybrid: reciprocal-rank fusion of the BM25 and dense
+      // cosine shortlists (1/(60+rank) per ranker) — immune to
+      // score-scale drift between the two rankers
+      Relevance.rrfFusion(t(s, dir, "documents"), t(s, dir, "embeddings"),
+        "doc_id", "text", "vec_id", "embedding",
+        terms = Seq("join", "window", "vector"), queryVecId = 0L,
+        shortlist = 50, topK = 10)),
     "redact_pii" -> ((s, dir) => {
       // the corpus text carries no PII, so the query plants a synthetic
       // email/URL/IP per row (doc_id-derived, oracle-reproducible) and
@@ -2498,6 +2506,42 @@ object SparkEntry {
          |SELECT doc_id, bm25, cos,
          |  round(0.5 * bm25 / mx + 0.5 * cos, 4) AS blend
          |FROM r ORDER BY blend DESC, doc_id LIMIT 10""".stripMargin,
+    "rrf_fusion" ->
+      s"""WITH $toksCte,
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) dl FROM toks),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) n,
+         |         CAST(sum(dl) AS DOUBLE) / count(*) avgdl FROM dl),
+         |tf AS (SELECT doc_id, t term, CAST(count(*) AS DOUBLE) tf
+         |  FROM (SELECT doc_id, unnest(toks) t FROM toks)
+         |  WHERE t IN ('join','window','vector') GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY 1),
+         |lex AS (SELECT tf.doc_id, round(sum(
+         |    ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+         |    tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+         |  ), 4) AS bm25
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |lexr AS (SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY bm25 DESC, doc_id) AS BIGINT) lex_rank FROM lex),
+         |e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
+         |  sqrt(list_sum(list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) nrm
+         |  FROM embeddings),
+         |q AS (SELECT v, nrm FROM e WHERE vec_id = 0),
+         |dense AS (SELECT e.vec_id doc_id,
+         |  round(list_sum(list_transform(range(1, len(e.v)+1),
+         |    i -> e.v[i] * q.v[i])) / (e.nrm * q.nrm), 4) AS cos
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+         |  ORDER BY cos DESC, doc_id LIMIT 50),
+         |denser AS (SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY cos DESC, doc_id) AS BIGINT) dense_rank FROM dense)
+         |SELECT doc_id,
+         |  round(coalesce(1.0/(60 + lex_rank), 0)
+         |      + coalesce(1.0/(60 + dense_rank), 0), 6) AS rrf,
+         |  lex_rank, dense_rank
+         |FROM lexr FULL OUTER JOIN denser USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "redact_pii" -> {
       val Seq((emailRe, emailTok), (urlRe, urlTok), (ipRe, ipTok)) =
         graft.ops.TextAnalysis.piiPatterns

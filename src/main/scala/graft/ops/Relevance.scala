@@ -97,4 +97,58 @@ object Relevance {
       .orderBy(col("blend").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Reciprocal-rank fusion of the lexical (BM25) and dense (cosine)
+    * shortlists — the standard score-free hybrid (Cormack et al.,
+    * SIGIR'09; `rrfK = 60` is the paper constant): each ranker
+    * contributes `1/(rrfK + rank)` for the docs it retrieved, missing
+    * docs contribute nothing. Rank fusion side-steps the score-scale
+    * mismatch that the blended [[hybridSearch]] is exposed to when the
+    * two score distributions drift, which is why retrieval systems
+    * default to RRF for fusing heterogeneous rankers.
+    *
+    * Scale: both inputs are bounded shortlists (`shortlist` rows; the
+    * corpus itself never moves — BM25's top-k and the dense top-k do
+    * the pruning), so the global rank windows run over bounded
+    * relations, the same posture as [[hybridSearch]]'s broadcast
+    * rerank. Determinism: ranks come from already-rounded scores with
+    * doc-id tie-breaks; each `1/(k+rank)` is a single exact IEEE
+    * division, the two-term sum is order-fixed, rounded once.
+    *
+    * Output: (idCol, rrf, lex_rank, dense_rank) — ranks null for docs
+    * only one ranker retrieved; top `topK` by (rrf desc, id).
+    */
+  def rrfFusion(docs: DataFrame, embeds: DataFrame,
+      idCol: String, textCol: String, vecIdCol: String, vecCol: String,
+      terms: Seq[String], queryVecId: Long,
+      shortlist: Int = 50, topK: Int = 10, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25(docs, idCol, textCol, terms, topK = shortlist)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col(idCol)))
+          .cast("long"))
+    val e = embeds.select(col(vecIdCol).as("__vid"), col(vecCol).as("__v"),
+      Similarity.l2Norm(col(vecCol)).as("__nrm"))
+    val qv = e.filter(col("__vid") === queryVecId)
+      .select(col("__v").as("__qv"), col("__nrm").as("__qnrm"))
+    val dense = e.crossJoin(broadcast(qv))
+      .filter(col("__vid") =!= queryVecId)
+      .select(col("__vid").as(idCol),
+        round(Similarity.dot(col("__v"), col("__qv")) /
+          (col("__nrm") * col("__qnrm")), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(shortlist)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col(idCol)))
+          .cast("long"))
+    lex.join(dense, Seq(idCol), "outer")
+      .select(col(idCol),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)),
+          6).as("rrf"),
+        col("lex_rank"), col("dense_rank"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
 }

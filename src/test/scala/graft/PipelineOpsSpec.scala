@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{AsOfJoin, Dedup, Similarity, Skew, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, Relevance, Similarity, Skew, TextAnalysis}
 
 /** Unit tests for the training-data-pipeline operators (dedup family,
   * text analysis, similarity search) on tiny in-memory data — the sf0.01
@@ -1565,6 +1565,33 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // all three 1s stay in bucket 0 (cum_before=0); the 2 starts at rank 3
     // of 4 → bucket (2·3) div 4 = 1
     assert(out == Map(0L -> ((3L, 1L, 1L)), 1L -> ((1L, 2L, 2L))))
+  }
+
+  test("rrfFusion: docs in one shortlist only get a single rrf term and a null rank") {
+    import spark.implicits._
+    // doc 2 has no embedding (lexical-only); doc 3 has no query term
+    // (dense-only); doc 1 appears in both shortlists and must win.
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha"), (3L, "zzz"))
+      .toDF("doc_id", "text")
+    val embeds = Seq(
+      (0L, Array(1.0f, 0.0f)), // query vector
+      (1L, Array(0.5f, 0.5f)),
+      (3L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Relevance.rrfFusion(docs, embeds, "doc_id", "text",
+        "vec_id", "embedding", terms = Seq("alpha"), queryVecId = 0L,
+        shortlist = 10, topK = 10, rrfK = 60)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    // lex ranks: doc 2 (shorter doc, higher bm25) = 1, doc 1 = 2
+    // dense ranks: doc 3 (cos 1.0) = 1, doc 1 (cos ~0.707) = 2
+    assert(out(1L)._2.contains(2L) && out(1L)._3.contains(2L))
+    assert(out(2L)._2.contains(1L) && out(2L)._3.isEmpty)
+    assert(out(3L)._2.isEmpty && out(3L)._3.contains(1L))
+    val eps = 1e-9
+    assert(math.abs(out(1L)._1 - math.rint(2.0 / 62.0 * 1e6) / 1e6) < eps)
+    assert(math.abs(out(2L)._1 - math.rint(1.0 / 61.0 * 1e6) / 1e6) < eps)
+    assert(out(1L)._1 > out(2L)._1 && out(1L)._1 > out(3L)._1)
   }
 
   test("spanDedup: hot span pasted into thousands of docs — first occurrence survives, rest scrubbed") {
