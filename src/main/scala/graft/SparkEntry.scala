@@ -1771,6 +1771,27 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
       finally graft.streaming.StateStores.useDefault(s)
     }),
+    "hourly_stream" -> ((s, dir) => {
+      // the watermarked windowed aggregate as a REAL incremental stream:
+      // Append mode emits each hourly window only after the watermark
+      // passes its end (sentinel event advances it past every real
+      // window; the sentinel's own open window never emits and is
+      // filtered anyway). Sums are exact decimals, so the stream's
+      // accumulation order cannot flip a cent against the batch oracle
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"),
+        col("value"), EventTime.ms(col("ts")).as("ts_ms"))
+      val maxMs = ev.agg(max("ts_ms")).head.getLong(0)
+      def sentinel(offsetMs: Long) =
+        Seq((new java.sql.Timestamp(maxMs + offsetMs), "__sentinel", 0.0,
+          maxMs + offsetMs)).toDF("ts", "event_type", "value", "ts_ms")
+      EventStream.fileReplay(ev, "ts_ms", chunks = 4,
+          extras = Seq(sentinel(EventTime.minutesMs(240L)),
+            sentinel(EventTime.minutesMs(480L))))(df =>
+          EventStream.hourlyCountsExact(df.drop("ts_ms")))
+        .filter(col("event_type") =!= "__sentinel")
+        .orderBy("hour", "event_type")
+    }),
     "transitions_stream" -> ((s, dir) => {
       // the online Markov-transition operator made driver-visible: the
       // real events table replayed through transitionsStream as
@@ -3160,6 +3181,14 @@ object SparkEntry {
         |  min(ms) AS start_ms, max(ms) AS end_ms,
         |  max(ms) - min(ms) AS duration_ms
         |FROM y GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "hourly_stream" ->
+      // exact-decimal windowed sums: bit-identical whatever order the
+      // stream accumulated them in
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+        |       AS DECIMAL(38,2)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "transitions_stream" ->
       // identical counts to the batch event_transitions oracle: the
       // streaming replay must reproduce the Markov matrix exactly

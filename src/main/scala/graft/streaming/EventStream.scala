@@ -34,6 +34,25 @@ object EventStream {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** [[hourlyCounts]] with ORDER-INDEPENDENT exact sums: `value` is
+    * fixed to 2 decimals and summed as DECIMAL, so the incremental
+    * streaming accumulation (per-micro-batch partial merges, arrival
+    * order) produces bit-identical totals to any batch plan or engine —
+    * a double sum's IEEE rounding depends on summation order, which is
+    * exactly what a stream reorders. This is the variant the streaming
+    * replay holds to the DuckDB oracle.
+    */
+  def hourlyCountsExact(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value"), 2).cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Watermarked per-window DISTINCT USERS via the mergeable HLL sketch
     * — the streaming face of [[graft.ops.DistinctSketch]]. Exact
     * streaming distinct would hold every user id per open window in
