@@ -1785,7 +1785,10 @@ object SparkEntry {
       def sentinel(offsetMs: Long) =
         Seq((new java.sql.Timestamp(maxMs + offsetMs), "__sentinel", 0.0,
           maxMs + offsetMs)).toDF("ts", "event_type", "value", "ts_ms")
-      EventStream.fileReplay(ev, "ts_ms", chunks = 4,
+      // 2 data chunks: window state is O(open windows) and every commit
+      // snapshots it, so fewer micro-batches cut replay cost while the
+      // execution stays genuinely incremental (4 batches total)
+      EventStream.fileReplay(ev, "ts_ms", chunks = 2,
           extras = Seq(sentinel(EventTime.minutesMs(240L)),
             sentinel(EventTime.minutesMs(480L))))(df =>
           EventStream.hourlyCountsExact(df.drop("ts_ms")))
