@@ -68,7 +68,12 @@ object Tables {
     */
   private def rawLongToTimestamp(raw: DataFrame, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val minTs = raw.agg(min("ts")).head.getLong(0)
+    val probe = raw.agg(min("ts")).head
+    if (probe.isNullAt(0))
+      throw new IllegalStateException(
+        s"events.ts at $path: no rows (or all-null ts) — cannot probe the " +
+          "timestamp unit")
+    val minTs = probe.getLong(0)
     // Bands for epochs between 2001-09 (1e9 s) and ~2286 (1e10 s).
     val tsMicros =
       if (minTs >= 1e18.toLong && minTs < 1e19.toLong) expr("ts div 1000") // nanos

@@ -63,6 +63,39 @@ class TestdataSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"events.ts span is $spanDays%.4f days — timestamps look compressed")
   }
 
+  test("Tables.events unit probe: raw int64 millis/seconds/nanos decode to the same instants; garbage fails loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // 2024-01-15 00:00:00 UTC and one hour later, in seconds
+    val secs = Seq(1705276800L, 1705280400L)
+    val tmp = java.nio.file.Files.createTempDirectory("events_unit_")
+    def write(unit: Long, name: String): String = {
+      val dir = s"$tmp/$name"
+      secs.zipWithIndex.map { case (s, i) =>
+        (i.toLong, s * unit, 1L, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    def instants(dir: String): Seq[Long] =
+      Tables.events(spark, dir).select("ts").collect()
+        .map(_.getTimestamp(0).getTime).sorted.toSeq
+    val fromSec = instants(write(1L, "sec"))
+    val fromMs = instants(write(1000L, "ms"))
+    val fromNanos = instants(write(1000000000L, "ns"))
+    assert(fromSec == secs.map(_ * 1000L), s"seconds band decoded $fromSec")
+    assert(fromMs == fromSec && fromNanos == fromSec,
+      s"bands disagree: ms=$fromMs ns=$fromNanos sec=$fromSec")
+    // a value outside every known epoch band must fail loudly, not guess
+    val junk = s"$tmp/junk"
+    Seq((0L, 12345L, 1L, "x", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$junk/events.parquet")
+    val e = intercept[Exception](Tables.events(spark, junk).collect())
+    assert(e.getMessage.contains("no known"),
+      s"expected loud unit-probe failure, got: ${e.getMessage}")
+  }
+
   test("key tables have the expected TPC-H-ish columns") {
     assume(available, s"$sfDir not present")
     val li = Tables.load(spark, sfDir, "lineitem")
