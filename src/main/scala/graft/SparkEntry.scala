@@ -1766,8 +1766,11 @@ object SparkEntry {
       // state-store metrics); shares sessionize's oracle row-for-row
       graft.streaming.StateStores.useRocksDB(s,
         changelogCheckpointing = false, maxMemoryMB = 256L)
+      // 2 data chunks (+2 sentinels = 4 micro-batches): state still
+      // crosses a batch boundary — the incremental-execution claim —
+      // at half the per-commit state-store overhead of 4 chunks
       try EventStream.sessionizeReplay(t(s, dir, "events"),
-          chunks = 4, requireRocksDB = true)
+          chunks = 2, requireRocksDB = true)
         .orderBy("user_id", "session_id")
       finally graft.streaming.StateStores.useDefault(s)
     }),
@@ -1776,8 +1779,11 @@ object SparkEntry {
       // Append mode emits each hourly window only after the watermark
       // passes its end (sentinel event advances it past every real
       // window; the sentinel's own open window never emits and is
-      // filtered anyway). Sums are exact decimals, so the stream's
-      // accumulation order cannot flip a cent against the batch oracle
+      // filtered anyway). Sums ACCUMULATE as exact decimals, so the
+      // stream's arrival order cannot flip a cent against the batch
+      // oracle; the OUTPUT casts to double (2-decimal sums ≤ ~1e6 are
+      // exactly representable) — DecimalType output columns defeat the
+      // driver's hash canonicalization (TESTDATA.md type palette)
       import s.implicits._
       val ev = t(s, dir, "events").select(col("ts"), col("event_type"),
         col("value"), EventTime.ms(col("ts")).as("ts_ms"))
@@ -1793,18 +1799,21 @@ object SparkEntry {
             sentinel(EventTime.minutesMs(480L))))(df =>
           EventStream.hourlyCountsExact(df.drop("ts_ms")))
         .filter(col("event_type") =!= "__sentinel")
+        .withColumn("sum_value", col("sum_value").cast("double"))
         .orderBy("hour", "event_type")
     }),
     "transitions_stream" -> ((s, dir) => {
       // the online Markov-transition operator made driver-visible: the
       // real events table replayed through transitionsStream as
       // event-time-ordered micro-batches (state = ONE last-event row per
-      // user), aggregated to the batch event_transitions answer
+      // user), aggregated to the batch event_transitions answer; event
+      // time rides as full-precision micros so the (ts, event_id)
+      // tie-break matches the oracle's full-precision ORDER BY
       import s.implicits._
       val ev = t(s, dir, "events").select(col("user_id"),
-        EventTime.ms(col("ts")).as("ts_ms"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
         col("event_type"))
-      EventStream.fileReplay(ev, "ts_ms", chunks = 4)(df =>
+      EventStream.fileReplay(ev, "ts_us", chunks = 4)(df =>
           EventStream.transitionsStream(df.as[EventStream.TransEvent]))
         .groupBy("prev_type", "next_type")
         .agg(count(lit(1)).as("n"))
@@ -3190,7 +3199,7 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
-        |       AS DECIMAL(38,2)) AS sum_value
+        |       AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "transitions_stream" ->
       // identical counts to the batch event_transitions oracle: the
@@ -3757,9 +3766,9 @@ object SparkEntry {
       """WITH c AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
         |  FROM lineitem GROUP BY 1),
         |f AS (SELECT k, CAST(n AS HUGEINT) * n AS fan FROM c)
-        |SELECT CAST(sum(fan) AS DECIMAL(38,0)) AS est_rows,
+        |SELECT CAST(sum(fan) AS DOUBLE) AS est_rows,
         |  CAST(count(*) AS BIGINT) AS n_match_keys,
-        |  CAST(max(fan) AS DECIMAL(38,0)) AS max_fanout,
+        |  CAST(max(fan) AS DOUBLE) AS max_fanout,
         |  (SELECT k FROM f ORDER BY fan DESC, k LIMIT 1) AS hot_key
         |FROM f""".stripMargin,
     "corr_matrix" ->

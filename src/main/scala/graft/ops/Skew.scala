@@ -83,24 +83,37 @@ object Skew {
     * For a SELF-join pass the same DataFrame/key twice — Σ cnt² is the
     * classic self-join-size bound from the query-optimization literature.
     *
-    * Output: 1 row (est_rows, n_match_keys, max_fanout, hot_key) — exact
-    * integers (the "estimate" is exact for equi-joins; only non-equi
-    * residual predicates would make it an upper bound). Fan and its sum
-    * run in DECIMAL(38,0): the pathological hot-key joins this operator
-    * exists to detect (~4e9 rows on one key → fan ~1.6e19) overflow
-    * BIGINT, and a silently wrapped negative est_rows is worse than
-    * useless exactly when the answer matters most.
+    * Output: 1 row (est_rows, n_match_keys, max_fanout, hot_key). Fan
+    * and its sum ACCUMULATE in DECIMAL(38,0): the pathological hot-key
+    * joins this operator exists to detect (~4e9 rows on one key → fan
+    * ~1.6e19) overflow BIGINT, and a silently wrapped negative est_rows
+    * is worse than useless exactly when the answer matters most. The
+    * OUTPUT casts to DOUBLE — never wraps, exact through 2⁵³ (an
+    * estimate past 9e15 rows has stopped being a row count and become
+    * "do not run this join", where 15 significant digits ample suffice).
+    *
+    * A SELF-join estimate (same DataFrame, same key — reference
+    * equality) skips the key join entirely: fan = cnt² on ONE per-key
+    * aggregate, a single scan instead of two.
     */
   def joinSizeEstimate(a: DataFrame, aKey: String,
       b: DataFrame, bKey: String): DataFrame = {
-    val ca = a.groupBy(col(aKey).as("__k")).agg(count(lit(1)).as("__ca"))
-    val cb = b.groupBy(col(bKey).as("__k")).agg(count(lit(1)).as("__cb"))
-    ca.join(cb, "__k")
-      .select(col("__k"),
-        (col("__ca").cast("decimal(38,0)") * col("__cb")).as("__fan"))
-      .agg(sum(col("__fan")).cast("decimal(38,0)").as("est_rows"),
+    val fans =
+      if ((a eq b) && aKey == bKey) {
+        a.groupBy(col(aKey).as("__k")).agg(count(lit(1)).as("__ca"))
+          .select(col("__k"),
+            (col("__ca").cast("decimal(38,0)") * col("__ca")).as("__fan"))
+      } else {
+        val ca = a.groupBy(col(aKey).as("__k")).agg(count(lit(1)).as("__ca"))
+        val cb = b.groupBy(col(bKey).as("__k")).agg(count(lit(1)).as("__cb"))
+        ca.join(cb, "__k")
+          .select(col("__k"),
+            (col("__ca").cast("decimal(38,0)") * col("__cb")).as("__fan"))
+      }
+    fans
+      .agg(sum(col("__fan")).cast("double").as("est_rows"),
         count(lit(1)).as("n_match_keys"),
-        max(col("__fan")).as("max_fanout"),
+        max(col("__fan")).cast("double").as("max_fanout"),
         min_by(col("__k"), struct(-col("__fan"), col("__k"))).as("hot_key"))
   }
 }

@@ -54,13 +54,27 @@ object Stats {
       round(col(c) * 100).cast("long").as(s"__x$i")
     }: _*)
     def x(i: Int): Column = col(s"__x$i")
+    // Guard term: the same aggregate pass also tracks max|x| so the
+    // long-multiply exactness bound (|x|·|y| ≤ 2⁶³−1 ⇔ |x| ≤
+    // ⌊√(2⁶³−1)⌋ = 3037000499, ~3e7 unscaled) FAILS LOUDLY at runtime
+    // instead of silently wrapping — checked on the 1-row aggregate
+    // output, so it costs nothing per input row beyond the abs/max.
     val sums =
-      Seq(count(lit(1)).as("__n")) ++
+      Seq(count(lit(1)).as("__n"),
+        max(greatest((0 until n).map(i => abs(x(i))): _*)).as("__maxabs")) ++
         (0 until n).map(i =>
           sum(x(i).cast("decimal(38,0)")).as(s"__s_$i")) ++
         (0 until n).flatMap(i => (i until n).map(j =>
           sum((x(i) * x(j)).cast("decimal(38,0)")).as(s"__p_${i}_$j")))
     val agg = scaled.agg(sums.head, sums.tail: _*)
+    val exactBound = 3037000499L
+    val guarded: Column => Column = c =>
+      when(col("__maxabs") > exactBound,
+        raise_error(format_string(
+          "corrMatrix: max |scaled value| %d exceeds the exact long-multiply " +
+            s"bound $exactBound (~3e7 unscaled); rescale or use a decimal " +
+            "cross-product variant", col("__maxabs"))))
+        .otherwise(c)
     val pairs = for (i <- 0 until n; j <- i + 1 until n) yield (i, j)
     val rows = pairs.map { case (a, b) =>
       val cnt = col("__n").cast("double")
@@ -69,9 +83,9 @@ object Stats {
         col(s"__p_${math.min(i, j)}_${math.max(i, j)}").cast("double")
       struct(lit(cols(a)).as("col_a"), lit(cols(b)).as("col_b"),
         col("__n").as("n"),
-        round((cnt * p(a, b) - s(a) * s(b)) /
+        guarded(round((cnt * p(a, b) - s(a) * s(b)) /
           (sqrt(cnt * p(a, a) - s(a) * s(a)) *
-            sqrt(cnt * p(b, b) - s(b) * s(b))), 9).as("corr"))
+            sqrt(cnt * p(b, b) - s(b) * s(b))), 9)).as("corr"))
     }
     agg.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }

@@ -174,11 +174,22 @@ object EventStream {
     * earlier session immediately (in-batch split — rows are sorted by
     * event time inside the group, the batch window's exact total
     * order), and the final open session emits on event-time timeout
-    * once the watermark passes last+gap. With in-order arrival the
-    * emitted sessions are row-identical to [[sessionizeBatch]] — pinned
-    * by the driver-visible `sessionize_rocksdb` oracle query. Late
-    * events beyond the watermark are dropped by the upstream
-    * watermark — the standard correctness/latency trade.
+    * once the watermark passes last+gap.
+    *
+    * ORDERING PRECONDITION: batch-identical output requires triggers to
+    * arrive in event-time order (what [[fileReplay]] guarantees). The
+    * in-batch split is eager — once a gap-spanning session is emitted it
+    * cannot be retracted (Append mode), so an out-of-order event landing
+    * in a LATER trigger, even inside the watermark, starts a second
+    * session where the batch plan would have merged one. Generic
+    * unordered callers who need watermark-safe merging should buffer to
+    * the watermark horizon before splitting; callers past the watermark
+    * get the standard drop semantics (asserted in StreamingSpec's
+    * late-data case): the watermark filter discards the row before it
+    * reaches state, so emitted history never changes. With in-order
+    * arrival the emitted sessions are row-identical to
+    * [[sessionizeBatch]] — pinned by the driver-visible
+    * `sessionize_rocksdb` oracle query.
     */
   def sessionizeStream(events: Dataset[SessionEvent],
       gapMinutes: Int = 30): Dataset[Session] = {
@@ -272,20 +283,27 @@ object EventStream {
   }
 
   /** Generic file-source replay harness: writes `input` as `chunks`
-    * half-open `orderCol`-range slices (one file per slice, appended in
-    * slice order with distinct mtimes — the file source orders pending
-    * files by (modification time, path), so each slice becomes one
-    * micro-batch and the stream sees rows in `orderCol` order, no late
-    * data), optionally appends `extras` frames as further ordered
-    * batches (sentinels), runs `xform`'s streaming Dataset to a parquet
-    * sink under `Trigger.AvailableNow` with `maxFilesPerTrigger = 1`,
-    * and returns the sink read back as a DataFrame. Rows with equal
-    * `orderCol` values always share a slice, so a within-batch sort in
-    * the stateful operator reproduces the batch total order exactly.
+    * half-open `orderCol`-range slices (one file per slice, named
+    * `slice-0000N.parquet` in slice order — the file source orders
+    * pending files by (modification time, path), and the zero-padded
+    * monotone names make the PATH tie-break resolve to slice order even
+    * when a coarse-granularity filesystem hands several slices the same
+    * mtime — so each slice becomes one micro-batch and the stream sees
+    * rows in `orderCol` order, no late data), optionally appends
+    * `extras` frames as further ordered batches (sentinels), runs
+    * `xform`'s streaming Dataset to a parquet sink under
+    * `Trigger.AvailableNow` with `maxFilesPerTrigger = 1`, and returns
+    * the sink contents. Rows with equal `orderCol` values always share
+    * a slice, so a within-batch sort in the stateful operator
+    * reproduces the batch total order exactly.
     *
     * Everything data-sized stays distributed — slice writes are Spark
     * jobs, the stream reads files, results land in parquet; the driver
-    * handles only the min/max range scalars.
+    * handles only the min/max range scalars. The returned frame is
+    * `localCheckpoint`ed (result-sized, block-manager-backed) so the
+    * replay's temp directory — input copy, sink, checkpoint — can be
+    * deleted before returning instead of accreting across verify/bench
+    * runs.
     */
   def fileReplay(input: DataFrame, orderCol: String, chunks: Int,
       extras: Seq[DataFrame] = Nil, requireRocksDB: Boolean = false,
@@ -300,9 +318,22 @@ object EventStream {
     val width = math.max(1L, (hi - lo) / chunks + 1L)
     val tmp = java.nio.file.Files.createTempDirectory("graft_replay_")
     val (src, sink, chk) = (s"$tmp/src", s"$tmp/sink", s"$tmp/chk")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    var slice = 0
     def append(df: DataFrame): Unit = {
-      df.coalesce(1).write.mode("append").parquet(src)
-      Thread.sleep(15)
+      // Stage the slice as a normal Spark write, then move its single
+      // part file to the monotone slice name the source's (mtime, path)
+      // ordering needs. The write is a Spark job; only the rename is
+      // driver-side metadata.
+      val stage = s"$tmp/stage-$slice"
+      df.coalesce(1).write.parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .iterator.asScala
+        .find(_.getFileName.toString.matches("part-.*\\.parquet"))
+        .getOrElse(sys.error(s"fileReplay: no part file under $stage"))
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(src, f"slice-$slice%05d.parquet"))
+      slice += 1
     }
     (0 until chunks).foreach { r =>
       append(input.filter(col(orderCol) >= lo + r * width &&
@@ -338,14 +369,22 @@ object EventStream {
           s"fileReplay: no rocksdb state-store metrics in $metricKeys")
       }
     } finally q.stop()
-    spark.read.parquet(sink)
+    // Pin the (result-sized) sink contents into the block manager, then
+    // delete the whole replay scratch tree — otherwise every replay
+    // leaks a full copy of its input + sink + checkpoint to /tmp.
+    val out = spark.read.parquet(sink).localCheckpoint(true)
+    val walked = java.nio.file.Files.walk(tmp)
+    try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walked.close()
+    out
   }
 
   // --- streaming event transitions (stateful, bounded) --------------------
 
-  final case class TransEvent(user_id: Long, ts_ms: Long, event_id: Long,
+  final case class TransEvent(user_id: Long, ts_us: Long, event_id: Long,
       event_type: String)
-  final case class LastEvent(ts_ms: Long, event_id: Long, event_type: String)
+  final case class LastEvent(ts_us: Long, event_id: Long, event_type: String)
   final case class Transition(user_id: Long, prev_type: String,
       next_type: String)
 
@@ -353,26 +392,30 @@ object EventStream {
     * [[graft.ops.EventAnalytics.transitions]] (counts aggregate
     * downstream). State is ONE row per user (the last event seen), so
     * state size is bounded by the user population, not the stream
-    * length. Within a trigger the group's rows are sorted by
-    * (ts, event_id) — the same total order as the batch window — and
-    * rows at or before the stored last event (late beyond a trigger
-    * boundary) are dropped, the standard watermark trade. At cluster
-    * scale add a ProcessingTimeTimeout to expire churned users.
+    * length. Event time is epoch MICROS — the full precision parquet
+    * stores — so the (ts, event_id) tie-break matches a full-precision
+    * batch window / oracle exactly (millis would merge sub-ms ties into
+    * the event_id tie-break and could flip transition order). Within a
+    * trigger the group's rows are sorted by (ts_us, event_id) — the
+    * same total order as the batch window — and rows at or before the
+    * stored last event (late beyond a trigger boundary) are dropped,
+    * the standard watermark trade. At cluster scale add a
+    * ProcessingTimeTimeout to expire churned users.
     */
   def transitionsStream(events: Dataset[TransEvent]): Dataset[Transition] = {
     import events.sparkSession.implicits._
 
     def update(userId: Long, rows: Iterator[TransEvent],
         state: GroupState[LastEvent]): Iterator[Transition] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
       var last = state.getOption
       val out = Seq.newBuilder[Transition]
       sorted.foreach { e =>
         val newer = last.forall(l =>
-          e.ts_ms > l.ts_ms || (e.ts_ms == l.ts_ms && e.event_id > l.event_id))
+          e.ts_us > l.ts_us || (e.ts_us == l.ts_us && e.event_id > l.event_id))
         if (newer) {
           last.foreach(l => out += Transition(userId, l.event_type, e.event_type))
-          last = Some(LastEvent(e.ts_ms, e.event_id, e.event_type))
+          last = Some(LastEvent(e.ts_us, e.event_id, e.event_type))
         }
       }
       last.foreach(state.update)

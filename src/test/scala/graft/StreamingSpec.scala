@@ -158,6 +158,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("sessionizeStream drops events beyond the watermark: emitted history never changes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.SessionEvent]
+    val sessions = EventStream.sessionizeStream(mem.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_late").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      // user 7: one session of 2 events
+      mem.addData(EventStream.SessionEvent(7L, t0),
+        EventStream.SessionEvent(7L, t0 + 5 * 60 * 1000))
+      q.processAllAvailable()
+      // advance the watermark hours past user 7's session and fire its
+      // event-time timeout (two advancing batches, as the replay does)
+      mem.addData(EventStream.SessionEvent(8L, t0 + 3 * 60 * 60 * 1000))
+      q.processAllAvailable()
+      mem.addData(EventStream.SessionEvent(8L, t0 + 6 * 60 * 60 * 1000))
+      q.processAllAvailable()
+      val before = spark.table("sessions_late")
+        .as[EventStream.Session].collect().filter(_.user_id == 7L).toSeq
+      assert(before.map(s => (s.n_events, s.duration_ms)) ==
+        Seq((2L, 5 * 60 * 1000L)))
+      // a genuinely LATE event (hours behind the watermark) must be
+      // dropped by the watermark filter BEFORE it reaches state — no new
+      // session, no mutation of the emitted one, in ANY later trigger
+      mem.addData(EventStream.SessionEvent(7L, t0 + 10 * 60 * 1000))
+      q.processAllAvailable()
+      mem.addData(EventStream.SessionEvent(8L, t0 + 9 * 60 * 60 * 1000))
+      q.processAllAvailable()
+      val after = spark.table("sessions_late")
+        .as[EventStream.Session].collect().filter(_.user_id == 7L).toSeq
+      assert(after.map(s => (s.n_events, s.duration_ms)) == Seq((2L, 5 * 60 * 1000L)),
+        s"late event past the watermark changed emitted history: $after")
+    } finally q.stop()
+  }
+
   test("transitionsStream: aggregated stream pairs == batch transitions, state is last-event only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -183,7 +220,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val batch = graft.ops.EventAnalytics.transitions(
         (rows :+ late).toDF()
           .select(col("event_id"), col("user_id"),
-            timestamp_millis(col("ts_ms")).as("ts"), col("event_type")))
+            timestamp_micros(col("ts_us")).as("ts"), col("event_type")))
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
       assert(stream == batch)
       assert(stream == Set(("a", "b", 2L), ("b", "a", 1L)))

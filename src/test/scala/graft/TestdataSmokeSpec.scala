@@ -96,6 +96,42 @@ class TestdataSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected loud unit-probe failure, got: ${e.getMessage}")
   }
 
+  test("driver-hash-safe type palette: no query output column may be DECIMAL (or any type outside the palette)") {
+    assume(available, s"$sfDir not present")
+    // Two consecutive rounds were lost to the driver's hash
+    // canonicalization differing between its Spark and DuckDB read
+    // paths on a TYPE, not a value: round 6 timestamp units, round 7
+    // DECIMAL rendering (join_size_est, hourly_stream — value-identical,
+    // hash-mismatched). This test makes the class impossible: every
+    // query's OUTPUT schema must stay inside the palette that has only
+    // ever hashed cleanly — integral/double/string/timestamp/date/
+    // boolean and arrays/structs/maps thereof. Decimal arithmetic
+    // INSIDE a query is fine (and used, for order-independent exact
+    // sums); it must be cast to double/string before the final select.
+    // Documented in TESTDATA.md ("output type palette").
+    import org.apache.spark.sql.types._
+    def bad(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType => Seq(s"$path: $dt (DECIMAL output defeats the driver hash)")
+      case t if Seq(LongType, IntegerType, ShortType, ByteType, DoubleType,
+        FloatType, StringType, BooleanType, TimestampType, TimestampNTZType,
+        DateType, BinaryType, NullType).contains(t) => Nil
+      case ArrayType(et, _) => bad(et, s"$path[]")
+      case MapType(kt, vt, _) => bad(kt, s"$path.key") ++ bad(vt, s"$path.value")
+      case StructType(fields) => fields.toSeq.flatMap(f => bad(f.dataType, s"$path.${f.name}"))
+      case other => Seq(s"$path: $other (outside the driver-hash-safe palette)")
+    }
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val schema =
+          try fn(spark, sfDir).schema
+          catch { case e: Throwable =>
+            fail(s"$name failed to construct at $sfDir: ${e.getMessage}") }
+        schema.fields.toSeq.flatMap(f => bad(f.dataType, s"$name.${f.name}"))
+    }
+    assert(violations.isEmpty,
+      s"hash-unsafe output columns:\n  ${violations.mkString("\n  ")}")
+  }
+
   test("key tables have the expected TPC-H-ish columns") {
     assume(available, s"$sfDir not present")
     val li = Tables.load(spark, sfDir, "lineitem")
