@@ -1247,6 +1247,17 @@ object SparkEntry {
         "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "decontam_embed" -> ((s, dir) => {
+      // the semantic complement of decontam: paraphrased eval leakage
+      // shares no 3-gram but still sits next to its source in embedding
+      // space — broadcast eval sweep, corpus never shuffles
+      val emb = t(s, dir, "embeddings")
+      Decontam.embedOverlap(
+        emb.filter(col("vec_id") % 37 =!= 0),
+        emb.filter(col("vec_id") % 37 === 0),
+        "vec_id", "embedding", threshold = 0.30)
+        .orderBy("vec_id")
+    }),
     "bm25_search" -> ((s, dir) =>
       Relevance.bm25(t(s, dir, "documents"), "doc_id", "text",
         terms = Seq("join", "window", "vector"))),
@@ -1813,7 +1824,9 @@ object SparkEntry {
       val ev = t(s, dir, "events").select(col("user_id"),
         unix_micros(col("ts")).as("ts_us"), col("event_id"),
         col("event_type"))
-      EventStream.fileReplay(ev, "ts_us", chunks = 4)(df =>
+      // 2 chunks: per-user last-event state still crosses a batch
+      // boundary (the incremental claim) at half the commit overhead
+      EventStream.fileReplay(ev, "ts_us", chunks = 2)(df =>
           EventStream.transitionsStream(df.as[EventStream.TransEvent]))
         .groupBy("prev_type", "next_type")
         .agg(count(lit(1)).as("n"))
@@ -1827,12 +1840,32 @@ object SparkEntry {
       import s.implicits._
       val ev = t(s, dir, "events").select(col("user_id"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"))
-      EventStream.fileReplay(ev, "ts_us", chunks = 4)(df =>
+      // 2 chunks: stage-prefix state still crosses a batch boundary
+      EventStream.fileReplay(ev, "ts_us", chunks = 2)(df =>
           EventStream.funnelStream(df.as[EventStream.FunnelEvent],
             Seq("signup", "view", "click", "purchase"),
             windowSec = Some(48L * 3600)))
         .groupBy("stage").agg(count(lit(1)).as("users"))
         .orderBy("stage")
+    }),
+    "neardup_stream" -> ((s, dir) => {
+      // the streaming near-dup dedup made driver-visible: documents
+      // replayed in doc_id order through dropDuplicatesWithinWatermark
+      // on the 64-bit SimHash; the output is checked at the SKETCH level
+      // (exactly one surviving row per distinct sketch) because which of
+      // two same-sketch docs inside one micro-batch survives is
+      // partition-order-dependent — the dedup property is deterministic,
+      // the winner is not
+      // synthetic event time = base + doc_id ms; the base keeps doc 0
+      // off epoch 0, which the stream's INITIAL watermark would
+      // otherwise swallow as late
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        timestamp_millis(col("doc_id") + 1700000000000L).as("ts"),
+        col("doc_id").as("ord"))
+      EventStream.fileReplay(docs, "ord", chunks = 2)(df =>
+          EventStream.nearDupDedupStream(df.drop("ord"), "text", "ts"))
+        .select(Dedup.simhash64(col("text")).as("sh"))
+        .orderBy("sh")
     }),
     // --- round-7 additions: sub-document dedup, pre-flight audits, -------
     // --- exact-arithmetic statistics, smoothing ---------------------------
@@ -2427,6 +2460,31 @@ object SparkEntry {
          |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
          |FROM tr JOIN ev ON tr.s = ev.s
          |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    "decontam_embed" ->
+      // max-cosine tie breaks toward the smallest eval id on BOTH sides
+      // (Spark max_by(eval_id, (cos, -eval_id)) ≡ ORDER BY cos DESC,
+      // eval_id with row_number = 1)
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
+        |  sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) nrm
+        |  FROM embeddings),
+        |c AS (SELECT * FROM e WHERE vec_id % 37 <> 0),
+        |q AS (SELECT * FROM e WHERE vec_id % 37 = 0),
+        |p AS (SELECT c.vec_id, q.vec_id eval_id,
+        |    round(list_sum(list_transform(range(1, len(c.v)+1),
+        |      i -> c.v[i] * q.v[i])) / (c.nrm * q.nrm), 4) cos
+        |  FROM c, q),
+        |hits AS (SELECT * FROM p WHERE cos >= 0.30),
+        |r AS (SELECT vec_id, eval_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, eval_id) rn,
+        |    max(cos) OVER (PARTITION BY vec_id) max_cos,
+        |    count(*) OVER (PARTITION BY vec_id) n_eval_hits
+        |  FROM hits)
+        |SELECT vec_id, eval_id, max_cos,
+        |  CAST(n_eval_hits AS BIGINT) AS n_eval_hits
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "source_drift" ->
       """WITH tk AS (SELECT source, unnest(list_filter(
         |  regexp_split_to_array(text, ' +'), t -> t <> '')) AS token
@@ -3211,6 +3269,25 @@ object SparkEntry {
         |      FROM events)
         |WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "neardup_stream" ->
+      // the streaming dedup must keep EXACTLY one row per distinct
+      // 64-bit SimHash (sketch recomputed in SQL as in the simhash64
+      // oracle); sketch-level compare because the surviving twin of a
+      // same-batch duplicate pair is partition-order-dependent
+      s"""WITH $toksCte,
+         |h AS (SELECT doc_id, list_transform(toks, t -> md5(t)) hs FROM toks),
+         |bb AS (SELECT doc_id, list_transform(range(0, 64), j ->
+         |  CASE WHEN list_sum(list_transform(hs, h ->
+         |    CASE WHEN ((strpos('0123456789abcdef', substr(h, (j//2)+1, 1)) - 1)
+         |        >> (j%2)) & 1 = 1
+         |    THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) bits FROM h),
+         |s AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0,63), j ->
+         |    bits[j+1] * (CAST(1 AS BIGINT) << j))) AS BIGINT)
+         |  + CASE WHEN bits[64] = 1 THEN -9223372036854775808
+         |         ELSE CAST(0 AS BIGINT) END AS sh
+         |FROM bb)
+         |SELECT DISTINCT sh FROM s ORDER BY sh""".stripMargin,
     "funnel_stream" ->
       // identical stage counts to the batch funnel_stages oracle
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

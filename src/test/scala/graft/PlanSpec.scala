@@ -343,6 +343,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"transitions reads unneeded event columns: $ptRead")
   }
 
+  test("join_size_est self-join: ONE lineitem scan feeds one per-key aggregate") {
+    // the self-join estimate is fan = cnt² over a single per-key count —
+    // a second scan of the fact table would double the dominant cost at
+    // 100 TB for zero information
+    val p = plan("join_size_est")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly 1 scan, got $scans in:\n$p")
+  }
+
   test("driver contract: every query is oracle-gated, no exceptions") {
     // Round 5 closed the four formerly rows-only approximate queries
     // (t-digest, HLL, k-means cells, PQ codebooks) by emitting their
