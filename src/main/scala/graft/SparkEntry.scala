@@ -180,6 +180,10 @@ object SparkEntry {
     // --- reference parity: key-uniqueness data test (O14) -----------------
     "data_profile" -> ((s, dir) =>
       DataTests.profile(t(s, dir, "orders")).orderBy("column_name")),
+    "corpus_card" -> ((s, dir) =>
+      // the dataset-sheet headline row: volume, exact-dup pressure,
+      // lang/source diversity, length profile — one scan + 1-row frames
+      DataTests.corpusCard(t(s, dir, "documents"))),
     "key_dups" -> ((s, dir) =>
       DataTests.keyDuplicates(t(s, dir, "lineitem"), Seq("l_orderkey"))
         .orderBy("l_orderkey")),
@@ -886,6 +890,15 @@ object SparkEntry {
           round(col("p50"), 4).as("p50"),
           round(col("p90"), 4).as("p90"))
         .orderBy("l_returnflag")),
+    "winsorize" -> ((s, dir) =>
+      // heavy-tail taming for training-data statistics: per-group exact
+      // [P1, P99] clip — groups-sized bounds broadcast back, the clip
+      // is map-side, the data never shuffles
+      Quantiles.winsorize(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_extendedprice_w"), 2).as("w_price"))
+        .orderBy("l_orderkey", "l_linenumber")),
     "quantiles_hist" -> ((s, dir) =>
       // the distinct-value-histogram exact form on a LOW-cardinality
       // measure (l_quantity: 50 distinct in 600k rows) — the shape where
@@ -2007,6 +2020,17 @@ object SparkEntry {
            |FROM orders""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
+    "corpus_card" ->
+      """WITH s AS (SELECT md5(text) h, CAST(length(text) AS BIGINT) nc,
+        |  lang, source FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(sum(nc) AS BIGINT) AS total_chars,
+        |  round(avg(nc), 4) AS mean_chars,
+        |  round(quantile_cont(nc, 0.5), 4) AS p50_chars
+        |FROM s""".stripMargin,
     "key_dups" ->
       """SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
         |       CAST(count(*) AS BIGINT) AS dup_count
@@ -2191,6 +2215,15 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.01) lo,
+        |  quantile_cont(l_extendedprice, 0.99) hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  round(least(greatest(l.l_extendedprice, b.lo), b.hi), 2) AS w_price
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "mix_quota" ->
       """WITH tl AS (SELECT doc_id, source,
         |  CAST(len(list_filter(regexp_split_to_array(text, ' +'),

@@ -120,4 +120,39 @@ object DataTests {
       col(s"__nd_$c").as("n_distinct")))
     wide.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** One-row "dataset card" for a document corpus — the headline numbers
+    * a training run's data sheet opens with: volume (docs, chars),
+    * exact-duplicate pressure (docs minus distinct content hashes),
+    * language/source diversity, and the length profile (mean + exact
+    * median).
+    *
+    * Scale shape: one multi-distinct aggregate pass (single scan via
+    * Expand, like [[profile]]) crossed with the bounded distinct-value
+    * length histogram of [[Quantiles.exactHistogram]] — both sides of
+    * the final crossJoin are 1-row frames, nothing data-sized moves.
+    * At 100 TB swap the exact distincts for `approx_count_distinct`
+    * (mergeable HLL, no Expand) — kept exact here so the DuckDB oracle
+    * hash-matches.
+    *
+    * Output: 1 row (n_docs, n_exact_dups, n_langs, n_sources,
+    * total_chars, mean_chars, p50_chars).
+    */
+  def corpusCard(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", sourceCol: String = "source"): DataFrame = {
+    val base = docs.select(md5(col(textCol)).as("__h"),
+      length(col(textCol)).cast("long").as("__nc"),
+      col(langCol).as("__lang"), col(sourceCol).as("__src"))
+    val agg = base.agg(
+      count(lit(1)).as("n_docs"),
+      (count(lit(1)) - countDistinct(col("__h"))).as("n_exact_dups"),
+      countDistinct(col("__lang")).as("n_langs"),
+      countDistinct(col("__src")).as("n_sources"),
+      sum(col("__nc")).as("total_chars"),
+      round(avg(col("__nc")), 4).as("mean_chars"))
+    val p50 = Quantiles.exactHistogram(base, Seq.empty, "__nc",
+      Seq("p50_chars" -> 0.5))
+      .select(round(col("p50_chars"), 4).as("p50_chars"))
+    agg.crossJoin(broadcast(p50))
+  }
 }

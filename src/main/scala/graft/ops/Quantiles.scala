@@ -201,6 +201,31 @@ object Quantiles {
         ps.tail.map { case (name, p) => sum(contribution(p)).as(name) }: _*)
   }
 
+  /** Winsorization: clip `valueCol` to its per-group exact interpolated
+    * [pLo, pHi] quantiles — the standard heavy-tail tamer before
+    * training-data statistics (a whale document's length stops dragging
+    * the mean without dropping the row, unlike `outliers`-style
+    * filtering).
+    *
+    * Scale shape: the bounds come from [[exact]] (one sort-window pass,
+    * see the cardinality guidance above — swap in [[exactHistogram]]
+    * bounds for low-cardinality measures), yielding a GROUPS-sized
+    * frame that is broadcast back onto the data; the clip itself is a
+    * map-side `least/greatest`, so the data-sized side never shuffles.
+    *
+    * Output: input columns + `<valueCol>_w` (the clipped value).
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad bounds ($pLo, $pHi)")
+    val bounds = exact(df, groupCols, valueCol,
+      Seq("__lo" -> pLo, "__hi" -> pHi))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Equal-count strata over an integer-valued column (length deciles and
     * the like), assigned at the distinct-VALUE level so tie groups never
     * split across buckets: bucket(v) = (buckets · rank_before(v)) div N.

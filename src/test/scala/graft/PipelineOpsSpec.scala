@@ -794,6 +794,20 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getAs[Double]("p50") == 20.0) // median of {10,20,30}, null ignored
   }
 
+  test("winsorize clips to per-group exact quantile bounds, preserves rows") {
+    import spark.implicits._
+    // 11 values 0..100: p10 = 10, p90 = 90 under quantile_cont
+    val df = (0 to 10).map(i => ("g", i * 10.0)).toDF("grp", "v")
+    val out = graft.ops.Quantiles.winsorize(df, Seq("grp"), "v",
+      pLo = 0.1, pHi = 0.9)
+    assert(out.count() == 11L, "winsorize must keep every row")
+    val w = out.select("v_w").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(w.head == 10.0 && w.last == 90.0, s"clip bounds wrong: $w")
+    assert(w.count(_ == 10.0) == 2 && w.count(_ == 90.0) == 2,
+      "tail values must clip to the bound, interior values untouched")
+    assert(w.contains(50.0))
+  }
+
   test("approx_percentile (t-digest scale path) lands within 1% of exact") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     val exact = graft.ops.Quantiles.exact(li, Seq("l_returnflag"),

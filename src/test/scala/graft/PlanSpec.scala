@@ -343,6 +343,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"transitions reads unneeded event columns: $ptRead")
   }
 
+  test("decontam_embed: eval side broadcasts, corpus never shuffles before the sweep") {
+    // the |corpus| × |eval| cosine sweep must be a map-side broadcast
+    // loop; the only shuffle allowed is the per-corpus-id aggregate over
+    // the tiny matched subset
+    val p = plan("decontam_embed")
+    assert(p.contains("BroadcastExchange"), s"eval side not broadcast:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"expected ≤1 data shuffle, got $shuffles in:\n$p")
+  }
+
   test("join_size_est self-join: ONE lineitem scan feeds one per-key aggregate") {
     // the self-join estimate is fan = cnt² over a single per-key count —
     // a second scan of the fact table would double the dominant cost at
