@@ -103,6 +103,29 @@ object SparkEntry {
       KeyDiff.summary(
         KeyDiff.diff(ordersOld(s, dir), ordersNew(s, dir), Seq("o_orderkey")))
     }),
+    "keydiff_drift" -> ((s, dir) => {
+      // diff across SCHEMA EVOLUTION (DiffConfig.schemaDrift): the v2
+      // snapshot dropped o_custkey and grew o_channel while v1 never had
+      // o_channel — both sides widen to the union schema and the drifted
+      // columns surface as per-row field changes; absent KEY fields
+      // would stringify "undefined" ≠ "null" (reference
+      // src/index.js:272-278 String(undefined) semantics, CoreDiffSpec)
+      val v1 = t(s, dir, "orders").filter(col("o_orderkey") % 7 =!= 0)
+      val v2 = t(s, dir, "orders").filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 10)
+            .otherwise(col("o_totalprice")))
+        .drop("o_custkey")
+        .withColumn("o_channel",
+          when(col("o_orderkey") % 2 === 0, lit("web")).otherwise(lit("store")))
+      val d = KeyDiff.diff(v1, v2, Seq("o_orderkey"),
+        graft.core.DiffConfig(schemaDrift = true))
+      d.select(
+        col("o_orderkey"),
+        col(KeyDiff.StatusCol),
+        coalesce(size(col(KeyDiff.ChangedFieldsCol)), lit(0)).as("n_changed"))
+        .orderBy("o_orderkey")
+    }),
     "corpus_diff" -> ((s, dir) => {
       // the reference's diff surface applied to pipeline corpus snapshots
       // (crawl v1 vs v2): v1 misses every 7th doc, v2 drops every 5th and
@@ -1946,6 +1969,22 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "keydiff_status" -> keydiffStatusSql,
+    "keydiff_drift" ->
+      // schema-drift diff: matched rows always differ on the dropped
+      // o_custkey (value vs null) and the added o_channel (null vs
+      // value), plus the %3 o_totalprice edit
+      """WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0),
+        |n AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT coalesce(CAST(o.o_orderkey AS VARCHAR),
+        |    CAST(n.o_orderkey AS VARCHAR)) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+        |       THEN 2 + CASE WHEN o.o_orderkey % 3 = 0 THEN 1 ELSE 0 END
+        |       ELSE 0 END AS n_changed
+        |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     // the Avro round-trip is lossless, so the read-back diff answers the
     // same oracle as the parquet-sourced diff
     "keydiff_avro" -> keydiffStatusSql,

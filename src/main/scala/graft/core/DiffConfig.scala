@@ -25,6 +25,18 @@ import org.apache.spark.sql.DataFrame
   *                      to the join key, restoring 1:1 pairing: the i-th
   *                      old row of a key diffs against the i-th new row,
   *                      unpaired extras classify added/removed.
+  * @param schemaDrift  allow the two sides to disagree on COLUMNS (schema
+  *                      evolution between snapshots — the normal state of a
+  *                      long-lived feed). Each side is widened to the union
+  *                      schema with nulls for its absent columns; shared
+  *                      columns must keep their type. Key parts follow the
+  *                      reference's JS semantics exactly
+  *                      (`src/index.js:272-278`): a key field ABSENT from a
+  *                      side's schema stringifies as `String(undefined)` =
+  *                      "undefined", distinct from a present-but-null value's
+  *                      `String(null)` = "null" — so drifted keys never
+  *                      silently collide with null keys. `false` (default)
+  *                      keeps the strict same-schema requirement.
   *
   * No codec knob: the Avro source auto-detects null/deflate/snappy/zstd from
   * the file header (the reference needed a manual flag, `src/config.js:3`).
@@ -34,7 +46,8 @@ final case class DiffConfig(
     keepFields: Option[Seq[String]] = None,
     ignoreFields: Option[Seq[String]] = None,
     stringKeys: Boolean = true,
-    positionalDupKeys: Boolean = false) {
+    positionalDupKeys: Boolean = false,
+    schemaDrift: Boolean = false) {
 
   /** A field survives iff not ignored AND (no allow-list OR allowed) —
     * exactly the reference's `filteredSchema` (`src/index.js:43-45`), but

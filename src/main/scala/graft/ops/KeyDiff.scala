@@ -51,11 +51,36 @@ object KeyDiff {
       newDf: DataFrame,
       keys: Seq[String],
       cfg: DiffConfig = DiffConfig()): DataFrame = {
-    val o = cfg.project(oldDf)
-    val n = cfg.project(newDf)
-    val cols = o.columns.toSeq
-    require(n.columns.toSeq == cols,
-      s"old/new schemas differ: $cols vs ${n.columns.toSeq}")
+    val o0 = cfg.project(oldDf)
+    val n0 = cfg.project(newDf)
+    val (oldCols, newCols) = (o0.columns.toSeq, n0.columns.toSeq)
+    // Schema drift (cfg.schemaDrift): widen both sides to the union
+    // schema, nulls for a side's absent columns. Which columns a side
+    // LACKED is remembered so key stringification can keep the
+    // reference's String(undefined) ≠ String(null) distinction.
+    val (o, n, cols, oldAbsent, newAbsent) =
+      if (newCols == oldCols)
+        (o0, n0, oldCols, Set.empty[String], Set.empty[String])
+      else {
+        require(cfg.schemaDrift,
+          s"old/new schemas differ: $oldCols vs $newCols " +
+            "(set DiffConfig.schemaDrift = true to diff across drift)")
+        val union = oldCols ++ newCols.filterNot(oldCols.contains)
+        val types = (o0.schema.fields ++ n0.schema.fields)
+          .map(f => f.name -> f.dataType).toMap
+        val clash = union.filter(f =>
+          o0.schema.fields.find(_.name == f).map(_.dataType)
+            .zip(n0.schema.fields.find(_.name == f).map(_.dataType))
+            .exists { case (a, b) => a != b })
+        require(clash.isEmpty, s"drifted columns change type: $clash")
+        def widen(df: DataFrame, have: Seq[String]): DataFrame =
+          df.select(union.map(f =>
+            if (have.contains(f)) df(f)
+            else lit(null).cast(types(f)).as(f)): _*)
+        (widen(o0, oldCols), widen(n0, newCols), union,
+          union.filterNot(oldCols.contains).toSet,
+          union.filterNot(newCols.contains).toSet)
+      }
     // Top-level keys must exist; dotted paths (nested struct fields — the
     // reference's explicit TODO, src/index.js:24-25) resolve via df(f).
     val missing = keys.filterNot(f => cols.contains(f) || f.contains('.'))
@@ -65,9 +90,15 @@ object KeyDiff {
     // misparsed as struct access in later col() references.
     val keyAlias = keys.indices.map(i => s"__k_$i")
 
-    def keyed(df: DataFrame, payload: String): DataFrame = {
+    def keyed(df: DataFrame, payload: String, absent: Set[String]): DataFrame = {
       val ks = keys.zip(keyAlias).map { case (f, a) =>
-        val c = if (cfg.stringKeys) compatKey(df(f)) else df(f)
+        val c =
+          if (cfg.stringKeys)
+            // key field not in this side's schema: JS String(undefined),
+            // NOT String(null) — src/index.js:272-278. Native typed mode
+            // uses the widened null column (absent ≡ null, SQL semantics).
+            if (absent.contains(f)) lit("undefined") else compatKey(df(f))
+          else df(f)
         c.as(a)
       }
       val base =
@@ -89,8 +120,8 @@ object KeyDiff {
 
     val joinKeys =
       if (cfg.positionalDupKeys) keyAlias :+ "__k_pos" else keyAlias
-    val joined = keyed(o, "old")
-      .join(keyed(n, "new"), joinKeys, "full_outer")
+    val joined = keyed(o, "old", oldAbsent)
+      .join(keyed(n, "new", newAbsent), joinKeys, "full_outer")
 
     val oldP = col("old")
     val newP = col("new")

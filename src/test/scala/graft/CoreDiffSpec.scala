@@ -48,6 +48,36 @@ class CoreDiffSpec extends AnyFunSuite {
     assert(n.filter(col(KeyDiff.StatusCol) === "removed").count() == 1)
   }
 
+  test("keyDiff schemaDrift: union-widened payloads; absent key parts are 'undefined', not 'null'") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v")
+    val neu = Seq((1L, "a", "web"), (2L, "b", "store"))
+      .toDF("id", "name", "channel") // v dropped, channel added
+    // strict default still refuses drifted schemas
+    intercept[IllegalArgumentException](KeyDiff.diff(old, neu, Seq("id")))
+    val d = KeyDiff.diff(old, neu, Seq("id"), DiffConfig(schemaDrift = true))
+    // every matched row "changes": v value→null, channel null→value
+    assert(statusMap(d) == Map("1" -> "changed", "2" -> "changed"))
+    val cf = d.filter(col("id") === "1")
+      .select(col(KeyDiff.ChangedFieldsCol)).collect().head
+      .getMap[String, org.apache.spark.sql.Row](0)
+    assert(cf.keySet == Set("v", "channel"), s"changed fields: ${cf.keySet}")
+    assert(cf("v").getString(0) == "10.0" && cf("v").getString(1) == null)
+    assert(cf("channel").getString(0) == null && cf("channel").getString(1) == "web")
+
+    // key field present on only ONE side: that side's rows key by the
+    // VALUE, the other side keys "undefined" — and a present-but-NULL
+    // key on the other side stringifies "null", which must NOT match
+    // (JS String(undefined) != String(null), src/index.js:272-278)
+    val o2 = Seq((1L, "x")).toDF("id", "name") // no 'k' column at all
+    val n2 = Seq((Some(9L), 1L, "x"), (None, 1L, "y")).toDF("k", "id", "name")
+    val d2 = KeyDiff.diff(o2, n2, Seq("k"), DiffConfig(schemaDrift = true))
+      .select(col("k"), col(KeyDiff.StatusCol)).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d2 == Set(("undefined", "removed"), ("9", "added"), ("null", "added")),
+      s"got $d2")
+  }
+
   test("keyDiff nested structs: changed LEAF paths reported dotted, presence changes at struct path") {
     import spark.implicits._
     // reference detailedDiff recurses into nested records
