@@ -340,6 +340,11 @@ object EventStream {
         col(orderCol) < lo + (r + 1) * width))
     }
     extras.foreach(append)
+    // Row-conservation check target: every input row must enter exactly
+    // one micro-batch (a dropped slice or a row silently filtered as
+    // late would otherwise surface only as a wrong downstream answer).
+    val expectedRows = mm.getLong(2) +
+      extras.map(_.count()).sum
     val stream = spark.readStream
       .schema(input.schema)
       .option("maxFilesPerTrigger", "1")
@@ -368,6 +373,15 @@ object EventStream {
         require(metricKeys.exists(_.startsWith("rocksdb")),
           s"fileReplay: no rocksdb state-store metrics in $metricKeys")
       }
+      // Row conservation: the micro-batches together must have consumed
+      // every slice row — catches a dropped slice file or a row the
+      // watermark filtered as late, which would otherwise read as a
+      // subtly wrong (not failed) downstream answer. recentProgress
+      // retains far more than this harness's handful of batches.
+      val consumed = q.recentProgress.map(_.numInputRows).sum
+      require(consumed == expectedRows,
+        s"fileReplay: micro-batches consumed $consumed rows, " +
+          s"expected $expectedRows — a slice was lost or rows went late")
     } finally q.stop()
     // Pin the (result-sized) sink contents into the block manager, then
     // delete the whole replay scratch tree — otherwise every replay

@@ -383,7 +383,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val probes = Seq("q5_region", "keydiff_summary", "venn_counted",
       "lsh_pairs", "ann_topk", "quantiles", "funnel_stages", "oov_rate",
       "token_pmi", "semantic_dedup", "hybrid_search", "len_strata",
-      "q21_waiting", "ngram_novelty", "source_drift", "keydiff_nested")
+      "q21_waiting", "ngram_novelty", "source_drift", "keydiff_nested",
+      "decontam_embed", "winsorize", "keydiff_drift", "corpus_card")
     probes.foreach { name =>
       val on = SparkEntry.queries(name)(spark, dir)
         .collect().map(_.toString).toSeq
