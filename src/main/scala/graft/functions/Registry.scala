@@ -3,11 +3,14 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-/** Registers the graft native expressions as SQL functions on a live
-  * session, so `spark.sql("SELECT graft_minhash(shingles, 8) ...")` works
-  * alongside the Column API. Registration goes through the session's
-  * function registry because the driver owns SparkSession construction
-  * (no SparkSessionExtensions hook available to this library).
+/** Registers the graft native expressions as SQL functions, so
+  * `spark.sql("SELECT graft_minhash(shingles, 8) ...")` works alongside
+  * the Column API. Two registration paths share one builder table:
+  * [[install]] mutates a LIVE session's function registry (for sessions
+  * the caller constructs — e.g. the driver-owned gate sessions), and
+  * [[injectInto]] feeds [[graft.GraftExtensions]], the
+  * `spark.sql.extensions` hook for sessions the application never
+  * touches (notebooks, Connect/Thrift servers, spark-submit).
   */
 object Registry {
 
@@ -72,6 +75,21 @@ object Registry {
     builders.foreach { case (name, b) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+
+  /** [[org.apache.spark.sql.SparkSessionExtensions]] form of [[install]]
+    * for sessions the caller does not construct imperatively — the
+    * injection point [[graft.GraftExtensions]] hands to
+    * `spark.sql.extensions`. Same builders, registered at session build
+    * instead of post-hoc.
+    */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.Registry", name),
+        b))
     }
 
   def functionNames: Seq[String] = builders.map(_._1)

@@ -637,6 +637,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getSeq[String](2), r.getLong(3))).toSeq)
   }
 
+  test("GraftExtensions injects the SQL functions at session BUILD (spark.sql.extensions path)") {
+    import org.apache.spark.sql.SparkSession
+    // a session built WITH the extension (no Registry.install call) must
+    // see the functions; the suite's plain session must keep its own
+    // registry — extensions are per-session, the deployment-grade hook
+    // for sessions the app does not construct (spark-submit --conf
+    // spark.sql.extensions=graft.GraftExtensions)
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate() // reuses the JVM's SparkContext, new session + registry
+    try {
+      assert(ext ne prev)
+      val d = ext.sql(
+        """SELECT graft_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+          |                 CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d"""
+          .stripMargin).collect().head.getDouble(0)
+      assert(d == 11.0)
+      val sh = ext.sql(
+        "SELECT graft_simhash64(array('a', 'b', 'a')) AS sh")
+        .collect().head.getLong(0)
+      val viaCol = prev.range(1)
+        .select(graft.ops.Dedup.simhash64(lit("a b a")).as("sh"))
+        .collect().head.getLong(0)
+      assert(sh == viaCol, s"extension-injected simhash $sh != column API $viaCol")
+    } finally {
+      // do NOT stop ext: it shares the suite's SparkContext; just restore
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("saltedJoin == plain inner join (including hot-key duplicates)") {
     import spark.implicits._
     // one hot key (k=1 appears 500×) plus normal keys
