@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, EventAnalytics, EventTime, FreqSketch, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Similarity, Skew, Stats, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, EventAnalytics, EventTime, FreqSketch, Fuzzy, Graph, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Similarity, Skew, Stats, TextAnalysis, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -1923,6 +1923,20 @@ object SparkEntry {
       val l = t(s, dir, "lineitem")
       Skew.joinSizeEstimate(l, "l_partkey", l, "l_partkey")
     }),
+    "edit_pairs" -> ((s, dir) =>
+      // SymSpell deletion-neighborhood join: every customer-name pair at
+      // Levenshtein distance 1, via a variant equi-join — O(n·L) variant
+      // rows + one hash join, never the n² cross join (the oracle IS the
+      // blocked all-pairs formulation, independently derived)
+      Fuzzy.editJoin1(t(s, dir, "customer"), "c_name")),
+    "pagerank" -> ((s, dir) =>
+      // damped PageRank over the supplier↔part bipartite graph (distinct
+      // lineitem pairs; part nodes negated into their own id space), 3
+      // rounds of integer-mass propagation — bit-exact across engines,
+      // one rank-sized shuffle per round over a cached edge layout
+      Graph.pageRank(t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("src"), (-col("l_partkey")).as("dst")),
+        "src", "dst", iters = 3, topK = 30)),
     "corr_matrix" -> ((s, dir) =>
       // Pearson correlations from EXACT decimal sums (2-decimal fixed
       // point ×100): bit-reproducible across engines/retries, unlike
@@ -3920,6 +3934,49 @@ object SparkEntry {
         |  CAST(max(fan) AS DOUBLE) AS max_fanout,
         |  (SELECT k FROM f ORDER BY fan DESC, k LIMIT 1) AS hot_key
         |FROM f""".stripMargin,
+    "edit_pairs" ->
+      // independent formulation: blocked all-pairs + levenshtein. The
+      // blocking is provably complete for distance 1 — an equal-length
+      // pair differing in BOTH its first and last character is at
+      // distance >= 2, and an insert/delete pair differs in length
+      """WITH v AS (SELECT DISTINCT c_name AS w FROM customer
+        |  WHERE c_name IS NOT NULL AND len(c_name) >= 2)
+        |SELECT a.w AS name_a, b.w AS name_b,
+        |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+        |FROM v a JOIN v b ON a.w < b.w
+        |  AND abs(len(a.w) - len(b.w)) <= 1
+        |  AND (len(a.w) <> len(b.w)
+        |       OR substr(a.w, 1, 1) = substr(b.w, 1, 1)
+        |       OR substr(a.w, len(a.w), 1) = substr(b.w, len(b.w), 1))
+        |WHERE levenshtein(a.w, b.w) = 1
+        |ORDER BY name_a, name_b""".stripMargin,
+    "pagerank" ->
+      // the same integer-mass recurrence unrolled: every step is `//`
+      // (integral division), so the ranks are bit-identical to Spark's
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+        |  FROM lineitem),
+        |adj AS (SELECT s AS src, -p AS dst FROM e0
+        |        UNION ALL SELECT -p AS src, s AS dst FROM e0),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM adj GROUP BY 1),
+        |r0 AS (SELECT node, CAST(10000000000 AS BIGINT) AS r, deg FROM deg),
+        |c1 AS (SELECT a.dst AS node, CAST(sum(r.r // r.deg) AS BIGINT) AS m
+        |       FROM adj a JOIN r0 r ON a.src = r.node GROUP BY 1),
+        |r1 AS (SELECT d.node,
+        |         CAST(1500000000 + (c1.m * 85) // 100 AS BIGINT) AS r, d.deg
+        |       FROM deg d JOIN c1 ON d.node = c1.node),
+        |c2 AS (SELECT a.dst AS node, CAST(sum(r.r // r.deg) AS BIGINT) AS m
+        |       FROM adj a JOIN r1 r ON a.src = r.node GROUP BY 1),
+        |r2 AS (SELECT d.node,
+        |         CAST(1500000000 + (c2.m * 85) // 100 AS BIGINT) AS r, d.deg
+        |       FROM deg d JOIN c2 ON d.node = c2.node),
+        |c3 AS (SELECT a.dst AS node, CAST(sum(r.r // r.deg) AS BIGINT) AS m
+        |       FROM adj a JOIN r2 r ON a.src = r.node GROUP BY 1),
+        |r3 AS (SELECT d.node,
+        |         CAST(1500000000 + (c3.m * 85) // 100 AS BIGINT) AS r, d.deg
+        |       FROM deg d JOIN c3 ON d.node = c3.node)
+        |SELECT node, r AS rank, deg FROM r3
+        |ORDER BY rank DESC, node LIMIT 30""".stripMargin,
     "corr_matrix" ->
       // exact HUGEINT sums of the x100-scaled fixed-point values; float
       // enters only in the final scalar formula (scale factor cancels)

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Fuzzy, Graph}
+
+/** Semantic corners of the deletion-neighborhood edit join and the
+  * integer-mass PageRank — the sf0.01 DuckDB oracle (tools/check.py)
+  * is the integration gate.
+  */
+class GraphFuzzySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graph-fuzzy-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // --- Fuzzy.editJoin1 ----------------------------------------------------
+
+  private def words(ws: String*) = {
+    import spark.implicits._
+    ws.toDF("w")
+  }
+
+  private def pairs(ws: String*): Set[(String, String)] =
+    Fuzzy.editJoin1(words(ws: _*), "w").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("editJoin1 finds substitution, insertion, and deletion pairs") {
+    // cat~cut (substitute), cat~cart (insert), cart~art (delete... wait
+    // lev(cart, art)=1 via leading-char delete), unrelated dog pairs with
+    // nothing
+    assert(pairs("cat", "cut", "cart", "art", "dog") ==
+      Set(("cat", "cut"), ("cart", "cat"), ("art", "cart")))
+  }
+
+  test("editJoin1 excludes distance-2 pairs that share a deletion variant") {
+    // "abc" and "adc" share variant "ac" only via DIFFERENT positions?
+    // they share delete-at-2 = "ac": distance 1 (substitution) — keep.
+    // "abx" vs "ayb": share nothing at distance <= 1 — must be absent.
+    assert(pairs("abc", "adc") == Set(("abc", "adc")))
+    // bd <- abd (delete a), bd <- bcd (delete c): abd~bcd is distance 2
+    // but both share variant "bd" — the levenshtein re-check drops it
+    assert(pairs("abd", "bcd") == Set.empty)
+  }
+
+  test("editJoin1 is exact vs brute force on a random-ish vocab") {
+    val vocab = Seq("alpha", "alphb", "alpa", "aalpha", "beta", "betta",
+      "bet", "gamma", "gamm", "gama", "delta", "dleta", "epsilon")
+    val got = pairs(vocab: _*)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    assert(got == want)
+  }
+
+  test("editJoin maxDist=2 is exact vs brute force") {
+    val vocab = Seq("alpha", "alphb", "alpa", "aalpha", "beta", "betta",
+      "bet", "gamma", "gamm", "gama", "delta", "dleta", "epsilon", "xyz")
+    import spark.implicits._
+    val got = graft.ops.Fuzzy.editJoin(vocab.toDF("w"), "w", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) <= 2
+    } yield (a, b, lev(a, b).toLong)).toSet
+    assert(got == want)
+    assert(want.exists(_._3 == 2L), "fixture must exercise distance 2")
+  }
+
+  test("editJoin1 drops nulls and strings below minLen") {
+    import spark.implicits._
+    val df = Seq(Some("a"), Some("b"), None, Some("ab")).toDF("w")
+    // "a"~"b" would pair through the empty variant if 1-char strings
+    // were admitted; minLen=2 leaves only "ab" → no pairs at all
+    assert(Fuzzy.editJoin1(df, "w").count() == 0L)
+  }
+
+  // --- Graph.pageRank -----------------------------------------------------
+
+  test("pageRank conserves order on a star graph: hub outranks leaves") {
+    import spark.implicits._
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, "src", "dst", iters = 3, topK = 10)
+      .collect()
+    assert(out.length == 5)
+    assert(out.head.getAs[Long]("node") == 10L) // the hub wins
+    assert(out.head.getAs[Long]("deg") == 4L)
+    val leafRanks = out.tail.map(_.getAs[Long]("rank")).toSet
+    assert(leafRanks.size == 1, "symmetric leaves must tie exactly")
+  }
+
+  test("pageRank is deterministic: two runs, identical ranks") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 1L), (2L, 5L)).toDF("src", "dst")
+    def run() = Graph.pageRank(edges, "src", "dst", iters = 4, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run() == run())
+  }
+
+  test("pageRank on a symmetric cycle gives every node the same rank") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, "src", "dst", iters = 3, topK = 10)
+      .collect().map(_.getAs[Long]("rank")).toSet
+    assert(ranks.size == 1)
+    // closed regular graph: each round every node keeps
+    // base + floor(floor(init/2)·2·85/100); after any rounds all equal
+  }
+}

@@ -362,6 +362,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans == 1, s"expected exactly 1 scan, got $scans in:\n$p")
   }
 
+  test("edit_pairs: deletion-neighborhood equi-join — no cartesian, pruned scan") {
+    // the whole point of the SymSpell construction is that the n² cross
+    // join never appears: candidates come from an equi-join on the
+    // variant string, and the scan reads ONLY the name column
+    val p = plan("edit_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit join degenerated to a cross join:\n$p")
+    assert(p.contains("ReadSchema: struct<c_name:string>"),
+      s"scan not pruned to c_name:\n$p")
+  }
+
+  test("pagerank: rank-sized shuffles ride one cached edge layout") {
+    // each iteration joins the node-sized rank relation against the
+    // cached adjacency and hash-aggregates on dst — the edge list is
+    // scanned from InMemoryRelation, not re-read from parquet per round
+    val p = plan("pagerank")
+    // every consumer of the edge list reads the InMemoryRelation (each
+    // InMemoryTableScan REPRINTS the cached child plan, so counting raw
+    // FileScan strings over-counts — the load-bearing fact is that no
+    // consumer bypasses the cache, i.e. iters+1 cached reads exist and
+    // every FileScan string sits under an InMemoryRelation)
+    val cachedReads = "InMemoryTableScan".r.findAllIn(p).size
+    assert(cachedReads >= 4, s"expected ≥4 cached adjacency reads, got $cachedReads:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    val firstScan = p.indexOf("FileScan parquet")
+    val firstCache = p.indexOf("InMemoryRelation")
+    assert(firstCache >= 0 && (firstScan < 0 || firstScan > firstCache),
+      s"a FileScan appears outside the cached adjacency:\n$p")
+  }
+
   test("driver contract: every query is oracle-gated, no exceptions") {
     // Round 5 closed the four formerly rows-only approximate queries
     // (t-digest, HLL, k-means cells, PQ codebooks) by emitting their
