@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, EventAnalytics, EventTime, FreqSketch, Fuzzy, Graph, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Similarity, Skew, Stats, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, EventAnalytics, EventTime, FreqSketch, Fuzzy, Graph, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Sharding, Similarity, Skew, Stats, TextAnalysis, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -1923,6 +1923,17 @@ object SparkEntry {
       val l = t(s, dir, "lineitem")
       Skew.joinSizeEstimate(l, "l_partkey", l, "l_partkey")
     }),
+    "k_anon" -> ((s, dir) =>
+      // k-anonymity release gate: quasi-identifier combinations shared by
+      // fewer than k customers re-identify their members — one mergeable
+      // groupBy-count, output bounded by violations
+      DataTests.kAnonymity(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 12L)),
+    "shard_shuffle" -> ((s, dir) =>
+      // deterministic corpus shuffle + sharding: md5-permutation key,
+      // hex-prefix shard, rank-in-shard position — one shard-keyed
+      // shuffle, reproducible on any engine/partitioning/retry
+      Sharding.shardShuffle(t(s, dir, "documents"), "doc_id", nShards = 32)),
     "edit_pairs" -> ((s, dir) =>
       // SymSpell deletion-neighborhood join: every customer-name pair at
       // Levenshtein distance 1, via a variant equi-join — O(n·L) variant
@@ -3934,6 +3945,19 @@ object SparkEntry {
         |  CAST(max(fan) AS DOUBLE) AS max_fanout,
         |  (SELECT k FROM f ORDER BY fan DESC, k LIMIT 1) AS hot_key
         |FROM f""".stripMargin,
+    "k_anon" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 12
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "shard_shuffle" ->
+      """WITH ks AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(('0x' || substr(h, 1, 8))::BIGINT % 32 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY ('0x' || substr(h, 1, 8))::BIGINT % 32
+        |    ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM ks ORDER BY shard, pos""".stripMargin,
     "edit_pairs" ->
       // independent formulation: blocked all-pairs + levenshtein. The
       // blocking is provably complete for distance 1 — an equal-length

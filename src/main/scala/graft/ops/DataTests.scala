@@ -155,4 +155,26 @@ object DataTests {
       .select(round(col("p50_chars"), 4).as("p50_chars"))
     agg.crossJoin(broadcast(p50))
   }
+
+  /** k-anonymity audit over a quasi-identifier combination — the release
+    * gate for a published dataset: every combination of quasi-identifier
+    * values shared by FEWER than `k` rows re-identifies its members
+    * (Sweeney 2002), so the output must be EMPTY before the data ships.
+    *
+    * One mergeable groupBy-count on the quasi-identifier key — the audit
+    * costs a single map-side-combined shuffle regardless of table size,
+    * and the output is bounded by the number of VIOLATING combinations
+    * (rare in a releasable dataset), never by rows.
+    *
+    * Output: one row per violating combination (quasi columns…, n),
+    * ordered; empty ⇒ the table is k-anonymous on these columns.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+      .orderBy(quasiCols.map(col).toIndexedSeq: _*)
+  }
 }

@@ -100,6 +100,38 @@ class GraphFuzzySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Fuzzy.editJoin1(df, "w").count() == 0L)
   }
 
+  // --- DataTests.kAnonymity / Sharding.shardShuffle -----------------------
+
+  test("kAnonymity reports only combinations below k") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("US", "A")) ++ Seq.fill(2)(("US", "B")) ++
+      Seq.fill(1)(("FR", "A"))).toDF("country", "seg")
+    val out = graft.ops.DataTests.kAnonymity(df, Seq("country", "seg"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("US", "B", 2L), ("FR", "A", 1L)))
+    assert(graft.ops.DataTests.kAnonymity(df, Seq("country", "seg"), 2L)
+      .count() == 1L) // only the singleton violates k=2
+  }
+
+  test("shardShuffle: every row exactly once, pos dense per shard, deterministic") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("id")
+    val out = graft.ops.Sharding.shardShuffle(df, "id", nShards = 8).collect()
+    assert(out.length == 500)
+    assert(out.map(_.getLong(0)).toSet == (1L to 500L).toSet)
+    val byShard = out.groupBy(_.getLong(1))
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    byShard.values.foreach { rows =>
+      val ps = rows.map(_.getLong(2)).sorted
+      assert(ps.toSeq == (1L to rows.length).toSeq, "pos must be dense 1..n")
+    }
+    val again = graft.ops.Sharding.shardShuffle(
+      df.repartition(13), "id", nShards = 8).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      "layout must not depend on input partitioning")
+  }
+
   // --- Graph.pageRank -----------------------------------------------------
 
   test("pageRank conserves order on a star graph: hub outranks leaves") {
