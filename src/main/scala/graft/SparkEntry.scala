@@ -1911,6 +1911,13 @@ object SparkEntry {
       // survive, the pasted boilerplate paragraph does not
       Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", spanLen = 8)
         .orderBy("doc_id")),
+    "dup_spans" -> ((s, dir) =>
+      // the audit twin of span_dedup: per doc, the MAXIMAL contiguous
+      // token intervals covered by corpus-duplicated spans (overlapping
+      // fixed-width hits merged gaps-and-islands style) — where the
+      // boilerplate lives and how long it really is
+      Dedup.maximalDupSpans(t(s, dir, "documents"), "doc_id", "text",
+        spanLen = 8)),
     "skew_audit" -> ((s, dir) =>
       // pre-flight shuffle-key audit: hottest keys + skew factor vs the
       // uniform expectation — the "do I need saltedJoin" question answered
@@ -3897,6 +3904,25 @@ object SparkEntry {
         |  round(max(l_extendedprice), 4) AS max_price,
         |  true AS p25_ok, true AS p50_ok, true AS p90_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "dup_spans" ->
+      // same duplicated-position construction as span_dedup, then the
+      // gaps-and-islands merge: consecutive covered positions share
+      // p - row_number() within their doc
+      s"""WITH $toksCte,
+         |sp AS (SELECT doc_id, unnest(range(0, len(toks)-7)) AS i, toks
+         |  FROM toks WHERE len(toks) >= 8),
+         |spans AS (SELECT doc_id, i,
+         |  array_to_string(toks[i+1:i+8], ' ') AS span FROM sp),
+         |rn AS (SELECT doc_id, i, row_number()
+         |    OVER (PARTITION BY span ORDER BY doc_id, i) AS rn FROM spans),
+         |cov AS (SELECT DISTINCT doc_id, p FROM
+         |  (SELECT doc_id, unnest(range(i, i+8)) AS p FROM rn WHERE rn > 1)),
+         |isl AS (SELECT doc_id, p, p - row_number()
+         |    OVER (PARTITION BY doc_id ORDER BY p) AS g FROM cov)
+         |SELECT doc_id, CAST(min(p) AS BIGINT) AS start_tok,
+         |  CAST(max(p) AS BIGINT) AS end_tok,
+         |  CAST(count(*) AS BIGINT) AS n_tokens
+         |FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_tok""".stripMargin,
     "span_dedup" ->
       // first-(doc,pos)-occurrence ownership per 8-token span; every other
       // occurrence's positions are scrubbed and survivors re-joined

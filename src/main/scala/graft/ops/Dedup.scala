@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{graft => bridge}
 
@@ -894,10 +895,14 @@ object Dedup {
     * Output: (idCol, n_tokens, n_removed, clean_text), one row per input
     * doc (docs shorter than `spanLen` pass through untouched).
     */
-  def spanDedup(df: DataFrame, idCol: String, textCol: String,
-      spanLen: Int = 8): DataFrame = {
-    val base = df.select(col(idCol),
-      TextAnalysis.tokens(col(textCol)).as("__toks"))
+  /** The non-first occurrences of every corpus-duplicated `spanLen`-token
+    * span: (idCol, __i) rows where the span starting at token __i also
+    * occurs at some lexicographically smaller (doc, position). Shared by
+    * [[spanDedup]] (which scrubs them) and [[maximalDupSpans]] (which
+    * reports them); plan shape documented on [[spanDedup]].
+    */
+  private def nonFirstSpanOccurrences(base: DataFrame, idCol: String,
+      spanLen: Int): DataFrame = {
     val spans = base
       .where(size(col("__toks")) >= spanLen)
       .select(col(idCol),
@@ -911,8 +916,15 @@ object Dedup {
         count(lit(1)).as("__cnt"))
       .where(col("__cnt") > 1)
       .select("__span", "__first")
-    val dups = spans.join(firsts, "__span")
+    spans.join(firsts, "__span")
       .where(struct(col(idCol), col("__i")) =!= col("__first"))
+  }
+
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 8): DataFrame = {
+    val base = df.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val dups = nonFirstSpanOccurrences(base, idCol, spanLen)
     val covered = dups
       .select(col(idCol),
         explode(sequence(col("__i"), col("__i") + (spanLen - 1))).as("__p"))
@@ -927,5 +939,44 @@ object Dedup {
           array_except(allPos, coalesce(col("__cov"),
             array().cast("array<int>"))),
           p => element_at(col("__toks"), p + 1))).as("clean_text"))
+  }
+
+  /** MAXIMAL duplicated-span report — the audit twin of [[spanDedup]]
+    * and the report ExactSubstr produces in Lee et al. ACL 2022: instead
+    * of rewriting documents, emit each document's maximal contiguous
+    * runs of tokens covered by non-first duplicated spans, so a human
+    * (or a downstream cutter with its own policy) sees WHERE the
+    * boilerplate lives and how long it really is — overlapping
+    * fixed-width span hits merge into one interval, recovering the
+    * true duplicated-substring extent the fixed width fragments.
+    *
+    * The interval merge is the gaps-and-islands construction: per doc,
+    * sort the covered positions and group by `pos − row_number()` —
+    * consecutive positions share the key. The window partitions by doc
+    * and is bounded by the doc's own token count (documents are
+    * chunk-bounded upstream), never by corpus size; everything before
+    * it is the same mergeable-aggregate pipeline as [[spanDedup]].
+    *
+    * Output: (idCol, start_tok, end_tok, n_tokens) per maximal interval,
+    * 0-based inclusive token positions, ordered.
+    */
+  def maximalDupSpans(df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 8): DataFrame = {
+    val base = df.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val dups = nonFirstSpanOccurrences(base, idCol, spanLen)
+    val covered = dups
+      .select(col(idCol),
+        explode(sequence(col("__i"), col("__i") + (spanLen - 1))).as("__p"))
+      .distinct()
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    covered
+      .withColumn("__g", col("__p") - row_number().over(w))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("__p")).cast("long").as("start_tok"),
+        max(col("__p")).cast("long").as("end_tok"),
+        count(lit(1)).as("n_tokens"))
+      .select(col(idCol), col("start_tok"), col("end_tok"), col("n_tokens"))
+      .orderBy(idCol, "start_tok")
   }
 }

@@ -1683,6 +1683,26 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2).getAs[String]("clean_text") == "tiny")
   }
 
+  test("maximalDupSpans: overlapping hits merge into maximal intervals; separated runs stay separate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t"), // owns everything
+      // copies tokens a..l (12 tokens) at positions 1..12, plus a second
+      // separated copy of o p q r s t? (6 < spanLen → not a dup span);
+      // expect ONE maximal interval of 12 from the five overlapping
+      // 8-token hits
+      (2L, "z a b c d e f g h i j k l y1 y2 y3 y4 y5 y6 y7"),
+      // two runs of 8 separated by unique tokens → two intervals
+      (3L, "a b c d e f g h u1 u2 m n o p q r s t")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.maximalDupSpans(df, "doc_id", "text", spanLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (2L, 1L, 12L, 12L),
+      (3L, 0L, 7L, 8L),
+      (3L, 10L, 17L, 8L)))
+  }
+
   test("valueStrata: equal-count deciles on distinct values") {
     import spark.implicits._
     val df = (1L to 100L).toDF("v")
