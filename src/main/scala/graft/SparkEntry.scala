@@ -1949,11 +1949,16 @@ object SparkEntry {
       Fuzzy.editJoin1(t(s, dir, "customer"), "c_name")),
     "pagerank" -> ((s, dir) =>
       // damped PageRank over the supplier↔part bipartite graph (distinct
-      // lineitem pairs; part nodes negated into their own id space), 3
-      // rounds of integer-mass propagation — bit-exact across engines,
-      // one rank-sized shuffle per round over a cached edge layout
+      // lineitem pairs), 3 rounds of integer-mass propagation — bit-exact
+      // across engines, one rank-sized shuffle per round over a cached
+      // edge layout. Part nodes map to -(p+1): the testdata keys are
+      // 0-BASED, so a bare negation collides part 0 with supplier 0 into
+      // one node — a degenerate self-loop the two engines then count
+      // differently (caught by the sf0.001 gate, where edge (s=0, p=0)
+      // actually occurs)
       Graph.pageRank(t(s, dir, "lineitem")
-        .select(col("l_suppkey").as("src"), (-col("l_partkey")).as("dst")),
+        .select(col("l_suppkey").as("src"),
+          (-col("l_partkey") - 1).as("dst")),
         "src", "dst", iters = 3, topK = 30)),
     "corr_matrix" -> ((s, dir) =>
       // Pearson correlations from EXACT decimal sums (2-decimal fixed
@@ -4005,8 +4010,8 @@ object SparkEntry {
       // (integral division), so the ranks are bit-identical to Spark's
       """WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
         |  FROM lineitem),
-        |adj AS (SELECT s AS src, -p AS dst FROM e0
-        |        UNION ALL SELECT -p AS src, s AS dst FROM e0),
+        |adj AS (SELECT s AS src, -p - 1 AS dst FROM e0
+        |        UNION ALL SELECT -p - 1 AS src, s AS dst FROM e0),
         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
         |        FROM adj GROUP BY 1),
         |r0 AS (SELECT node, CAST(10000000000 AS BIGINT) AS r, deg FROM deg),

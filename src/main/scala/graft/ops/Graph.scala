@@ -40,7 +40,12 @@ object Graph {
     *
     * `edges` rows are (srcCol, dstCol) pairs of BIGINT node ids from
     * disjoint or shared namespaces; duplicate pairs are collapsed, and
-    * each undirected edge contributes both directions. Every node
+    * each undirected edge contributes both directions. A self-loop
+    * (u, u) counts ONCE in deg(u) and contributes once (both of its
+    * directions are the same row, collapsed by the distinct) — callers
+    * mapping two key spaces into one id space must keep them disjoint
+    * (e.g. `-(k+1)` for 0-based keys, since `-0 == 0`) or accidental
+    * self-loops quietly reshape the merged node's mass flow. Every node
     * starts with `initMass` units; each of `iters` rounds computes
     *
     *   rank'(v) = initMass·(den−num)/den  +  num/den · Σ_{u~v} rank(u) div deg(u)

@@ -353,4 +353,35 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("property: editJoin equals brute-force levenshtein at d=1 and d=2") {
+    import spark.implicits._
+    // small alphabet + short lengths → dense distance structure, lots of
+    // genuine 1- and 2-edit pairs plus same-variant distance-3 collisions
+    val wordGen = for {
+      n <- Gen.chooseNum(2, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val vocabGen = Gen.listOfN(40, wordGen).map(_.distinct)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (seed <- 1L to 5L; maxDist <- Seq(1, 2)) {
+      val vocab = sample(vocabGen, seed)
+      val got = graft.ops.Fuzzy.editJoin(vocab.toDF("w"), "w", maxDist)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val want = (for {
+        a <- vocab; b <- vocab
+        if a < b && lev(a, b) <= maxDist
+      } yield (a, b, lev(a, b).toLong)).toSet
+      assert(got == want, s"seed $seed maxDist $maxDist: " +
+        s"missing ${want -- got}, extra ${got -- want}")
+    }
+  }
 }
