@@ -922,6 +922,22 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           round(col("l_extendedprice_w"), 2).as("w_price"))
         .orderBy("l_orderkey", "l_linenumber")),
+    "linreg" -> ((s, dir) =>
+      // grouped OLS from exact per-group sufficient statistics — ONE
+      // map-side-combined aggregate, float only in the final per-group
+      // closed form (see Stats.linReg); the mergeable moment form is
+      // also the incremental/rollup form at 100 TB
+      Stats.linReg(t(s, dir, "lineitem"), "l_returnflag",
+        "l_quantity", "l_extendedprice")),
+    "pct_norm" -> ((s, dir) =>
+      // cross-source score normalization: percent rank computed from a
+      // distinct-value histogram + exact-long division, never a
+      // row-level sort-per-source window (see Quantiles.percentileNormalize)
+      Quantiles.percentileNormalize(t(s, dir, "documents"),
+        "source", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("n_chars_pct").as("pct"))
+        .orderBy("doc_id")),
     "quantiles_hist" -> ((s, dir) =>
       // the distinct-value-histogram exact form on a LOW-cardinality
       // measure (l_quantity: 50 distinct in 600k rows) — the shape where
@@ -1884,6 +1900,28 @@ object SparkEntry {
         .groupBy("stage").agg(count(lit(1)).as("users"))
         .orderBy("stage")
     }),
+    "stream_enrich" -> ((s, dir) => {
+      // stream-STATIC dimension join: every micro-batch of the event
+      // replay joins the broadcast customer→nation dim (stateless,
+      // stream side never shuffles — the per-event enrichment shape at
+      // 100 TB); the post-sink rollup keeps sums exact-decimal until
+      // the final double cast, so arrival order can't flip a cent
+      val ev = t(s, dir, "events").select(col("user_id"),
+        EventTime.ms(col("ts")).as("ts_ms"), col("event_type"),
+        col("value"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      EventStream.fileReplay(ev, "ts_ms", chunks = 2)(df =>
+          EventStream.enrichStream(df, dim, "user_id", "c_custkey"))
+        .groupBy("n_name", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value"), 2).cast("decimal(18,2)"))
+            .cast("double").as("sum_value"))
+        .orderBy("n_name", "event_type")
+    }),
     "neardup_stream" -> ((s, dir) => {
       // the streaming near-dup dedup made driver-visible: documents
       // replayed in doc_id order through dropDuplicatesWithinWatermark
@@ -2300,6 +2338,37 @@ object SparkEntry {
         |  round(least(greatest(l.l_extendedprice, b.lo), b.hi), 2) AS w_price
         |FROM lineitem l JOIN b USING (l_returnflag)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "linreg" ->
+      // exact HUGEINT sufficient statistics mirroring Stats.linReg:
+      // each sum casts to DOUBLE first, then the identical closed-form
+      // double arithmetic — bit-reproducible across engines
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(round(l_quantity*100) AS HUGEINT)) AS sx,
+        |    sum(CAST(round(l_extendedprice*100) AS HUGEINT)) AS sy,
+        |    sum(CAST(round(l_quantity*100) AS HUGEINT)
+        |      * CAST(round(l_quantity*100) AS HUGEINT)) AS sxx,
+        |    sum(CAST(round(l_quantity*100) AS HUGEINT)
+        |      * CAST(round(l_extendedprice*100) AS HUGEINT)) AS sxy,
+        |    sum(CAST(round(l_extendedprice*100) AS HUGEINT)
+        |      * CAST(round(l_extendedprice*100) AS HUGEINT)) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM s)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd), 9) AS slope,
+        |  round((syd - (nd*sxyd - sxd*syd)/(nd*sxxd - sxd*sxd)*sxd)
+        |    / (nd*100), 9) AS intercept,
+        |  round((nd*sxyd - sxd*syd)*(nd*sxyd - sxd*syd)
+        |    / ((nd*sxxd - sxd*sxd)*(nd*syyd - syd*syd)), 9) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "pct_norm" ->
+      """SELECT doc_id, source, n_chars,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pct
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mix_quota" ->
       """WITH tl AS (SELECT doc_id, source,
         |  CAST(len(list_filter(regexp_split_to_array(text, ' +'),
@@ -3368,6 +3437,17 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
         |       AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "stream_enrich" ->
+      // the stream-static join ≡ the batch 3-way join; exact-decimal
+      // sums make the rollup order-independent on both engines
+      """SELECT n.n_name, e.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(e.value, 2) AS DECIMAL(18,2)))
+        |       AS DOUBLE) AS sum_value
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1, 2 ORDER BY n_name, event_type""".stripMargin,
     "transitions_stream" ->
       // identical counts to the batch event_transitions oracle: the
       // streaming replay must reproduce the Markov matrix exactly

@@ -226,6 +226,46 @@ object Quantiles {
       .drop("__lo", "__hi")
   }
 
+  /** Per-group percentile normalization: maps each row's value to its
+    * within-group percent rank (SQL `percent_rank`: (rank−1)/(n−1),
+    * ties share the min rank) — the standard way to make a quality
+    * score comparable ACROSS ingest sources whose raw score
+    * distributions differ, before a global "keep the top X%" cut.
+    *
+    * The naive form is a row-level window over `partition by group` —
+    * one sorted partition per group, so a 10-source 100 TB corpus would
+    * sort 10 TB per task. This form never windows raw rows: it
+    * aggregates (group, value) → count (an ordinary map-side-combined
+    * aggregate), runs the cumulative window over the DISTINCT-value
+    * histogram (bounded by value cardinality, same reduction
+    * [[exactHistogram]] leans on), derives
+    * `rank_before(v) / (n−1)` from exact longs — one correctly-rounded
+    * IEEE division, identical on any engine — and joins the small rank
+    * relation back onto the rows by (group, value). AQE broadcasts the
+    * histogram side at runtime when it is small (asserted in PlanSpec);
+    * a single-row group yields 0.0, matching SQL.
+    *
+    * Output: the input rows plus `<valueCol>_pct`.
+    */
+  def percentileNormalize(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(groupCol).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = Window.partitionBy(groupCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranks = hist
+      .withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(totals))
+      .select(col(groupCol), col(valueCol),
+        when(col("__n") === 1L, 0d)
+          .otherwise(col("__below").cast("double") /
+            (col("__n") - 1L).cast("double"))
+          .as(s"${valueCol}_pct"))
+    df.join(ranks, Seq(groupCol, valueCol))
+  }
+
   /** Equal-count strata over an integer-valued column (length deciles and
     * the like), assigned at the distinct-VALUE level so tie groups never
     * split across buckets: bucket(v) = (buckets · rank_before(v)) div N.

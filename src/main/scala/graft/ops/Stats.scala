@@ -127,4 +127,67 @@ object Stats {
           .as("contrib"))
       .orderBy(aCol, bCol)
   }
+
+  /** Grouped ordinary-least-squares simple linear regression
+    * (slope/intercept/r²) over 2-decimal fixed-point columns, from
+    * exact per-group sufficient statistics.
+    *
+    * Same exact-integer discipline as [[corrMatrix]]: x and y are
+    * scaled ×100 to exact longs in one projection, the per-group
+    * aggregate accumulates n, Σx, Σy and the cross moments Σx², Σxy,
+    * Σy² — products as codegen'd long multiplies (guarded at the
+    * |value| ≤ ⌊√(2⁶³−1)⌋ exactness bound, which FAILS LOUDLY instead
+    * of wrapping), sums as DECIMAL(38,0). The closed-form OLS formulas
+    *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)       (scale cancels)
+    *   intercept = (Σy − slope·Σx) / (n·100)        (unscales y)
+    *   r² = (nΣxy − ΣxΣy)² / ((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+    * run in double over the exact per-group scalars only — the whole
+    * regression is ONE map-side-combined aggregate pass producing
+    * O(groups) rows; nothing data-sized shuffles. The mergeable
+    * sufficient-statistic form is also the INCREMENTAL form: store
+    * (n, Σx, Σy, Σx², Σxy, Σy²) per partition-date and refit any date
+    * range by adding the exact moments, without rescanning.
+    *
+    * Degenerate groups (constant x) yield null slope/intercept/r²
+    * rather than ±Inf — surfaced, not hidden.
+    *
+    * Output: (group, n, slope, intercept, r2), rounded to 9 places.
+    */
+  def linReg(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val exactBound = 3037000499L
+    val scaled = df.select(col(groupCol),
+      round(col(xCol) * 100).cast("long").as("__x"),
+      round(col(yCol) * 100).cast("long").as("__y"))
+    val agg = scaled.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      max(greatest(abs(col("__x")), abs(col("__y")))).as("__maxabs"),
+      sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+      sum(col("__y").cast("decimal(38,0)")).as("__sy"),
+      sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__sxx"),
+      sum((col("__x") * col("__y")).cast("decimal(38,0)")).as("__sxy"),
+      sum((col("__y") * col("__y")).cast("decimal(38,0)")).as("__syy"))
+    val guarded: Column => Column = c =>
+      when(col("__maxabs") > exactBound,
+        raise_error(format_string(
+          "linReg: max |scaled value| %d exceeds the exact long-multiply " +
+            s"bound $exactBound (~3e7 unscaled); rescale or use a decimal " +
+            "cross-product variant", col("__maxabs"))))
+        .otherwise(c)
+    val n = col("__n").cast("double")
+    def d(name: String): Column = col(name).cast("double")
+    val varX = n * d("__sxx") - d("__sx") * d("__sx")
+    val varY = n * d("__syy") - d("__sy") * d("__sy")
+    val cov = n * d("__sxy") - d("__sx") * d("__sy")
+    val slope = cov / varX
+    agg.select(col(groupCol), col("__n").as("n"),
+      guarded(when(varX === 0d, lit(null).cast("double"))
+        .otherwise(round(slope, 9))).as("slope"),
+      guarded(when(varX === 0d, lit(null).cast("double"))
+        .otherwise(round((d("__sy") - slope * d("__sx")) / (n * 100d), 9)))
+        .as("intercept"),
+      guarded(when(varX === 0d || varY === 0d, lit(null).cast("double"))
+        .otherwise(round(cov * cov / (varX * varY), 9))).as("r2"))
+      .orderBy(groupCol)
+  }
 }

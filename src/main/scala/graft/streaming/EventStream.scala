@@ -394,6 +394,23 @@ object EventStream {
     out
   }
 
+  /** Stream-static dimension enrichment: joins every micro-batch of a
+    * streaming fact against a STATIC (batch) dimension. Structured
+    * Streaming re-plans the static side per micro-batch, so on a real
+    * cluster the dimension is re-read (picking up compacted files) and
+    * re-broadcast each trigger; the stream side never shuffles and no
+    * state is kept — the join is stateless map-side enrichment, the
+    * 100 TB shape for "attach the user/nation/tenant row to each
+    * event". An explicit `broadcast()` hint pins the strategy: without
+    * it a statistics misestimate on the dim scan could demote the join
+    * to a per-batch shuffle. Inner semantics (unmatched facts drop);
+    * callers needing audit of unmatched keys should run
+    * [[graft.ops.DataTests.referentialIntegrity]] on the same pair.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey))
+
   // --- streaming event transitions (stateful, bounded) --------------------
 
   final case class TransEvent(user_id: Long, ts_us: Long, event_id: Long,

@@ -844,6 +844,51 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w.contains(50.0))
   }
 
+  test("linReg recovers a known line exactly; degenerate x yields nulls") {
+    import spark.implicits._
+    // y = 2x + 5 exactly, 2-decimal values: slope/intercept/r2 exact
+    val df = (1 to 50).map(i => ("g", i * 0.25, 2 * (i * 0.25) + 5.0))
+      .toDF("grp", "x", "y")
+    val r = graft.ops.Stats.linReg(df, "grp", "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 50L)
+    assert(r.getAs[Double]("slope") == 2.0, s"slope ${r.getAs[Double]("slope")}")
+    assert(r.getAs[Double]("intercept") == 5.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+    // constant x: varX = 0 → null slope/intercept/r2, never Inf/NaN
+    val const = Seq(("c", 3.0, 1.0), ("c", 3.0, 2.0), ("c", 3.0, 9.0))
+      .toDF("grp", "x", "y")
+    val c = graft.ops.Stats.linReg(const, "grp", "x", "y").collect().head
+    assert(c.isNullAt(c.fieldIndex("slope")) &&
+      c.isNullAt(c.fieldIndex("intercept")) && c.isNullAt(c.fieldIndex("r2")))
+  }
+
+  test("linReg guard fails loudly past the exact long-multiply bound") {
+    import spark.implicits._
+    val big = Seq(("g", 4.0e7, 1.0), ("g", 5.0e7, 2.0)).toDF("grp", "x", "y")
+    val e = intercept[Exception] {
+      graft.ops.Stats.linReg(big, "grp", "x", "y").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("percentileNormalize matches percent_rank incl. ties and 1-row group") {
+    import spark.implicits._
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 20L), ("a", 30L),
+      ("b", 7L)).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("doc_id", "src", "v")
+    val out = graft.ops.Quantiles.percentileNormalize(df, "src", "v")
+    val expected = df.select(col("doc_id"),
+      percent_rank().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy("v")).as("pct"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = out.select(col("doc_id"), col("v_pct"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expected, s"got $got want $expected")
+    assert(got(4L) == 0.0, "single-row group must normalize to 0.0")
+    assert(out.count() == 5L, "row-preserving")
+  }
+
   test("approx_percentile (t-digest scale path) lands within 1% of exact") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     val exact = graft.ops.Quantiles.exact(li, Seq("l_returnflag"),

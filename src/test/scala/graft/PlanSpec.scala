@@ -392,6 +392,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a FileScan appears outside the cached adjacency:\n$p")
   }
 
+  test("linreg: one map-side-combined aggregate pass, no join, no window") {
+    val p = planNoAqe("linreg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final sufficient-statistic aggregate in:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly 1 (groups-sized) shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"closed-form OLS must not join or window:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_orderkey") && !read.contains("l_shipdate"),
+      s"scan reads unneeded columns: $read")
+  }
+
+  test("pct_norm: window runs over the distinct-value histogram, not raw rows") {
+    val p = planNoAqe("pct_norm")
+    // the Window's child must be an aggregate (the (group, value) → count
+    // histogram), never the raw documents scan — that is the whole point
+    // of the operator vs a naive percent_rank partition sort
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, s"expected a Window over the histogram in:\n$p")
+    val below = lines.drop(winIdx)
+    assert(below.exists(_.contains("HashAggregate")),
+      s"Window must sit above the histogram aggregate, not raw rows:\n$p")
+    // raw-row side prunes to the 3 needed columns
+    val reads = lines.filter(_.contains("ReadSchema"))
+    assert(reads.forall(r => !r.contains("text") && !r.contains("lang")),
+      s"documents scan must prune text/lang: $reads")
+  }
+
   test("driver contract: every query is oracle-gated, no exceptions") {
     // Round 5 closed the four formerly rows-only approximate queries
     // (t-digest, HLL, k-means cells, PQ codebooks) by emitting their
@@ -414,7 +444,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "lsh_pairs", "ann_topk", "quantiles", "funnel_stages", "oov_rate",
       "token_pmi", "semantic_dedup", "hybrid_search", "len_strata",
       "q21_waiting", "ngram_novelty", "source_drift", "keydiff_nested",
-      "decontam_embed", "winsorize", "keydiff_drift", "corpus_card")
+      "decontam_embed", "winsorize", "keydiff_drift", "corpus_card",
+      "linreg", "pct_norm")
     probes.foreach { name =>
       val on = SparkEntry.queries(name)(spark, dir)
         .collect().map(_.toString).toSeq
