@@ -745,6 +745,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
         .orderBy("hour", "event_type")
     }),
+    "hopping_agg" -> ((s, dir) =>
+      // SLIDING (hopping) event-time windows — window(ts, width, slide)
+      // assigns each event to width/slide overlapping windows at the
+      // scan (a codegen'd explode, no self-join), then it's an ordinary
+      // partial-aggregable groupBy; the oracle spells the same 2h/1h
+      // assignment as a two-way UNION ALL. Exact-decimal sums as the
+      // hourly twin; the smoothing a dashboard wants without computing
+      // each hour twice from raw rows
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value"), 2).cast("decimal(18,2)"))
+            .cast("double").as("sum_value"))
+        .select(col("w.start").as("wstart"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("wstart", "event_type")),
+    "jsonl_ingest" -> ((s, dir) => {
+      // JSON-lines interchange surface: documents written as Spark
+      // JSONL (the format LLM corpora ship in), read back under the
+      // EXPLICIT parquet schema (inference would re-scan and can widen
+      // types), and rolled up with per-group min/max content
+      // fingerprints — md5(doc_id:text) pins byte-level text fidelity
+      // through the JSON escape/unescape round trip, not just counts.
+      // Fixed per-sfDir scratch path overwritten per invocation (the
+      // keydiff_avro pattern — no temp-dir accretion across runs).
+      val docs = t(s, dir, "documents")
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_jsonl_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      docs.write.mode("overwrite").json(tmp)
+      val fp = md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("text")))
+      s.read.schema(docs.schema).json(tmp)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min(fp).as("min_fp"), max(fp).as("max_fp"))
+        .orderBy("source", "lang")
+    }),
     "asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
@@ -2241,6 +2280,28 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "hopping_agg" ->
+      // 2h-wide / 1h-slide windows: an event at t belongs to the
+      // windows starting at trunc(t) and trunc(t) − 1h — spelled as a
+      // UNION ALL of the two shifted assignments
+      """WITH w AS (
+        |  SELECT date_trunc('hour', ts) AS wstart, event_type, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value
+        |  FROM events)
+        |SELECT wstart, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+        |       AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "jsonl_ingest" ->
+      // the round trip must be invisible: same rollup + content
+      // fingerprints straight off the parquet table
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(md5(CAST(doc_id AS VARCHAR) || ':' || text)) AS min_fp,
+        |  max(md5(CAST(doc_id AS VARCHAR) || ':' || text)) AS max_fp
+        |FROM documents GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
     "asof_join" ->
       """WITH a AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),

@@ -56,6 +56,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("enrichStream: stream-static join enriches per batch, inner semantics, broadcast") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "DE"), (2L, "FR")).toDF("cust_id", "nation")
+    val mem = MemoryStream[(Long, Double)]
+    val stream = EventStream.enrichStream(
+      mem.toDF().toDF("user_id", "value"), dim, "user_id", "cust_id")
+    val q = stream.writeStream.format("memory")
+      .queryName("enriched").outputMode("append").start()
+    try {
+      mem.addData((1L, 10.0), (3L, 99.0)) // 3 has no dim row → dropped
+      q.processAllAvailable()
+      mem.addData((2L, 20.0)) // second batch re-joins the static side
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select("user_id", "nation", "value").orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(got.toSeq == Seq((1L, "DE", 10.0), (2L, "FR", 20.0)))
+      assert(q.lastProgress.numInputRows == 1L)
+      // the static side must ride a broadcast join inside the micro-batch
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        q.explain()
+      }
+      assert(buf.toString("UTF-8").contains("BroadcastHashJoin"),
+        s"dim join must broadcast, got:\n${buf.toString("UTF-8")}")
+    } finally q.stop()
+  }
+
   test("distinctUsersStream: HLL sketch stream == batch EXACTLY (order-free union)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
