@@ -384,4 +384,61 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"missing ${want -- got}, extra ${got -- want}")
     }
   }
+
+  test("property: linReg r2 == corr² and slope·(sy/sx) relations hold; partition-invariant") {
+    import spark.implicits._
+    val xyGen: Gen[List[(Double, Double)]] =
+      Gen.listOfN(40, for {
+        x <- Gen.chooseNum(-9999, 9999) // 2-decimal fixed-point domain
+        y <- Gen.chooseNum(-9999, 9999)
+      } yield (x / 100.0, y / 100.0))
+    for (seed <- 1L to 5L) {
+      val rows = sample(xyGen, seed)
+      val df = rows.toDF("x", "y").withColumn("grp", lit("g"))
+      val r = graft.ops.Stats.linReg(df, "grp", "x", "y").collect().head
+      val n = rows.size.toDouble
+      val (xs, ys) = (rows.map(_._1), rows.map(_._2))
+      def mean(v: Seq[Double]) = v.sum / n
+      val (mx, my) = (mean(xs), mean(ys))
+      val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val vx = xs.map(a => (a - mx) * (a - mx)).sum
+      val vy = ys.map(b => (b - my) * (b - my)).sum
+      if (vx > 1e-9 && vy > 1e-9) {
+        val slope = r.getAs[Double]("slope")
+        val r2 = r.getAs[Double]("r2")
+        assert(math.abs(slope - cov / vx) < 1e-6, s"seed $seed slope")
+        assert(math.abs(r2 - cov * cov / (vx * vy)) < 1e-6, s"seed $seed r2")
+        assert(math.abs(r.getAs[Double]("intercept") - (my - cov / vx * mx))
+          < 1e-6, s"seed $seed intercept")
+        // exact-integer sufficient statistics ⇒ same answer under any
+        // partitioning (a double-sum implementation would wobble)
+        val rp = graft.ops.Stats.linReg(df.repartition(7), "grp", "x", "y")
+          .collect().head
+        assert(rp.getAs[Double]("slope") == slope &&
+          rp.getAs[Double]("r2") == r2, s"seed $seed partition-variant")
+      }
+    }
+  }
+
+  test("property: percentileNormalize == Spark percent_rank on generated ties") {
+    import spark.implicits._
+    val vGen: Gen[List[(String, Long)]] =
+      Gen.listOfN(60, for {
+        g <- Gen.oneOf("a", "b", "c")
+        v <- Gen.chooseNum(0L, 9L) // tiny domain → dense ties
+      } yield (g, v))
+    for (seed <- 1L to 5L) {
+      val rows = sample(vGen, seed).zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v) }
+      val df = rows.toDF("id", "grp", "v")
+      val got = graft.ops.Quantiles.percentileNormalize(df, "grp", "v")
+        .select("id", "v_pct").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = df.select(col("id"), percent_rank().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("grp").orderBy("v")).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == want, s"seed $seed: ${got.toSet -- want.toSet}")
+    }
+  }
 }
