@@ -1802,6 +1802,28 @@ object SparkEntry {
         .withColumn("dup_rate", round(
           lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 4))
         .orderBy("source")),
+    "assoc_rules" -> ((s, dir) =>
+      // market-basket co-occurrence over each user's event-type set:
+      // one basket-keyed exchange feeds both pair-join sides, totals
+      // ride broadcasts; exact counts, single-division scores
+      EventAnalytics.associationRules(t(s, dir, "events"),
+        "user_id", "event_type")),
+    "psi_drift" -> ((s, dir) =>
+      // scalar-feature drift (PSI) of the doc-length distribution
+      // between two ingest feeds — one mergeable (bin-counted) pass
+      // over the rows, Laplace-smoothed, per-bin contributions visible
+      Stats.psiDrift(t(s, dir, "documents"), "source", "n_chars",
+        binWidth = 100L, groupA = "src0", groupB = "src1")),
+    "mad_outliers" -> ((s, dir) =>
+      // robust (median/MAD) outlier gate — the heavy-tail-safe twin of
+      // the z-score `outliers`; flagged set is engine-deterministic
+      // (nearest |z| sits 0.0035 from the 3.5 cut at sf0.01, five
+      // orders beyond any float ulp)
+      Quantiles.madOutliers(t(s, dir, "events"), Seq("event_type"),
+        "value", k = 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("robust_z"))
+        .orderBy("event_id")),
     "source_drift" -> ((s, dir) =>
       // ingest-feed health: KL(source ‖ corpus) over the vocab head +
       // head-coverage companion — feed drift shows here before any
@@ -2724,6 +2746,63 @@ object SparkEntry {
         |SELECT vec_id, eval_id, max_cos,
         |  CAST(n_eval_hits AS BIGINT) AS n_eval_hits
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "assoc_rules" ->
+      // exact counts end-to-end; each score is one IEEE division (or
+      // one product each side for lift) over exact integers
+      """WITH it AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM it),
+        |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM it GROUP BY 1),
+        |p AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM it a JOIN it b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.item_a, p.item_b, p.n_ab, ca.c AS n_a, cb.c AS n_b,
+        |  round(CAST(p.n_ab AS DOUBLE)/CAST(n.nu AS DOUBLE), 9) AS support,
+        |  round(CAST(p.n_ab AS DOUBLE)/CAST(ca.c AS DOUBLE), 9) AS conf_ab,
+        |  round(CAST(p.n_ab AS DOUBLE)/CAST(cb.c AS DOUBLE), 9) AS conf_ba,
+        |  round((CAST(p.n_ab AS DOUBLE)*CAST(n.nu AS DOUBLE)) /
+        |    (CAST(ca.c AS DOUBLE)*CAST(cb.c AS DOUBLE)), 9) AS lift
+        |FROM p JOIN c ca ON p.item_a = ca.event_type
+        |  JOIN c cb ON p.item_b = cb.event_type CROSS JOIN n
+        |ORDER BY item_a, item_b""".stripMargin,
+    "psi_drift" ->
+      // same Laplace-smoothed cells; ln over one exact-rational ratio
+      """WITH cells AS (SELECT n_chars // 100 AS bin,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_b
+        |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
+        |    CAST(sum(c_b) AS BIGINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS bins FROM cells)
+        |SELECT bin, c_a, c_b,
+        |  round(CAST(c_a + 1 AS DOUBLE)/CAST(na + bins AS DOUBLE), 9) AS p_a,
+        |  round(CAST(c_b + 1 AS DOUBLE)/CAST(nb + bins AS DOUBLE), 9) AS p_b,
+        |  round((CAST(c_b + 1 AS DOUBLE)/CAST(nb + bins AS DOUBLE)
+        |       - CAST(c_a + 1 AS DOUBLE)/CAST(na + bins AS DOUBLE))
+        |    * ln((CAST(c_b + 1 AS DOUBLE)/CAST(nb + bins AS DOUBLE))
+        |       / (CAST(c_a + 1 AS DOUBLE)/CAST(na + bins AS DOUBLE))), 9)
+        |    AS psi
+        |FROM cells CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "mad_outliers" ->
+      // medians are quantile_cont on both engines; everything after is
+      // single IEEE ops, so the flagged SET matches, not just scores
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+        |  FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_id, e.event_type, e.value,
+        |    e.value - med.m AS d, abs(e.value - med.m) AS ad
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS md
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.event_id, dev.event_type, dev.value,
+        |  round(0.6745 * dev.d / mad.md, 6) AS robust_z
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE mad.md > 0
+        |  AND abs(round(0.6745 * dev.d / mad.md, 6)) > 3.5
+        |ORDER BY event_id""".stripMargin,
     "source_drift" ->
       """WITH tk AS (SELECT source, unnest(list_filter(
         |  regexp_split_to_array(text, ' +'), t -> t <> '')) AS token

@@ -153,6 +153,56 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Pairwise association rules (market-basket support / confidence /
+    * lift) over (basket, item) observations — e.g. which event types
+    * co-occur in the same user's history, or which tags co-occur on a
+    * document.
+    *
+    * Shape: distinct (basket, item) once (one shuffle), then the
+    * within-basket pair join rides the SAME basket-keyed exchange on
+    * both sides (ReuseExchange — the token_pmi posture), so the
+    * data-sized work is one shuffle + a join whose output is bounded by
+    * Σ per-basket distinct-items² — items-per-basket is the small side
+    * (event-type vocabularies, tag sets), never the row count. Item
+    * totals and the basket count are cells-sized broadcasts. All
+    * counts are exact longs; support `n_ab/N`, confidence `n_ab/n_a`,
+    * and lift `(n_ab·N)/(n_a·n_b)` are single IEEE divisions over
+    * exact integers (identical on any engine), rounded once.
+    *
+    * Ordered pairs (item_a < item_b); symmetric confidence is
+    * `conf_ab` = P(b|a) and `conf_ba` = P(a|b). A lift well above 1
+    * on high support is a co-occurrence rule; below 1, avoidance.
+    */
+  def associationRules(df: DataFrame, basketCol: String,
+      itemCol: String): DataFrame = {
+    val items = df.select(col(basketCol).as("__bk"),
+      col(itemCol).as("__item")).distinct()
+    val nBaskets = items.select(countDistinct(col("__bk")).as("__n"))
+    val itemCounts = items.groupBy("__item")
+      .agg(count(lit(1)).as("__c"))
+    val pairs = items
+      .join(items.select(col("__bk"),
+        col("__item").as("__item_b")), "__bk")
+      .filter(col("__item") < col("__item_b"))
+      .groupBy(col("__item"), col("__item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    def d(c: Column): Column = c.cast("double")
+    pairs
+      .join(broadcast(itemCounts.withColumnRenamed("__c", "__ca")), "__item")
+      .join(broadcast(itemCounts
+        .select(col("__item").as("__item_b"), col("__c").as("__cb"))),
+        "__item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("__item").as("item_a"), col("__item_b").as("item_b"),
+        col("n_ab"), col("__ca").as("n_a"), col("__cb").as("n_b"),
+        round(d(col("n_ab")) / d(col("__n")), 9).as("support"),
+        round(d(col("n_ab")) / d(col("__ca")), 9).as("conf_ab"),
+        round(d(col("n_ab")) / d(col("__cb")), 9).as("conf_ba"),
+        round((d(col("n_ab")) * d(col("__n"))) /
+          (d(col("__ca")) * d(col("__cb"))), 9).as("lift"))
+      .orderBy("item_a", "item_b")
+  }
+
   /** First-touch conversion attribution: credit each `conversionType`
     * event to the FIRST event type of the same user's session (gap rule
     * as in [[graft.streaming.EventStream.sessionizeBatch]]), and count

@@ -226,6 +226,38 @@ object Quantiles {
       .drop("__lo", "__hi")
   }
 
+  /** Robust per-group outliers by Median Absolute Deviation — the
+    * heavy-tail-safe twin of the z-score gate (`outliers`): mean/σ are
+    * themselves dragged by the outliers they're meant to find, while
+    * median and MAD have a 50% breakdown point. `robust_z =
+    * 0.6745·(x − median)/MAD` (0.6745 = Φ⁻¹(3/4) rescales MAD to σ
+    * under normality); rows with |robust_z| > k surface.
+    *
+    * Two exact-median passes ([[exact]] — groups-sized results ride
+    * broadcasts back onto the row scan, nothing row-sized shuffles
+    * beyond the quantile machinery), then the gate is a map-side
+    * filter. All arithmetic after the medians is single IEEE ops over
+    * identical doubles — engine-reproducible, so the flagged SET is
+    * deterministic, not just the scores. Groups with MAD = 0 (over
+    * half the mass at the median — a degenerate constant group) emit
+    * no rows rather than ±Inf scores; audit those with
+    * [[valueStrata]]/[[exactHistogram]] instead.
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Double = 3.5): DataFrame = {
+    val med = exact(df, groupCols, valueCol, Seq("__med" -> 0.5))
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("__adev", abs(col(valueCol).cast("double") - col("__med")))
+    val mad = exact(dev, groupCols, "__adev", Seq("__mad" -> 0.5))
+    dev.join(broadcast(mad), groupCols)
+      .filter(col("__mad") > 0d)
+      .withColumn("robust_z",
+        round(lit(0.6745) * (col(valueCol).cast("double") - col("__med")) /
+          col("__mad"), 6))
+      .filter(abs(col("robust_z")) > k)
+      .drop("__med", "__adev", "__mad")
+  }
+
   /** Per-group percentile normalization: maps each row's value to its
     * within-group percent rank (SQL `percent_rank`: (rank−1)/(n−1),
     * ties share the min rank) — the standard way to make a quality

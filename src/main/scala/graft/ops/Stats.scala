@@ -128,6 +128,50 @@ object Stats {
       .orderBy(aCol, bCol)
   }
 
+  /** Population Stability Index between two groups' distributions of a
+    * numeric measure — the standard ML-monitoring drift score ("has the
+    * length/score distribution of feed B moved away from feed A"),
+    * complementing [[graft.ops.TextAnalysis.sourceDrift]]'s vocabulary
+    * KL with a scalar-feature drift.
+    *
+    * The measure is bucketed by exact integer division (`div`, fixed
+    * `binWidth`), counted per (group, bin) in ONE map-side-combined
+    * aggregate over the data, and everything after runs on the
+    * bins-sized cell relation with totals riding a broadcast back.
+    * Laplace (+1) smoothing keeps every observed bin defined for both
+    * sides, so no ln(0)/÷0 cases exist by construction:
+    * `p = (c+1)/(n+B)` with B = observed bin count. Each per-bin
+    * contribution `(p_b − p_a)·ln(p_b / p_a)` is ≥ 0 (both factors
+    * share sign); the drift score is their sum.
+    * Per-bin rows are emitted (the chi2Independence shape) so the
+    * drifted region is visible, not just the score; interpretation
+    * rule of thumb: Σ < 0.1 stable, 0.1–0.25 moderate, > 0.25 drifted.
+    *
+    * Output: (bin, c_a, c_b, p_a, p_b, psi), ordered by bin.
+    */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+      binWidth: Long, groupA: String, groupB: String): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val cells = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("__g"),
+        expr(s"CAST($valueCol AS BIGINT) div $binWidth").as("bin"))
+      .groupBy("bin")
+      .agg(sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("c_b"))
+    val tot = cells.agg(sum(col("c_a")).as("__na"),
+      sum(col("c_b")).as("__nb"), count(lit(1)).as("__bins"))
+    val pA = (col("c_a") + 1L).cast("double") /
+      (col("__na") + col("__bins")).cast("double")
+    val pB = (col("c_b") + 1L).cast("double") /
+      (col("__nb") + col("__bins")).cast("double")
+    cells.crossJoin(broadcast(tot))
+      .select(col("bin"), col("c_a"), col("c_b"),
+        round(pA, 9).as("p_a"), round(pB, 9).as("p_b"),
+        round((pB - pA) * log(pB / pA), 9).as("psi"))
+      .orderBy("bin")
+  }
+
   /** Grouped ordinary-least-squares simple linear regression
     * (slope/intercept/r²) over 2-decimal fixed-point columns, from
     * exact per-group sufficient statistics.

@@ -889,6 +889,54 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == 5L, "row-preserving")
   }
 
+  test("associationRules: hand-checked support/confidence/lift on tiny baskets") {
+    import spark.implicits._
+    // baskets: 1:{a,b} 2:{a,b} 3:{a,c} 4:{b} — n(a)=3 n(b)=3 n(c)=1,
+    // n(ab)=2, n(ac)=1, N=4; duplicate (1,a) row must not inflate counts
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "b")).toDF("bk", "item")
+    val out = graft.ops.EventAnalytics.associationRules(df, "bk", "item")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c")))
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("n_ab") == 2L && ab.getAs[Long]("n_a") == 3L &&
+      ab.getAs[Long]("n_b") == 3L)
+    assert(ab.getAs[Double]("support") == 0.5)
+    assert(math.abs(ab.getAs[Double]("conf_ab") - 2.0 / 3) < 1e-8)
+    assert(math.abs(ab.getAs[Double]("lift") - 2.0 * 4 / (3 * 3)) < 1e-8)
+    val ac = out(("a", "c"))
+    assert(ac.getAs[Long]("n_ab") == 1L &&
+      math.abs(ac.getAs[Double]("lift") - 4.0 / 3) < 1e-8) // 1·4/(3·1)
+  }
+
+  test("psiDrift: identical distributions score exactly 0; a shifted bin is positive") {
+    import spark.implicits._
+    val same = (1 to 50).flatMap(i =>
+      Seq(("A", i.toLong % 5 * 100), ("B", i.toLong % 5 * 100)))
+      .toDF("grp", "v")
+    val zero = graft.ops.Stats.psiDrift(same, "grp", "v", 100L, "A", "B")
+    assert(zero.filter(col("psi") =!= 0d).isEmpty,
+      "equal counts + equal totals must give psi == 0 per bin (exact)")
+    val shifted = ((1 to 50).map(_ => ("A", 0L)) ++
+      (1 to 50).map(_ => ("B", 500L))).toDF("grp", "v")
+    val ps = graft.ops.Stats.psiDrift(shifted, "grp", "v", 100L, "A", "B")
+      .collect()
+    assert(ps.forall(_.getAs[Double]("psi") > 0d),
+      "fully separated distributions must contribute positive psi per bin")
+  }
+
+  test("madOutliers flags the planted spike; MAD=0 group emits nothing") {
+    import spark.implicits._
+    val df = ((1 to 20).map(i => ("g", i.toDouble)) :+ ("g", 1000.0))
+      .toDF("grp", "v") // median 11, MAD 5, spike z ≈ 133
+      .union(Seq.fill(10)(("const", 7.0)).toDF("grp", "v")) // MAD = 0
+    val out = graft.ops.Quantiles.madOutliers(df, Seq("grp"), "v")
+      .collect()
+    assert(out.length == 1 && out.head.getAs[Double]("v") == 1000.0,
+      s"expected only the spike, got ${out.mkString(";")}")
+    assert(out.head.getAs[Double]("robust_z") > 100d)
+  }
+
   test("approx_percentile (t-digest scale path) lands within 1% of exact") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     val exact = graft.ops.Quantiles.exact(li, Seq("l_returnflag"),
