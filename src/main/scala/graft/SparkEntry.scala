@@ -968,6 +968,20 @@ object SparkEntry {
       // also the incremental/rollup form at 100 TB
       Stats.linReg(t(s, dir, "lineitem"), "l_returnflag",
         "l_quantity", "l_extendedprice")),
+    "linreg_ivm" -> ((s, dir) => {
+      // the storable-moments path made driver-visible: sufficient
+      // statistics per (returnflag, ship-month) — the table a pipeline
+      // would PERSIST — rolled up to per-returnflag fits by exact
+      // decimal addition; lossless merge ⇒ the refit must be
+      // bit-identical to the direct fit, proven here against the
+      // independent engine (oracle = the direct-fit SQL)
+      val li = t(s, dir, "lineitem")
+        .withColumn("__m", date_trunc("month", col("l_shipdate")))
+      Stats.linRegFit(
+        Stats.linRegMoments(li, Seq("l_returnflag", "__m"),
+          "l_quantity", "l_extendedprice"),
+        Seq("l_returnflag"))
+    }),
     "pct_norm" -> ((s, dir) =>
       // cross-source score normalization: percent rank computed from a
       // distinct-value histogram + exact-long division, never a
@@ -2421,6 +2435,32 @@ object SparkEntry {
         |  round(least(greatest(l.l_extendedprice, b.lo), b.hi), 2) AS w_price
         |FROM lineitem l JOIN b USING (l_returnflag)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "linreg_ivm" ->
+      // the rollup refit must equal the DIRECT fit — same oracle SQL
+      // as linreg: a lossless moment merge is exactly this claim
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(round(l_quantity*100) AS HUGEINT)) AS sx,
+        |    sum(CAST(round(l_extendedprice*100) AS HUGEINT)) AS sy,
+        |    sum(CAST(round(l_quantity*100) AS HUGEINT)
+        |      * CAST(round(l_quantity*100) AS HUGEINT)) AS sxx,
+        |    sum(CAST(round(l_quantity*100) AS HUGEINT)
+        |      * CAST(round(l_extendedprice*100) AS HUGEINT)) AS sxy,
+        |    sum(CAST(round(l_extendedprice*100) AS HUGEINT)
+        |      * CAST(round(l_extendedprice*100) AS HUGEINT)) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM s)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd), 9) AS slope,
+        |  round((syd - (nd*sxyd - sxd*syd)/(nd*sxxd - sxd*sxd)*sxd)
+        |    / (nd*100), 9) AS intercept,
+        |  round((nd*sxyd - sxd*syd)*(nd*sxyd - sxd*syd)
+        |    / ((nd*sxxd - sxd*sxd)*(nd*syyd - syd*syd)), 9) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "linreg" ->
       // exact HUGEINT sufficient statistics mirroring Stats.linReg:
       // each sum casts to DOUBLE first, then the identical closed-form

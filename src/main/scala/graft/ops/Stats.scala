@@ -198,12 +198,27 @@ object Stats {
     * Output: (group, n, slope, intercept, r2), rounded to 9 places.
     */
   def linReg(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame =
+    linRegFit(linRegMoments(df, Seq(groupCol), xCol, yCol), Seq(groupCol))
+
+  /** The mergeable sufficient-statistic half of [[linReg]]: one
+    * map-side-combined pass producing, per group combination,
+    * `(__n, __maxabs, __sx, __sy, __sxx, __sxy, __syy)` — exact longs
+    * and DECIMAL(38,0) sums. This is the STORABLE form: compute once
+    * per (group, partition-date), write it down, and any later refit
+    * over any group rollup is [[linRegFit]] over the stored rows —
+    * moment addition, never a rescan of raw data. The same property
+    * makes it the streaming/incremental form (append a batch's moments,
+    * refit). At 100 TB this turns "re-run the regression monthly" into
+    * reading a groups×dates-sized table.
+    */
+  def linRegMoments(df: DataFrame, groupCols: Seq[String], xCol: String,
       yCol: String): DataFrame = {
-    val exactBound = 3037000499L
-    val scaled = df.select(col(groupCol),
+    val g = groupCols.map(col)
+    val scaled = df.select(g ++ Seq(
       round(col(xCol) * 100).cast("long").as("__x"),
-      round(col(yCol) * 100).cast("long").as("__y"))
-    val agg = scaled.groupBy(col(groupCol)).agg(
+      round(col(yCol) * 100).cast("long").as("__y")): _*)
+    scaled.groupBy(g: _*).agg(
       count(lit(1)).as("__n"),
       max(greatest(abs(col("__x")), abs(col("__y")))).as("__maxabs"),
       sum(col("__x").cast("decimal(38,0)")).as("__sx"),
@@ -211,6 +226,25 @@ object Stats {
       sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__sxx"),
       sum((col("__x") * col("__y")).cast("decimal(38,0)")).as("__sxy"),
       sum((col("__y") * col("__y")).cast("decimal(38,0)")).as("__syy"))
+  }
+
+  /** Re-aggregates [[linRegMoments]] rows to `groupCols` (exact decimal
+    * addition — the merge is lossless, so a refit from stored finer
+    * moments is BIT-IDENTICAL to a direct fit over the raw rows) and
+    * applies the closed-form OLS. `groupCols` may be any subset of the
+    * moment table's group columns: fitting coarser is the rollup.
+    */
+  def linRegFit(moments: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val exactBound = 3037000499L
+    val g = groupCols.map(col)
+    val agg = moments.groupBy(g: _*).agg(
+      sum(col("__n")).cast("long").as("__n"),
+      max(col("__maxabs")).as("__maxabs"),
+      sum(col("__sx")).cast("decimal(38,0)").as("__sx"),
+      sum(col("__sy")).cast("decimal(38,0)").as("__sy"),
+      sum(col("__sxx")).cast("decimal(38,0)").as("__sxx"),
+      sum(col("__sxy")).cast("decimal(38,0)").as("__sxy"),
+      sum(col("__syy")).cast("decimal(38,0)").as("__syy"))
     val guarded: Column => Column = c =>
       when(col("__maxabs") > exactBound,
         raise_error(format_string(
@@ -224,14 +258,14 @@ object Stats {
     val varY = n * d("__syy") - d("__sy") * d("__sy")
     val cov = n * d("__sxy") - d("__sx") * d("__sy")
     val slope = cov / varX
-    agg.select(col(groupCol), col("__n").as("n"),
+    agg.select(g ++ Seq(col("__n").as("n"),
       guarded(when(varX === 0d, lit(null).cast("double"))
         .otherwise(round(slope, 9))).as("slope"),
       guarded(when(varX === 0d, lit(null).cast("double"))
         .otherwise(round((d("__sy") - slope * d("__sx")) / (n * 100d), 9)))
         .as("intercept"),
       guarded(when(varX === 0d || varY === 0d, lit(null).cast("double"))
-        .otherwise(round(cov * cov / (varX * varY), 9))).as("r2"))
-      .orderBy(groupCol)
+        .otherwise(round(cov * cov / (varX * varY), 9))).as("r2")): _*)
+      .orderBy(g: _*)
   }
 }

@@ -862,6 +862,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       c.isNullAt(c.fieldIndex("intercept")) && c.isNullAt(c.fieldIndex("r2")))
   }
 
+  test("linReg moments: parquet-roundtripped rollup refit == direct fit, bit-identical") {
+    import spark.implicits._
+    val df = (1 to 120).map { i =>
+      (s"g${i % 2}", s"d${i % 5}", (i % 37) * 0.25, (i % 23) * 0.75 + i)
+    }.toDF("grp", "day", "x", "y")
+    val direct = graft.ops.Stats.linReg(df, "grp", "x", "y")
+      .collect().map(_.toSeq).toSeq
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-moments-spec").toString
+    graft.ops.Stats.linRegMoments(df, Seq("grp", "day"), "x", "y")
+      .write.mode("overwrite").parquet(store)
+    val refit = graft.ops.Stats
+      .linRegFit(spark.read.parquet(store), Seq("grp"))
+      .collect().map(_.toSeq).toSeq
+    assert(refit == direct,
+      s"stored-moment refit must be bit-identical:\n$refit\nvs\n$direct")
+  }
+
   test("linReg guard fails loudly past the exact long-multiply bound") {
     import spark.implicits._
     val big = Seq(("g", 4.0e7, 1.0), ("g", 5.0e7, 2.0)).toDF("grp", "x", "y")
