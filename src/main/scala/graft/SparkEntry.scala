@@ -1997,6 +1997,25 @@ object SparkEntry {
             .cast("double").as("sum_value"))
         .orderBy("n_name", "event_type")
     }),
+    "interval_stream" -> ((s, dir) => {
+      // a TRUE watermarked stream-stream join made driver-visible: the
+      // click and purchase streams replay as two file sources sliced by
+      // the same event-time bands (watermarks advance in lockstep);
+      // per-user purchase-within-10-min-of-click matches emit eagerly
+      // (watermarks gate state cleanup, not inner-join emission) and
+      // must equal the batch self-join oracle row-for-row
+      val ev = t(s, dir, "events").withColumn("ts_ms",
+        EventTime.ms(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("ts_ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("ts_ms"))
+      EventStream.fileReplay2(clicks, purchases, "ts_ms", chunks = 2)(
+          (c, p) => EventStream.intervalJoinStream(c.drop("ts_ms"),
+            p.drop("ts_ms")))
+        .orderBy("event_id", "purchase_id")
+    }),
     "neardup_stream" -> ((s, dir) => {
       // the streaming near-dup dedup made driver-visible: documents
       // replayed in doc_id order through dropDuplicatesWithinWatermark
@@ -3617,6 +3636,16 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
         |       AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "interval_stream" ->
+      // the watermarked stream-stream join ≡ the batch interval
+      // self-join; inclusive bounds both sides
+      """SELECT c.event_id, c.user_id, p.event_id AS purchase_id,
+        |  round(p.value, 2) AS p_value
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |ORDER BY c.event_id, purchase_id""".stripMargin,
     "stream_enrich" ->
       // the stream-static join ≡ the batch 3-way join; exact-decimal
       // sums make the rollup order-independent on both engines

@@ -394,6 +394,84 @@ object EventStream {
     out
   }
 
+  /** Two-source file replay for STREAM-STREAM operators: both inputs
+    * are sliced by the SAME global `orderCol` ranges (so slice r of A
+    * and slice r of B cover one event-time band and the two watermarks
+    * advance in lockstep), each written under monotone zero-padded
+    * names in its own source directory — empty slices are written too,
+    * keeping the per-source file sequences aligned. `xform` builds the
+    * two-stream query (e.g. a watermarked interval join); the sink is
+    * read back, pinned, and the whole scratch tree deleted, as in
+    * [[fileReplay]]. Row conservation holds across BOTH sources:
+    * Σ numInputRows must equal |a| + |b|.
+    *
+    * Inner stream-stream joins emit eagerly on match (watermarks gate
+    * STATE CLEANUP, not inner-join emission), so no sentinel batches
+    * are needed to flush results.
+    */
+  def fileReplay2(a: DataFrame, b: DataFrame, orderCol: String,
+      chunks: Int, statePartitions: Int = 8)
+      (xform: (DataFrame, DataFrame) => Dataset[_]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = a.sparkSession
+    def range(df: DataFrame) = df.agg(min(col(orderCol)).cast("long"),
+      max(col(orderCol)).cast("long"), count(lit(1))).head
+    val (ra, rb) = (range(a), range(b))
+    require(ra.getLong(2) > 0L && rb.getLong(2) > 0L,
+      "fileReplay2: both inputs must be non-empty")
+    val lo = math.min(ra.getLong(0), rb.getLong(0))
+    val hi = math.max(ra.getLong(1), rb.getLong(1))
+    val width = math.max(1L, (hi - lo) / chunks + 1L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_replay2_")
+    val (srcA, srcB, sink, chk) =
+      (s"$tmp/srcA", s"$tmp/srcB", s"$tmp/sink", s"$tmp/chk")
+    Seq(srcA, srcB).foreach(d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+    def writeSlices(input: DataFrame, src: String, tag: String): Unit =
+      (0 until chunks).foreach { r =>
+        val slice = input.filter(col(orderCol) >= lo + r * width &&
+          col(orderCol) < lo + (r + 1) * width)
+        val stage = s"$tmp/stage-$tag-$r"
+        slice.coalesce(1).write.parquet(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .iterator.asScala
+          .find(_.getFileName.toString.matches("part-.*\\.parquet"))
+          .getOrElse(sys.error(s"fileReplay2: no part file under $stage"))
+        java.nio.file.Files.move(part,
+          java.nio.file.Paths.get(src, f"slice-$r%05d.parquet"))
+      }
+    writeSlices(a, srcA, "a")
+    writeSlices(b, srcB, "b")
+    val expectedRows = ra.getLong(2) + rb.getLong(2)
+    def stream(src: String, schema: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q =
+      try xform(stream(srcA, a.schema), stream(srcB, b.schema))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      q.awaitTermination()
+      val consumed = q.recentProgress.map(_.numInputRows).sum
+      require(consumed == expectedRows,
+        s"fileReplay2: micro-batches consumed $consumed rows, " +
+          s"expected $expectedRows — a slice was lost or rows went late")
+    } finally q.stop()
+    val out = spark.read.parquet(sink).localCheckpoint(true)
+    val walked = java.nio.file.Files.walk(tmp)
+    try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walked.close()
+    out
+  }
+
   /** Stream-static dimension enrichment: joins every micro-batch of a
     * streaming fact against a STATIC (batch) dimension. Structured
     * Streaming re-plans the static side per micro-batch, so on a real

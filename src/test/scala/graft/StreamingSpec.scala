@@ -56,6 +56,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("fileReplay2: empty slice keeps sources aligned; join == batch; rows conserved") {
+    import spark.implicits._
+    def evs(rows: Seq[(Long, Long, String)]) = rows
+      .toDF("event_id", "user_id", "raw")
+      .withColumn("ts", to_timestamp(col("raw")))
+      .withColumn("ts_ms", col("ts").cast("long") * 1000)
+      .drop("raw")
+    // clicks exist only in the SECOND half of the time range → slice 0
+    // of the click source is EMPTY and must still be written, or the
+    // two file sequences drift out of band-alignment
+    val clicks = evs(Seq((10L, 1L, "2024-01-01 12:00:00"),
+      (11L, 2L, "2024-01-01 12:01:00")))
+    val purchases = evs(Seq((20L, 1L, "2024-01-01 09:00:00"),
+      (21L, 1L, "2024-01-01 12:05:00"),
+      (22L, 2L, "2024-01-01 12:30:00"))) // 22 outside the 10-min window
+      .withColumn("value", col("event_id").cast("double"))
+    val out = EventStream.fileReplay2(clicks, purchases, "ts_ms",
+        chunks = 2)((c, p) =>
+        EventStream.intervalJoinStream(c.drop("ts_ms"), p.drop("ts_ms")))
+      .select("event_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 21L)),
+      s"expected the one in-window match, got $out")
+  }
+
   test("enrichStream: stream-static join enriches per batch, inner semantics, broadcast") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
