@@ -720,6 +720,60 @@ object SparkEntry {
           |GROUP BY n.n_name, sup.s_name
           |ORDER BY rev DESC, supplier LIMIT 20""".stripMargin)
     }),
+    "sql_running_total" -> ((s, dir) => {
+      // SQL-text surface for the running-total report shape: monthly
+      // sums accumulate as exact DECIMAL inside the ordered window
+      // (both engines add the same exact values in the same month
+      // order), cast to double only on output
+      Tables.names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+          |    sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+          |  FROM orders GROUP BY 1)
+          |SELECT month,
+          |  CAST(rev AS DOUBLE) AS month_rev,
+          |  CAST(sum(rev) OVER (ORDER BY month
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS DOUBLE) AS running_rev
+          |FROM m ORDER BY month""".stripMargin)
+    }),
+    "seasonality" -> ((s, dir) =>
+      // traffic seasonality profile: events per (day-of-week, hour)
+      // with an index vs the uniform-cell expectation — one exact-count
+      // aggregate, totals broadcast back; engine-identical divisions
+      t(s, dir, "events")
+        .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("__tot", sum(col("n_events")).over(Window.partitionBy()))
+        .withColumn("__cells", count(lit(1)).over(Window.partitionBy()))
+        .select(col("dow"), col("hr"), col("n_events"),
+          round(col("n_events").cast("double") * col("__cells") /
+            col("__tot").cast("double"), 6).as("idx"))
+        .orderBy("dow", "hr")),
+    "share_report" -> ((s, dir) => {
+      // ratio-to-report: nation revenue share within region + rank —
+      // the windows run over the 25-row aggregate, never raw rows
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") *
+          (lit(1) - col("l_discount"))), 2).as("rev"))
+      val byRegion = Window.partitionBy("r_name")
+      rev
+        .withColumn("region_rev", sum(col("rev")).over(byRegion))
+        .withColumn("rank", rank().over(
+          byRegion.orderBy(col("rev").desc, col("n_name"))).cast("long"))
+        .select(col("r_name"), col("n_name"), col("rev"),
+          round(col("rev") / col("region_rev"), 6).as("share"),
+          col("rank"))
+        .orderBy("r_name", "rank", "n_name")
+    }),
     "sql_part_stats" -> ((s, dir) => {
       Tables.names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(
@@ -2316,6 +2370,43 @@ object SparkEntry {
         |JOIN nation n ON sup.s_nationkey = n.n_nationkey
         |GROUP BY n.n_name, sup.s_name
         |ORDER BY rev DESC, supplier LIMIT 20""".stripMargin,
+    "sql_running_total" ->
+      // identical text shape: exact-decimal accumulation inside the
+      // ordered window, double only on output
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+        |    sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT month,
+        |  CAST(rev AS DOUBLE) AS month_rev,
+        |  CAST(sum(rev) OVER (ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS running_rev
+        |FROM m ORDER BY month""".stripMargin,
+    "seasonality" ->
+      // DuckDB dayofweek is 0-based Sunday; +1 matches Spark's 1-based
+      """WITH c AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |    CAST(hour(ts) AS BIGINT) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS cells FROM c)
+        |SELECT dow, hr, n_events,
+        |  round(CAST(n_events AS DOUBLE) * cells / CAST(tot AS DOUBLE), 6)
+        |    AS idx
+        |FROM c CROSS JOIN t ORDER BY dow, hr""".stripMargin,
+    "share_report" ->
+      """WITH rev AS (SELECT r_name, n_name,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, rev,
+        |  round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS share,
+        |  CAST(rank() OVER (PARTITION BY r_name
+        |    ORDER BY rev DESC, n_name) AS BIGINT) AS rank
+        |FROM rev ORDER BY r_name, rank, n_name""".stripMargin,
     "sql_part_stats" ->
       """SELECT p_brand, p_type,
         |  CAST(count(*) AS BIGINT) AS n_parts,
