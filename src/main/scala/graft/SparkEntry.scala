@@ -1994,6 +1994,59 @@ object SparkEntry {
         .withColumn("sum_value", col("sum_value").cast("double"))
         .orderBy("hour", "event_type")
     }),
+    "distinct_stream" -> ((s, dir) => {
+      // the windowed distinct-user HLL sketch as a REAL stream: HLL
+      // union is register-wise max (order-free), so the streamed
+      // per-window estimate must EQUAL the batch sketch estimate over
+      // the same rows — asserted as a gate column next to the exact
+      // count and the hll_users 5% relative-error bound
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("ts"), col("user_id"),
+        col("event_type"), EventTime.ms(col("ts")).as("ts_ms"))
+      val maxMs = ev.agg(max("ts_ms")).head.getLong(0)
+      def sentinel(offsetMs: Long) =
+        Seq((new java.sql.Timestamp(maxMs + offsetMs), -1L, "__sentinel",
+          maxMs + offsetMs)).toDF("ts", "user_id", "event_type", "ts_ms")
+      val streamed = EventStream.fileReplay(ev, "ts_ms", chunks = 2,
+          extras = Seq(sentinel(EventTime.minutesMs(240L)),
+            sentinel(EventTime.minutesMs(480L))))(df =>
+          EventStream.distinctUsersStream(df.drop("ts_ms")))
+        .filter(col("event_type") =!= "__sentinel")
+        .withColumnRenamed("approx_users", "streamed_est")
+      val batch = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+          .as("batch_est"),
+          countDistinct(col("user_id")).as("n_exact"))
+      streamed.join(batch, Seq("hour", "event_type"))
+        .select(col("hour"), col("event_type"), col("n_exact"),
+          (col("streamed_est") === col("batch_est")).as("stream_eq_batch"),
+          (abs(col("streamed_est") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("rel_err_le_5pct"))
+        .orderBy("hour", "event_type")
+    }),
+    "avro_stream" -> ((s, dir) => {
+      // O1 as a STREAMING SOURCE: the same watermarked hourly aggregate
+      // as hourly_stream, but the replay slices are AVRO container
+      // files decoded by the custom splittable source through the
+      // Structured Streaming file source — write path, container
+      // decode, and streaming admission in one driver-visible row
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"),
+        col("value"), EventTime.ms(col("ts")).as("ts_ms"))
+      val maxMs = ev.agg(max("ts_ms")).head.getLong(0)
+      def sentinel(offsetMs: Long) =
+        Seq((new java.sql.Timestamp(maxMs + offsetMs), "__sentinel", 0.0,
+          maxMs + offsetMs)).toDF("ts", "event_type", "value", "ts_ms")
+      EventStream.fileReplay(ev, "ts_ms", chunks = 2,
+          extras = Seq(sentinel(EventTime.minutesMs(240L)),
+            sentinel(EventTime.minutesMs(480L))), format = "avro")(df =>
+          EventStream.hourlyCountsExact(df.drop("ts_ms")))
+        .filter(col("event_type") =!= "__sentinel")
+        .withColumn("sum_value", col("sum_value").cast("double"))
+        .orderBy("hour", "event_type")
+    }),
     "transitions_stream" -> ((s, dir) => {
       // the online Markov-transition operator made driver-visible: the
       // real events table replayed through transitionsStream as
@@ -3722,6 +3775,21 @@ object SparkEntry {
     "hourly_stream" ->
       // exact-decimal windowed sums: bit-identical whatever order the
       // stream accumulated them in
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+        |       AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "distinct_stream" ->
+      // gates are provable TRUE: order-free HLL union ⇒ stream ≡
+      // batch sketch; per-window cardinalities sit in HLL's exact
+      // (sparse) regime, far inside the 5% bound
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS stream_eq_batch, TRUE AS rel_err_le_5pct
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "avro_stream" ->
+      // identical claim to hourly_stream, through the Avro source
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))

@@ -283,8 +283,10 @@ object EventStream {
   }
 
   /** Generic file-source replay harness: writes `input` as `chunks`
-    * half-open `orderCol`-range slices (one file per slice, named
-    * `slice-0000N.parquet` in slice order — the file source orders
+    * half-open `orderCol`-range slices (one file per slice in the given
+    * `format` — parquet by default, or any registered FileFormat, e.g.
+    * the custom splittable Avro source — named
+    * `slice-0000N.<format>` in slice order — the file source orders
     * pending files by (modification time, path), and the zero-padded
     * monotone names make the PATH tie-break resolve to slice order even
     * when a coarse-granularity filesystem hands several slices the same
@@ -307,7 +309,7 @@ object EventStream {
     */
   def fileReplay(input: DataFrame, orderCol: String, chunks: Int,
       extras: Seq[DataFrame] = Nil, requireRocksDB: Boolean = false,
-      statePartitions: Int = 8)
+      statePartitions: Int = 8, format: String = "parquet")
       (xform: DataFrame => Dataset[_]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val spark = input.sparkSession
@@ -326,13 +328,13 @@ object EventStream {
       // ordering needs. The write is a Spark job; only the rename is
       // driver-side metadata.
       val stage = s"$tmp/stage-$slice"
-      df.coalesce(1).write.parquet(stage)
+      df.coalesce(1).write.format(format).save(stage)
       val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
         .iterator.asScala
-        .find(_.getFileName.toString.matches("part-.*\\.parquet"))
+        .find(_.getFileName.toString.matches(s"part-.*\\.$format"))
         .getOrElse(sys.error(s"fileReplay: no part file under $stage"))
       java.nio.file.Files.move(part,
-        java.nio.file.Paths.get(src, f"slice-$slice%05d.parquet"))
+        java.nio.file.Paths.get(src, f"slice-$slice%05d.$format"))
       slice += 1
     }
     (0 until chunks).foreach { r =>
@@ -348,7 +350,7 @@ object EventStream {
     val stream = spark.readStream
       .schema(input.schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(src)
+      .format(format).load(src)
     // State-partition count is fixed per streaming query at start; the
     // replayed operators keep O(active keys) state, so a small count
     // keeps the per-micro-batch state-store open/commit cost
