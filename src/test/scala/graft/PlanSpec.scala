@@ -422,6 +422,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"documents scan must prune text/lang: $reads")
   }
 
+  test("assoc_rules: one basket-keyed exchange feeds both pair-join sides") {
+    val p = planNoAqe("assoc_rules")
+    assert(p.contains("ReusedExchange"),
+      s"the distinct (basket, item) exchange must be built once and reused:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the only cross join is the broadcast 1-row basket count:\n$p")
+    // pair join must be an EQUI join keyed on the basket, not all-pairs
+    // (the physical strategy — broadcast at tiny SF, shuffled at scale —
+    // is Catalyst's choice; the key is the invariant)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[__bk".r
+      .findFirstIn(p).isDefined,
+      s"expected a basket-keyed equi join:\n$p")
+  }
+
   test("driver contract: every query is oracle-gated, no exceptions") {
     // Round 5 closed the four formerly rows-only approximate queries
     // (t-digest, HLL, k-means cells, PQ codebooks) by emitting their
