@@ -1994,6 +1994,27 @@ object SparkEntry {
         .withColumn("sum_value", col("sum_value").cast("double"))
         .orderBy("hour", "event_type")
     }),
+    "cdc_stream" -> ((s, dir) => {
+      // the MERGE as a STREAM: the same changeset as cdc_apply arrives
+      // as three seq-ordered micro-batches (deletes, then updates,
+      // then inserts) and each batch MERGES into the stored snapshot
+      // via foreachBatch + applyChangeset — incremental application
+      // across batch boundaries must equal the one-shot batch merge
+      // (same oracle as cdc_apply), including the D-then-U
+      // resurrection of the %143 keys landing in DIFFERENT batches
+      val o = t(s, dir, "orders")
+      val del = o.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("__op", lit("D")).withColumn("__seq", lit(1L))
+      val upd = o.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 50)
+        .withColumn("__op", lit("U")).withColumn("__seq", lit(2L))
+      val ins = o.filter(col("o_orderkey") % 14 === 0)
+        .withColumn("__op", lit("I")).withColumn("__seq", lit(3L))
+      EventStream.changelogReplay(ordersOld(s, dir),
+          del.unionByName(upd).unionByName(ins), "__seq", chunks = 3,
+          Seq("o_orderkey"), "__op", "__seq")
+        .orderBy("o_orderkey")
+    }),
     "distinct_stream" -> ((s, dir) => {
       // the windowed distinct-user HLL sketch as a REAL stream: HLL
       // union is register-wise max (order-free), so the streamed
@@ -3780,6 +3801,19 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
         |       AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "cdc_stream" ->
+      // identical final image to cdc_apply: incremental foreachBatch
+      // merges ≡ the one-shot MERGE
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 14 = 0 THEN o_totalprice
+        |       WHEN o_orderkey % 13 = 0 THEN o_totalprice + 50
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey % 14 = 0
+        |   OR o_orderkey % 13 = 0
+        |   OR (o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0)
+        |ORDER BY o_orderkey""".stripMargin,
     "distinct_stream" ->
       // gates are provable TRUE: order-free HLL union ⇒ stream ≡
       // batch sketch; per-window cardinalities sit in HLL's exact

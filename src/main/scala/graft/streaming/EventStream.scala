@@ -396,6 +396,77 @@ object EventStream {
     out
   }
 
+  /** Streaming CDC apply: replays a Debezium-style changelog as
+    * `orderCol`-ordered micro-batches and MERGES each batch into a
+    * stored snapshot via `foreachBatch` +
+    * [[graft.ops.KeyDiff.applyChangeset]] — the lakehouse upsert
+    * pattern (read current version, merge the batch's latest change
+    * per key, write the next version; on real table formats the
+    * versioned rewrite is a MERGE INTO, the shape is identical). Merge
+    * order is guaranteed by the seq-ordered slices, and within a batch
+    * by applyChangeset's max_by(seq), so incremental application
+    * across any batch boundary equals the one-shot batch merge — the
+    * property the driver oracle pins. Everything data-sized stays
+    * distributed: slices, versions, and merges are Spark jobs; the
+    * driver tracks only a version counter. Scratch tree is pinned and
+    * deleted as in [[fileReplay]].
+    */
+  def changelogReplay(snapshot: DataFrame, changes: DataFrame,
+      orderCol: String, chunks: Int, keys: Seq[String],
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = snapshot.sparkSession
+    val mm = changes.agg(min(col(orderCol)).cast("long"),
+      max(col(orderCol)).cast("long"), count(lit(1))).head
+    require(mm.getLong(2) > 0L, "changelogReplay: empty changeset")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (hi - lo) / chunks + 1L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_")
+    val src = s"$tmp/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    (0 until chunks).foreach { r =>
+      val stage = s"$tmp/stage-$r"
+      changes.filter(col(orderCol) >= lo + r * width &&
+        col(orderCol) < lo + (r + 1) * width)
+        .coalesce(1).write.parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .iterator.asScala
+        .find(_.getFileName.toString.matches("part-.*\\.parquet"))
+        .getOrElse(sys.error(s"changelogReplay: no part file under $stage"))
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(src, f"slice-$r%05d.parquet"))
+    }
+    snapshot.write.parquet(s"$tmp/v0")
+    var version = 0
+    val q = spark.readStream.schema(changes.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cur = spark.read.parquet(s"$tmp/v$version")
+        graft.ops.KeyDiff
+          .applyChangeset(cur, batch, keys, opCol, seqCol)
+          .write.mode("overwrite").parquet(s"$tmp/v${version + 1}")
+        version += 1
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val consumed = q.recentProgress.map(_.numInputRows).sum
+      require(consumed == mm.getLong(2),
+        s"changelogReplay: micro-batches consumed $consumed rows, " +
+          s"expected ${mm.getLong(2)}")
+    } finally q.stop()
+    val out = spark.read.parquet(s"$tmp/v$version").localCheckpoint(true)
+    val walked = java.nio.file.Files.walk(tmp)
+    try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walked.close()
+    out
+  }
+
   /** Two-source file replay for STREAM-STREAM operators: both inputs
     * are sliced by the SAME global `orderCol` ranges (so slice r of A
     * and slice r of B cover one event-time band and the two watermarks

@@ -56,6 +56,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("changelogReplay: cross-batch delete-then-upsert resurrects the key") {
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a", "D", 1L), // batch 1: delete key 1
+      (1L, "a2", "U", 2L), // batch 2: re-upsert key 1 (must resurrect)
+      (3L, "c", "I", 2L)) // batch 2: insert new key
+      .toDF("k", "v", "__op", "__seq")
+    val out = EventStream.changelogReplay(snap, changes, "__seq",
+        chunks = 2, Seq("k"), "__op", "__seq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a2", 2L -> "b", 3L -> "c"),
+      s"incremental merges must equal the one-shot merge, got $out")
+  }
+
   test("fileReplay2: empty slice keeps sources aligned; join == batch; rows conserved") {
     import spark.implicits._
     def evs(rows: Seq[(Long, Long, String)]) = rows
