@@ -774,6 +774,37 @@ object SparkEntry {
           col("rank"))
         .orderBy("r_name", "rank", "n_name")
     }),
+    "trailing_7d" -> ((s, dir) =>
+      // RANGE-frame window (value-based, not row-based): 7-day trailing
+      // revenue — on a daily grain the integer epoch-day range frame is
+      // exactly the oracle's INTERVAL range frame; sums stay exact
+      // decimal inside the window, double on output; the window runs
+      // over the days-sized aggregate, never raw rows
+      t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
+          .as("__rev"))
+        .withColumn("__d", datediff(col("day"),
+          lit("1970-01-01").cast("date")).cast("long"))
+        .withColumn("trailing_7d",
+          sum(col("__rev")).over(Window.orderBy(col("__d"))
+            .rangeBetween(-6, 0)).cast("double"))
+        .select(col("day"), col("__rev").cast("double").as("day_rev"),
+          col("trailing_7d"))
+        .orderBy("day")),
+    "mom_change" -> ((s, dir) =>
+      // month-over-month growth: lag over the months-sized aggregate,
+      // exact-decimal sums, one IEEE division for the rate
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
+          .as("__rev"))
+        .withColumn("__prev",
+          lag(col("__rev"), 1).over(Window.orderBy(col("month"))))
+        .select(col("month"), col("__rev").cast("double").as("month_rev"),
+          round((col("__rev").cast("double") - col("__prev").cast("double"))
+            / col("__prev").cast("double"), 6).as("mom_pct"))
+        .orderBy("month")),
     "sql_part_stats" -> ((s, dir) => {
       Tables.names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(
@@ -2481,6 +2512,27 @@ object SparkEntry {
         |  CAST(rank() OVER (PARTITION BY r_name
         |    ORDER BY rev DESC, n_name) AS BIGINT) AS rank
         |FROM rev ORDER BY r_name, rank, n_name""".stripMargin,
+    "trailing_7d" ->
+      // the INTERVAL range frame ≡ the engine's epoch-day range frame
+      // on a daily grain
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT day, CAST(rev AS DOUBLE) AS day_rev,
+        |  CAST(sum(rev) OVER (ORDER BY day
+        |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS trailing_7d
+        |FROM d ORDER BY day""".stripMargin,
+    "mom_change" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+        |    sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT month, CAST(rev AS DOUBLE) AS month_rev,
+        |  round((CAST(rev AS DOUBLE)
+        |      - CAST(lag(rev, 1) OVER (ORDER BY month) AS DOUBLE))
+        |    / CAST(lag(rev, 1) OVER (ORDER BY month) AS DOUBLE), 6)
+        |    AS mom_pct
+        |FROM m ORDER BY month""".stripMargin,
     "sql_part_stats" ->
       """SELECT p_brand, p_type,
         |  CAST(count(*) AS BIGINT) AS n_parts,
