@@ -774,6 +774,35 @@ object SparkEntry {
           col("rank"))
         .orderBy("r_name", "rank", "n_name")
     }),
+    "gsets_mix" -> ((s, dir) => {
+      // GROUPING SETS with mixed arities + grouping flags — the
+      // generalized rollup the report layer compiles to; one pass,
+      // Catalyst expands the sets before the aggregate
+      Tables.names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+          |    AS DOUBLE) AS rev
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |  (l_returnflag), (l_linestatus), ())
+          |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)
+    }),
+    "unpivot_measures" -> ((s, dir) =>
+      // UNPIVOT (melt): wide measure columns to (measure, value) rows —
+      // stack() is a codegen'd generator at the scan, no shuffle before
+      // the output sort; the reshape every metrics store ingests
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("""stack(3,
+            'quantity', l_quantity,
+            'extendedprice', l_extendedprice,
+            'discount', l_discount) AS (measure, value)"""))
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
     "trailing_7d" -> ((s, dir) =>
       // RANGE-frame window (value-based, not row-based): 7-day trailing
       // revenue — on a daily grain the integer epoch-day range frame is
@@ -2512,6 +2541,27 @@ object SparkEntry {
         |  CAST(rank() OVER (PARTITION BY r_name
         |    ORDER BY rev DESC, n_name) AS BIGINT) AS rank
         |FROM rev ORDER BY r_name, rank, n_name""".stripMargin,
+    "gsets_mix" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS rev
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    "unpivot_measures" ->
+      // the UNION ALL spelling of the same melt
+      """WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0)
+        |SELECT l_orderkey, l_linenumber,
+        |  'quantity' AS measure, l_quantity AS value FROM f
+        |UNION ALL SELECT l_orderkey, l_linenumber,
+        |  'extendedprice', l_extendedprice FROM f
+        |UNION ALL SELECT l_orderkey, l_linenumber,
+        |  'discount', l_discount FROM f
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "trailing_7d" ->
       // the INTERVAL range frame ≡ the engine's epoch-day range frame
       // on a daily grain
