@@ -776,17 +776,30 @@ object SparkEntry {
     }),
     "gsets_mix" -> ((s, dir) => {
       // GROUPING SETS with mixed arities + grouping flags — the
-      // generalized rollup the report layer compiles to; one pass,
-      // Catalyst expands the sets before the aggregate
-      Tables.names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      // generalized rollup the report layer compiles to. The sets are
+      // all subsets of the finest one, so the scan-side pass is an
+      // ordinary partial-aggregable groupBy to (flag, status) — 9 rows
+      // — and Catalyst's Expand (×4 per row, the GROUPING SETS plan
+      // shape) runs over the GROUP-SIZED relation, not the raw rows.
+      // Expanding first would put 4× the table through the aggregate's
+      // map side (measured ~7× q1_agg on the same table; at 100 TB it
+      // is 4× the scan volume through Expand for identical answers) —
+      // exact decimal sums make the two plans bit-equal, so the cheap
+      // one is the right one. grouping() flags are computed over the
+      // pre-aggregate's group columns, same values by construction.
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("__n"),
+          sum(round(col("l_extendedprice"), 2).cast("decimal(18,2)"))
+            .as("__rev"))
+        .createOrReplaceTempView("__gsets_base")
       s.sql(
         """SELECT l_returnflag, l_linestatus,
           |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
           |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
-          |  CAST(count(*) AS BIGINT) AS n,
-          |  CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
-          |    AS DOUBLE) AS rev
-          |FROM lineitem
+          |  CAST(sum(__n) AS BIGINT) AS n,
+          |  CAST(sum(__rev) AS DOUBLE) AS rev
+          |FROM __gsets_base
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
           |  (l_returnflag), (l_linestatus), ())
           |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)
@@ -883,20 +896,29 @@ object SparkEntry {
       // types), and rolled up with per-group min/max content
       // fingerprints — md5(doc_id:text) pins byte-level text fidelity
       // through the JSON escape/unescape round trip, not just counts.
-      // Fixed per-sfDir scratch path overwritten per invocation (the
-      // keydiff_avro pattern — no temp-dir accretion across runs).
+      // Per-PROCESS unique scratch dir (createTempDirectory), pinned
+      // result, tree deleted before returning — the fileReplay
+      // pattern; a path derived only from the sf dir would race two
+      // concurrent verify/bench processes on the same scale factor
+      // (one could read the other's half-overwritten tree).
+      import scala.jdk.CollectionConverters._
       val docs = t(s, dir, "documents")
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_jsonl_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")).toString
-      docs.write.mode("overwrite").json(tmp)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_")
+      val data = s"$tmp/docs"
+      docs.write.json(data)
       val fp = md5(concat(col("doc_id").cast("string"), lit(":"),
         col("text")))
-      s.read.schema(docs.schema).json(tmp)
+      val out = s.read.schema(docs.schema).json(data)
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").as("sum_chars"),
           min(fp).as("min_fp"), max(fp).as("max_fp"))
-        .orderBy("source", "lang")
+        .localCheckpoint(true)
+      val walked = java.nio.file.Files.walk(tmp)
+      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walked.close()
+      out.orderBy("source", "lang")
     }),
     "asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")

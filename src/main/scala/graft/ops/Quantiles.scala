@@ -277,6 +277,22 @@ object Quantiles {
     * histogram side at runtime when it is small (asserted in PlanSpec);
     * a single-row group yields 0.0, matching SQL.
     *
+    * CARDINALITY PREMISE: the histogram reduction only pays off when
+    * the per-group DISTINCT-VALUE count is bounded (discrete scores:
+    * lengths, star ratings, integer counts). For a CONTINUOUS score
+    * whose values are mostly distinct the histogram is row-sized and
+    * the cumulative window degenerates to exactly the
+    * one-partition-per-group sort this form exists to avoid — route
+    * those through [[percentileNormalizeBinned]], which bounds the
+    * histogram by rounding first.
+    *
+    * Nulls: rows join back null-safely (`<=>`), so a null value is
+    * preserved in the output rather than silently dropped; its percent
+    * rank follows Spark's window null ordering (nulls FIRST ascending
+    * — SQL engines differ here, e.g. DuckDB orders nulls last), so
+    * null-valued rows rank 0.0-adjacent. Callers needing SQL-portable
+    * null ranks should filter or impute first.
+    *
     * Output: the input rows plus `<valueCol>_pct`.
     */
   def percentileNormalize(df: DataFrame, groupCol: String,
@@ -290,12 +306,38 @@ object Quantiles {
     val ranks = hist
       .withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
       .withColumn("__n", sum(col("__c")).over(totals))
-      .select(col(groupCol), col(valueCol),
+      .select(col(groupCol).as("__rg"), col(valueCol).as("__rv"),
         when(col("__n") === 1L, 0d)
           .otherwise(col("__below").cast("double") /
             (col("__n") - 1L).cast("double"))
           .as(s"${valueCol}_pct"))
-    df.join(ranks, Seq(groupCol, valueCol))
+    // Null-safe equality: groupBy collected null group/value rows into
+    // their own histogram cells, so `<=>` joins them back instead of
+    // dropping them (plain `=` is never true on null) — the output is
+    // row-preserving as documented.
+    df.join(ranks, col(groupCol) <=> col("__rg") &&
+        col(valueCol) <=> col("__rv"))
+      .drop("__rg", "__rv")
+  }
+
+  /** [[percentileNormalize]] for CONTINUOUS scores: rounds the value to
+    * `digits` decimals first, so the distinct-value histogram is bounded
+    * by the score's RANGE × 10^digits instead of the row count — a
+    * quality score in [0, 1] at 3 digits is ≤ 1001 histogram cells per
+    * group no matter how many rows. Rows keep their exact original
+    * value; only the rank lookup is binned: ties inside one bin share
+    * the bin's percent rank (max quantization error 10^−digits in value
+    * space — for a top-X% cut that is the bin straddling the threshold,
+    * the standard histogram-quantile trade).
+    *
+    * Output: the input rows plus `<valueCol>_pct` (the binned rank).
+    */
+  def percentileNormalizeBinned(df: DataFrame, groupCol: String,
+      valueCol: String, digits: Int = 3): DataFrame = {
+    val binned = df.withColumn("__bin", round(col(valueCol), digits))
+    percentileNormalize(binned, groupCol, "__bin")
+      .withColumnRenamed("__bin_pct", s"${valueCol}_pct")
+      .drop("__bin")
   }
 
   /** Equal-count strata over an integer-valued column (length deciles and

@@ -134,8 +134,12 @@ object Stats {
     * complementing [[graft.ops.TextAnalysis.sourceDrift]]'s vocabulary
     * KL with a scalar-feature drift.
     *
-    * The measure is bucketed by exact integer division (`div`, fixed
-    * `binWidth`), counted per (group, bin) in ONE map-side-combined
+    * The measure is bucketed by exact FLOOR division (fixed
+    * `binWidth`; `(v − pmod(v, w)) div w` — truncating `div` would
+    * collapse (−w, w) into one double-width bin 0 and disagree with
+    * SQL `//` floor semantics on signed measures; the pmod form stays
+    * in exact long arithmetic, no float division for any bigint
+    * value), counted per (group, bin) in ONE map-side-combined
     * aggregate over the data, and everything after runs on the
     * bins-sized cell relation with totals riding a broadcast back.
     * Laplace (+1) smoothing keeps every observed bin defined for both
@@ -155,7 +159,8 @@ object Stats {
     val cells = df
       .filter(col(groupCol).isin(groupA, groupB))
       .select(col(groupCol).as("__g"),
-        expr(s"CAST($valueCol AS BIGINT) div $binWidth").as("bin"))
+        expr(s"(CAST($valueCol AS BIGINT) - pmod(CAST($valueCol AS BIGINT), " +
+          s"$binWidth)) div $binWidth").as("bin"))
       .groupBy("bin")
       .agg(sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("c_a"),
         sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("c_b"))
@@ -215,9 +220,17 @@ object Stats {
   def linRegMoments(df: DataFrame, groupCols: Seq[String], xCol: String,
       yCol: String): DataFrame = {
     val g = groupCols.map(col)
-    val scaled = df.select(g ++ Seq(
-      round(col(xCol) * 100).cast("long").as("__x"),
-      round(col(yCol) * 100).cast("long").as("__y")): _*)
+    // Null-pair discipline: a null x or y must drop the WHOLE pair —
+    // count(*) with per-column null-skipping sums would silently skew
+    // slope/intercept/r² (n counts rows the moments never saw). OLS is
+    // defined over complete (x, y) observations; incomplete rows are
+    // excluded from every statistic, so n, Σx, Σy and the cross moments
+    // stay mutually consistent.
+    val scaled = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(g ++ Seq(
+        round(col(xCol) * 100).cast("long").as("__x"),
+        round(col(yCol) * 100).cast("long").as("__y")): _*)
     scaled.groupBy(g: _*).agg(
       count(lit(1)).as("__n"),
       max(greatest(abs(col("__x")), abs(col("__y")))).as("__maxabs"),
