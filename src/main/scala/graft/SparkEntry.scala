@@ -2077,24 +2077,37 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
     "cdc_stream" -> ((s, dir) => {
-      // the MERGE as a STREAM: the same changeset as cdc_apply arrives
-      // as three seq-ordered micro-batches (deletes, then updates,
-      // then inserts) and each batch MERGES into the stored snapshot
-      // via foreachBatch + applyChangeset — incremental application
-      // across batch boundaries must equal the one-shot batch merge
-      // (same oracle as cdc_apply), including the D-then-U
-      // resurrection of the %143 keys landing in DIFFERENT batches
+      // the MERGE as a STREAM: a KEY-LOCAL changeset (the realistic CDC
+      // shape — purges hit the oldest key range, corrections and
+      // inserts the newest) arrives as three seq-ordered micro-batches
+      // and each batch MERGES into a RANGE-BUCKETED stored snapshot via
+      // foreachBatch + applyChangeset. Because the snapshot is
+      // partitioned by o_orderkey range and each batch's keys span a
+      // fifth of the key space, every merge reads and rewrites ONLY the
+      // touched partitions (partition pruning + per-dir swap —
+      // O(touched), not O(table); see changelogReplay) — the property
+      // that makes per-batch cost track batch locality at 100 TB.
+      // Incremental application across batch boundaries must equal the
+      // one-shot merge; a U on a key absent from the snapshot upserts
+      // it, and the later I (seq 3) wins over the seq-2 U image by
+      // max_by(seq) — both corners the oracle pins.
       val o = t(s, dir, "orders")
-      val del = o.filter(col("o_orderkey") % 11 === 0)
+      val maxKey = o.agg(max("o_orderkey")).head.getLong(0)
+      val loK = maxKey / 5
+      val hiK = maxKey - loK
+      val k = col("o_orderkey")
+      val del = o.filter(k % 11 === 0 && k <= loK)
         .withColumn("__op", lit("D")).withColumn("__seq", lit(1L))
-      val upd = o.filter(col("o_orderkey") % 13 === 0)
+      val upd = o.filter(k % 13 === 0 && k > hiK)
         .withColumn("o_totalprice", col("o_totalprice") + 50)
         .withColumn("__op", lit("U")).withColumn("__seq", lit(2L))
-      val ins = o.filter(col("o_orderkey") % 14 === 0)
+      val ins = o.filter(k % 7 === 0 && k > hiK)
         .withColumn("__op", lit("I")).withColumn("__seq", lit(3L))
+      val width = maxKey / 16L + 1L
       EventStream.changelogReplay(ordersOld(s, dir),
           del.unionByName(upd).unionByName(ins), "__seq", chunks = 3,
-          Seq("o_orderkey"), "__op", "__seq")
+          Seq("o_orderkey"), "__op", "__seq",
+          bucketExpr = Some(expr(s"o_orderkey div ${width}L")))
         .orderBy("o_orderkey")
     }),
     "distinct_stream" -> ((s, dir) => {
@@ -3926,17 +3939,24 @@ object SparkEntry {
         |       AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "cdc_stream" ->
-      // identical final image to cdc_apply: incremental foreachBatch
-      // merges ≡ the one-shot MERGE
-      """SELECT o_orderkey, o_custkey, o_orderstatus,
-        |  CASE WHEN o_orderkey % 14 = 0 THEN o_totalprice
-        |       WHEN o_orderkey % 13 = 0 THEN o_totalprice + 50
-        |       ELSE o_totalprice END AS o_totalprice,
+      // the snapshot (keys %7<>0) after the localized changeset:
+      // old-range purge (%11 keys <= lo), recent corrections (+50 on
+      // %13 keys > hi, unless the seq-3 insert image of a %7 key
+      // overrode the seq-2 update), recent inserts (%7 keys > hi,
+      // original price). Incremental foreachBatch merges over touched
+      // partitions ≡ the one-shot MERGE.
+      """WITH b AS (SELECT max(o_orderkey) // 5 AS lo,
+        |  max(o_orderkey) - max(o_orderkey) // 5 AS hi FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey > b.hi AND o_orderkey % 13 = 0
+        |            AND o_orderkey % 7 <> 0
+        |       THEN o_totalprice + 50 ELSE o_totalprice
+        |  END AS o_totalprice,
         |  o_orderdate, o_orderpriority
-        |FROM orders
-        |WHERE o_orderkey % 14 = 0
-        |   OR o_orderkey % 13 = 0
-        |   OR (o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0)
+        |FROM orders, b
+        |WHERE (o_orderkey % 7 <> 0
+        |       AND NOT (o_orderkey <= b.lo AND o_orderkey % 11 = 0))
+        |   OR (o_orderkey % 7 = 0 AND o_orderkey > b.hi)
         |ORDER BY o_orderkey""".stripMargin,
     "distinct_stream" ->
       // gates are provable TRUE: order-free HLL union ⇒ stream ≡

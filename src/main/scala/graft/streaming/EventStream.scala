@@ -355,6 +355,12 @@ object EventStream {
     // replayed operators keep O(active keys) state, so a small count
     // keeps the per-micro-batch state-store open/commit cost
     // proportionate without changing any answer (restored below).
+    // Restored only AFTER awaitTermination: the state-partition count is
+    // latched from the session conf during the FIRST micro-batch's
+    // asynchronous planning, so restoring right after start() races it
+    // and the pin could silently not apply (answers unaffected — the
+    // count is a state-store sizing knob — but the replay would pay 32
+    // store commits per batch instead of statePartitions).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val q =
@@ -365,7 +371,10 @@ object EventStream {
         .outputMode(OutputMode.Append)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      catch { case e: Throwable =>
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        throw e
+      }
     try {
       q.awaitTermination()
       if (requireRocksDB) {
@@ -384,7 +393,10 @@ object EventStream {
       require(consumed == expectedRows,
         s"fileReplay: micro-batches consumed $consumed rows, " +
           s"expected $expectedRows — a slice was lost or rows went late")
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     // Pin the (result-sized) sink contents into the block manager, then
     // delete the whole replay scratch tree — otherwise every replay
     // leaks a full copy of its input + sink + checkpoint to /tmp.
@@ -396,24 +408,59 @@ object EventStream {
     out
   }
 
+  /** Per-batch cost accounting for [[changelogReplay]]: how many of the
+    * table's partitions the batch's merge touched (read + rewrote) and
+    * how many parquet data files the rewrite produced. The spec's
+    * O(touched partitions) claim is asserted on these — bytes/files
+    * written must scale with the batch's key spread, not the table.
+    */
+  final case class CdcBatchStats(touchedBuckets: Int, totalBuckets: Int,
+      filesWritten: Int)
+
   /** Streaming CDC apply: replays a Debezium-style changelog as
     * `orderCol`-ordered micro-batches and MERGES each batch into a
     * stored snapshot via `foreachBatch` +
     * [[graft.ops.KeyDiff.applyChangeset]] — the lakehouse upsert
-    * pattern (read current version, merge the batch's latest change
-    * per key, write the next version; on real table formats the
-    * versioned rewrite is a MERGE INTO, the shape is identical). Merge
-    * order is guaranteed by the seq-ordered slices, and within a batch
-    * by applyChangeset's max_by(seq), so incremental application
-    * across any batch boundary equals the one-shot batch merge — the
-    * property the driver oracle pins. Everything data-sized stays
-    * distributed: slices, versions, and merges are Spark jobs; the
-    * driver tracks only a version counter. Scratch tree is pinned and
-    * deleted as in [[fileReplay]].
+    * pattern. Merge order is guaranteed by the seq-ordered slices, and
+    * within a batch by applyChangeset's max_by(seq), so incremental
+    * application across any batch boundary equals the one-shot batch
+    * merge — the property the driver oracle pins.
+    *
+    * WRITE COST IS O(TOUCHED PARTITIONS), NOT O(TABLE): the snapshot
+    * is stored hash-bucketed on the merge key
+    * (`__bucket = pmod(hash(keys), buckets)`, a Hive-style partition
+    * column), each batch computes the DISTINCT buckets its changed
+    * keys land in (a changeset-sized aggregate, ≤ `buckets` scalars on
+    * the driver), reads ONLY those partitions back (partition pruning
+    * on the bucket dirs), merges, writes the merged partitions to a
+    * staging tree, and swaps exactly the touched partition directories
+    * into the table — untouched partitions are never read, never
+    * rewritten, never moved. A naive versioned rewrite pays a full
+    * table write per micro-batch (O(table) — the scale-killer at
+    * 100 TB where each batch touches a sliver); this is the
+    * `partitionOverwriteMode=dynamic` / MERGE INTO shape: per-batch
+    * cost tracks BATCH size. The swap itself is O(touched) driver-side
+    * directory renames — the same metadata-only commit a table
+    * format's manifest update performs. The merge is idempotent
+    * (keyed replace, not increment), so a replayed batch after a
+    * restart converges to the same table.
+    *
+    * A bucket whose rows are ALL deleted by a batch yields no staging
+    * dir but still has its table dir removed — stale rows cannot
+    * survive an empty merge result.
+    *
+    * Everything data-sized stays distributed: slices, partition reads,
+    * and merges are Spark jobs; the driver handles bucket id scalars
+    * and directory renames. Scratch tree is pinned and deleted as in
+    * [[fileReplay]]. Per-batch [[CdcBatchStats]] are appended to
+    * `statsOut` when provided (spec hook).
     */
   def changelogReplay(snapshot: DataFrame, changes: DataFrame,
       orderCol: String, chunks: Int, keys: Seq[String],
-      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+      opCol: String = "op", seqCol: String = "seq", buckets: Int = 16,
+      statsOut: Option[scala.collection.mutable.Buffer[CdcBatchStats]] = None,
+      bucketExpr: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     import scala.jdk.CollectionConverters._
     val spark = snapshot.sparkSession
     val mm = changes.agg(min(col(orderCol)).cast("long"),
@@ -436,17 +483,74 @@ object EventStream {
       java.nio.file.Files.move(part,
         java.nio.file.Paths.get(src, f"slice-$r%05d.parquet"))
     }
-    snapshot.write.parquet(s"$tmp/v0")
-    var version = 0
+    // Partitioning function: hash-of-key by default (uniform spread —
+    // right when any key is equally likely to change); callers whose
+    // changesets are KEY-LOCAL (CDC skews to recent keys in practice)
+    // pass a range/date expression instead so a batch's touched set is
+    // a few contiguous partitions rather than all of them. Ids may
+    // exceed `buckets` (e.g. inserts beyond the seeded range) — new
+    // partition dirs simply appear; `buckets` is only the default
+    // hash modulus and the stats denominator.
+    val bucketOf = bucketExpr
+      .getOrElse(pmod(hash(keys.map(col): _*), lit(buckets)))
+      .cast("long")
+    val table = s"$tmp/table"
+    snapshot.withColumn("__bucket", bucketOf)
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").parquet(table)
+    // Explicit read schema (data cols by name + the partition col):
+    // inference would fail on a table a batch legitimately emptied.
+    val readSchema = snapshot.schema
+      .add("__bucket", org.apache.spark.sql.types.LongType)
+    var batchNo = 0
     val q = spark.readStream.schema(changes.schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cur = spark.read.parquet(s"$tmp/v$version")
+        // Two actions consume the batch (bucket distinct + merge write):
+        // persist so the slice is read once per trigger — an unpersisted
+        // batch re-executes per action, re-reading the source (and
+        // double-counting numInputRows against row conservation).
+        batch.persist()
+        // Changed buckets: a changeset-sized distinct, few scalar ids.
+        val touched = batch.select(bucketOf.as("__b"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        // Read ONLY the touched partitions (pruned bucket dirs), merge
+        // the batch, stage the merged partitions (repartitioned by
+        // bucket so each partition dir lands as one file).
+        val cur = spark.read.schema(readSchema).parquet(table)
+          .filter(col("__bucket").isin(touched.map(java.lang.Long.valueOf): _*))
+          .drop("__bucket")
+        val staging = s"$tmp/merge-$batchNo"
         graft.ops.KeyDiff
           .applyChangeset(cur, batch, keys, opCol, seqCol)
-          .write.mode("overwrite").parquet(s"$tmp/v${version + 1}")
-        version += 1
+          .withColumn("__bucket", bucketOf)
+          .repartition(col("__bucket"))
+          .write.partitionBy("__bucket").parquet(staging)
+        // Swap touched partition dirs into the table — O(touched)
+        // metadata renames, the manifest-update analogue.
+        var files = 0
+        touched.foreach { b =>
+          val dst = java.nio.file.Paths.get(table, s"__bucket=$b")
+          if (java.nio.file.Files.exists(dst)) {
+            val w = java.nio.file.Files.walk(dst)
+            try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+            finally w.close()
+          }
+          val srcDir = java.nio.file.Paths.get(staging, s"__bucket=$b")
+          if (java.nio.file.Files.exists(srcDir)) {
+            val l = java.nio.file.Files.list(srcDir)
+            try files += l.iterator.asScala.count(
+              _.getFileName.toString.endsWith(".parquet"))
+            finally l.close()
+            java.nio.file.Files.move(srcDir, dst)
+          }
+        }
+        statsOut.foreach(_ +=
+          CdcBatchStats(touched.length, buckets, files))
+        batch.unpersist()
+        batchNo += 1
         ()
       }
       .option("checkpointLocation", s"$tmp/chk")
@@ -459,7 +563,8 @@ object EventStream {
         s"changelogReplay: micro-batches consumed $consumed rows, " +
           s"expected ${mm.getLong(2)}")
     } finally q.stop()
-    val out = spark.read.parquet(s"$tmp/v$version").localCheckpoint(true)
+    val out = spark.read.schema(readSchema).parquet(table)
+      .drop("__bucket").localCheckpoint(true)
     val walked = java.nio.file.Files.walk(tmp)
     try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
@@ -519,6 +624,8 @@ object EventStream {
     def stream(src: String, schema: org.apache.spark.sql.types.StructType) =
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
+    // Same restore-after-termination discipline as [[fileReplay]]: the
+    // first micro-batch's async planning latches the session conf.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val q =
@@ -529,14 +636,20 @@ object EventStream {
         .outputMode(OutputMode.Append)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      catch { case e: Throwable =>
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        throw e
+      }
     try {
       q.awaitTermination()
       val consumed = q.recentProgress.map(_.numInputRows).sum
       require(consumed == expectedRows,
         s"fileReplay2: micro-batches consumed $consumed rows, " +
           s"expected $expectedRows — a slice was lost or rows went late")
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     val out = spark.read.parquet(sink).localCheckpoint(true)
     val walked = java.nio.file.Files.walk(tmp)
     try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

@@ -71,6 +71,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"incremental merges must equal the one-shot merge, got $out")
   }
 
+  test("changelogReplay: per-batch write cost is O(touched partitions), not O(table)") {
+    import spark.implicits._
+    val snap = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v")
+    val changes = Seq(
+      (5L, "u5", "U", 1L), (6L, "u6", "U", 1L), // batch 1: 2 keys
+      (300L, "i300", "I", 2L), (10L, "x", "D", 2L)) // batch 2: 2 keys
+      .toDF("k", "v", "__op", "__seq")
+    val stats = scala.collection.mutable.Buffer.empty[EventStream.CdcBatchStats]
+    val out = EventStream.changelogReplay(snap, changes, "__seq",
+        chunks = 2, Seq("k"), "__op", "__seq", buckets = 16,
+        statsOut = Some(stats))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 200 && out(5L) == "u5" && out(6L) == "u6" &&
+      out(300L) == "i300" && !out.contains(10L),
+      "merged table must reflect exactly the applied changes")
+    assert(stats.size == 2, s"one stats row per micro-batch, got $stats")
+    stats.foreach { s =>
+      assert(s.totalBuckets == 16)
+      // each batch changes 2 keys → at most 2 of 16 partitions read or
+      // rewritten; a full-table rewrite would touch all 16
+      assert(s.touchedBuckets <= 2,
+        s"batch rewrote ${s.touchedBuckets}/16 partitions for 2 changed keys")
+      // files written bounded by touched partitions × shuffle width, not
+      // by the table's partition count
+      assert(s.filesWritten <= s.touchedBuckets * 4,
+        s"batch wrote ${s.filesWritten} files for ${s.touchedBuckets} partitions")
+    }
+  }
+
+  test("changelogReplay: a batch that empties the table leaves a readable empty table") {
+    import spark.implicits._
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((1L, "a", "D", 1L)).toDF("k", "v", "__op", "__seq")
+    val out = EventStream.changelogReplay(snap, changes, "__seq",
+      chunks = 1, Seq("k"), "__op", "__seq")
+    assert(out.count() == 0L,
+      "deleting the only key must yield an empty (not unreadable) table")
+  }
+
   test("fileReplay2: empty slice keeps sources aligned; join == batch; rows conserved") {
     import spark.implicits._
     def evs(rows: Seq[(Long, Long, String)]) = rows
