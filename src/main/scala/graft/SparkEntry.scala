@@ -2076,6 +2076,50 @@ object SparkEntry {
         .withColumn("sum_value", col("sum_value").cast("double"))
         .orderBy("hour", "event_type")
     }),
+    "hourly_stream_late" -> ((s, dir) => {
+      // OUT-OF-ORDER late data, driver-visible: the %97 slice of events
+      // is withheld and delivered as a micro-batch AFTER a sentinel has
+      // advanced the watermark past every real window — the dominant
+      // production streaming failure mode. The documented outcome is a
+      // hard DROP: the watermark filter discards the late batch before
+      // state, emitted windows never change, and the replay asserts the
+      // dropped count EXACTLY equals the withheld rows (plus row
+      // conservation: late rows are still admitted input). The oracle
+      // is the batch aggregate over ONLY the in-watermark rows.
+      import s.implicits._
+      val ev0 = t(s, dir, "events").select(col("event_id"), col("ts"),
+        col("event_type"), col("value"), EventTime.ms(col("ts")).as("ts_ms"))
+      val onTime = ev0.filter(col("event_id") % 97 =!= 0).drop("event_id")
+      val late = ev0.filter(col("event_id") % 97 === 0).drop("event_id")
+      val nLate = late.count()
+      // the drop metric counts post-partial-agg rows (see fileReplay),
+      // so the exact band is [distinct late (hour, type) cells, rows]
+      val nLateCells = late
+        .select(date_trunc("hour", col("ts")), col("event_type"))
+        .distinct().count()
+      val maxMs = onTime.agg(max("ts_ms")).head.getLong(0)
+      def sentinel(offsetMs: Long) =
+        Seq((new java.sql.Timestamp(maxMs + offsetMs), "__sentinel", 0.0,
+          maxMs + offsetMs)).toDF("ts", "event_type", "value", "ts_ms")
+      // batch order: slice0, slice1, sentinel(+240min) [advances the
+      // tracked max event time], spacer sentinel(+300min) [the watermark
+      // Spark FILTERS WITH during batch N is the one computed from
+      // batches ≤ N−2, one batch behind the tracked stats — measured
+      // here: without the spacer, a final-hour late row is admitted
+      // because the late batch still filters with the pre-sentinel
+      // watermark], LATE slice [watermark now past every real window →
+      // all dropped, counted exactly], sentinel(+480min) [flushes the
+      // sentinel windows; all sentinel rows filtered below]
+      EventStream.fileReplay(onTime, "ts_ms", chunks = 2,
+          extras = Seq(sentinel(EventTime.minutesMs(240L)),
+            sentinel(EventTime.minutesMs(300L)), late,
+            sentinel(EventTime.minutesMs(480L))),
+          expectLateDropped = Some((nLateCells, nLate)))(df =>
+          EventStream.hourlyCountsExact(df.drop("ts_ms")))
+        .filter(col("event_type") =!= "__sentinel")
+        .withColumn("sum_value", col("sum_value").cast("double"))
+        .orderBy("hour", "event_type")
+    }),
     "cdc_stream" -> ((s, dir) => {
       // the MERGE as a STREAM: a KEY-LOCAL changeset (the realistic CDC
       // shape — purges hit the oldest key range, corrections and
@@ -3938,6 +3982,16 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
         |       AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "hourly_stream_late" ->
+      // late rows (the %97 slice, delivered past the watermark) are
+      // DROPPED: the stream's answer is the batch aggregate over only
+      // the in-watermark rows — emitted windows never change
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+        |       AS DOUBLE) AS sum_value
+        |FROM events WHERE event_id % 97 <> 0
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "cdc_stream" ->
       // the snapshot (keys %7<>0) after the localized changeset:
       // old-range purge (%11 keys <= lo), recent corrections (+50 on

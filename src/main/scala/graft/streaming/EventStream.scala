@@ -299,6 +299,14 @@ object EventStream {
     * a slice, so a within-batch sort in the stateful operator
     * reproduces the batch total order exactly.
     *
+    * Late-data accounting is explicit: by default the harness asserts
+    * ZERO rows were dropped by the watermark (`expectLateDropped =
+    * Some(0)`) — in-order slices must never go late, and a violation is
+    * a harness bug, not noise. Callers deliberately replaying
+    * out-of-order slices pass the exact expected drop count; the
+    * dominant production streaming failure mode (late arrivals past the
+    * watermark) is then a gated, countable outcome.
+    *
     * Everything data-sized stays distributed — slice writes are Spark
     * jobs, the stream reads files, results land in parquet; the driver
     * handles only the min/max range scalars. The returned frame is
@@ -309,7 +317,8 @@ object EventStream {
     */
   def fileReplay(input: DataFrame, orderCol: String, chunks: Int,
       extras: Seq[DataFrame] = Nil, requireRocksDB: Boolean = false,
-      statePartitions: Int = 8, format: String = "parquet")
+      statePartitions: Int = 8, format: String = "parquet",
+      expectLateDropped: Option[(Long, Long)] = Some((0L, 0L)))
       (xform: DataFrame => Dataset[_]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val spark = input.sparkSession
@@ -392,7 +401,30 @@ object EventStream {
       val consumed = q.recentProgress.map(_.numInputRows).sum
       require(consumed == expectedRows,
         s"fileReplay: micro-batches consumed $consumed rows, " +
-          s"expected $expectedRows — a slice was lost or rows went late")
+          s"expected $expectedRows — a slice was lost (late rows still " +
+          "COUNT as consumed: admission precedes the watermark filter)")
+      // Late-data accounting: when the caller delivers rows it KNOWS
+      // arrive past the watermark, the drop must be visible and bounded
+      // — Σ numRowsDroppedByWatermark over the state operators counts
+      // what the watermark filter discarded before state. The filter
+      // sits AFTER the map-side partial aggregate, so for aggregations
+      // the metric counts partial rows: same-cell late rows colocated
+      // in one input partition merge before the filter. Hence the
+      // caller passes an inclusive (lo, hi) = (distinct late cells,
+      // raw late rows) band; the default (0, 0) makes every in-order
+      // replay assert NOTHING went late (a violation is a harness bug,
+      // not noise). The band proves the drop HAPPENED at the right
+      // magnitude; a late row admitted into state flips its window's
+      // aggregate against the oracle — the two gates together are
+      // tight.
+      expectLateDropped.foreach { case (lo, hiB) =>
+        val dropped = q.recentProgress.toSeq
+          .flatMap(_.stateOperators.toSeq)
+          .map(_.numRowsDroppedByWatermark).sum
+        require(dropped >= lo && dropped <= hiB,
+          s"fileReplay: watermark dropped $dropped rows, " +
+            s"expected within [$lo, $hiB]")
+      }
     } finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
