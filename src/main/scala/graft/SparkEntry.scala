@@ -2067,10 +2067,14 @@ object SparkEntry {
           maxMs + offsetMs)).toDF("ts", "event_type", "value", "ts_ms")
       // 2 data chunks: window state is O(open windows) and every commit
       // snapshots it, so fewer micro-batches cut replay cost while the
-      // execution stays genuinely incremental (4 batches total)
+      // execution stays genuinely incremental. ONE sentinel suffices:
+      // it advances the tracked max event time past every real window,
+      // and AvailableNow's closing no-data micro-batch evicts + emits
+      // with that watermark (eviction uses the CURRENT batch's
+      // watermark — only late-row filtering lags a batch), so a second
+      // flush sentinel would buy nothing but one more commit.
       EventStream.fileReplay(ev, "ts_ms", chunks = 2,
-          extras = Seq(sentinel(EventTime.minutesMs(240L)),
-            sentinel(EventTime.minutesMs(480L))))(df =>
+          extras = Seq(sentinel(EventTime.minutesMs(240L))))(df =>
           EventStream.hourlyCountsExact(df.drop("ts_ms")))
         .filter(col("event_type") =!= "__sentinel")
         .withColumn("sum_value", col("sum_value").cast("double"))
@@ -2108,12 +2112,12 @@ object SparkEntry {
       // here: without the spacer, a final-hour late row is admitted
       // because the late batch still filters with the pre-sentinel
       // watermark], LATE slice [watermark now past every real window →
-      // all dropped, counted exactly], sentinel(+480min) [flushes the
-      // sentinel windows; all sentinel rows filtered below]
+      // all dropped, counted exactly]; the closing no-data micro-batch
+      // evicts + emits the real windows (all sentinel rows filtered
+      // below)
       EventStream.fileReplay(onTime, "ts_ms", chunks = 2,
           extras = Seq(sentinel(EventTime.minutesMs(240L)),
-            sentinel(EventTime.minutesMs(300L)), late,
-            sentinel(EventTime.minutesMs(480L))),
+            sentinel(EventTime.minutesMs(300L)), late),
           expectLateDropped = Some((nLateCells, nLate)))(df =>
           EventStream.hourlyCountsExact(df.drop("ts_ms")))
         .filter(col("event_type") =!= "__sentinel")
@@ -2168,8 +2172,7 @@ object SparkEntry {
         Seq((new java.sql.Timestamp(maxMs + offsetMs), -1L, "__sentinel",
           maxMs + offsetMs)).toDF("ts", "user_id", "event_type", "ts_ms")
       val streamed = EventStream.fileReplay(ev, "ts_ms", chunks = 2,
-          extras = Seq(sentinel(EventTime.minutesMs(240L)),
-            sentinel(EventTime.minutesMs(480L))))(df =>
+          extras = Seq(sentinel(EventTime.minutesMs(240L))))(df =>
           EventStream.distinctUsersStream(df.drop("ts_ms")))
         .filter(col("event_type") =!= "__sentinel")
         .withColumnRenamed("approx_users", "streamed_est")
@@ -2200,8 +2203,8 @@ object SparkEntry {
         Seq((new java.sql.Timestamp(maxMs + offsetMs), "__sentinel", 0.0,
           maxMs + offsetMs)).toDF("ts", "event_type", "value", "ts_ms")
       EventStream.fileReplay(ev, "ts_ms", chunks = 2,
-          extras = Seq(sentinel(EventTime.minutesMs(240L)),
-            sentinel(EventTime.minutesMs(480L))), format = "avro")(df =>
+          extras = Seq(sentinel(EventTime.minutesMs(240L))),
+          format = "avro")(df =>
           EventStream.hourlyCountsExact(df.drop("ts_ms")))
         .filter(col("event_type") =!= "__sentinel")
         .withColumn("sum_value", col("sum_value").cast("double"))

@@ -265,13 +265,14 @@ object EventStream {
     val ev = events.select(col("user_id"),
       graft.ops.EventTime.ms(col("ts")).as("ts_ms"))
     val maxMs = ev.agg(max("ts_ms")).head.getLong(0)
-    // Sentinel advances the watermark past every real end+gap (first
-    // sentinel batch) and fires the resulting timeouts (second),
-    // flushing each user's final open session; filtered out below.
+    // ONE sentinel advances the watermark past every real end+gap;
+    // AvailableNow's closing no-data micro-batch then fires the
+    // resulting event-time timeouts (timeouts use the current batch's
+    // watermark), flushing each user's final open session — a second
+    // flush batch would only add a commit. Filtered out below.
     val flushMs = graft.ops.EventTime.minutesMs(gapMinutes + 60L)
     val sentinels = Seq(
-      Seq((-1L, maxMs + flushMs)).toDF("user_id", "ts_ms"),
-      Seq((-1L, maxMs + 2 * flushMs)).toDF("user_id", "ts_ms"))
+      Seq((-1L, maxMs + flushMs)).toDF("user_id", "ts_ms"))
     val sessions = fileReplay(ev, "ts_ms", chunks, sentinels,
       requireRocksDB)(df => sessionizeStream(df.as[SessionEvent], gapMinutes))
     val byUser = Window.partitionBy("user_id").orderBy("start_ms")
@@ -317,7 +318,7 @@ object EventStream {
     */
   def fileReplay(input: DataFrame, orderCol: String, chunks: Int,
       extras: Seq[DataFrame] = Nil, requireRocksDB: Boolean = false,
-      statePartitions: Int = 8, format: String = "parquet",
+      statePartitions: Int = 4, format: String = "parquet",
       expectLateDropped: Option[(Long, Long)] = Some((0L, 0L)))
       (xform: DataFrame => Dataset[_]): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -620,7 +621,7 @@ object EventStream {
     * are needed to flush results.
     */
   def fileReplay2(a: DataFrame, b: DataFrame, orderCol: String,
-      chunks: Int, statePartitions: Int = 8)
+      chunks: Int, statePartitions: Int = 4)
       (xform: (DataFrame, DataFrame) => Dataset[_]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val spark = a.sparkSession
