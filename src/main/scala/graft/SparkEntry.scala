@@ -1127,6 +1127,23 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("n_chars_pct").as("pct"))
         .orderBy("doc_id")),
+    "pct_norm_cont" -> ((s, dir) =>
+      // the CONTINUOUS-score path: events.value is mostly distinct, so
+      // the unbinned histogram would be row-sized — the degenerate case
+      // percentileNormalize's premise excludes. Binning first
+      // (floor(value*10) — floor on the shared IEEE product is
+      // bit-identical across engines, unlike decimal rounding of
+      // arbitrary doubles) bounds the histogram by the VALUE RANGE, and
+      // ranks are percent_rank over the bin with ties sharing the min
+      // rank — exact-long division, engine-identical
+      Quantiles.percentileNormalize(
+          t(s, dir, "events")
+            .select(col("event_id"), col("event_type"), col("value"))
+            .withColumn("__bin", floor(col("value") * 10).cast("long")),
+          "event_type", "__bin")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("__bin_pct").as("pct"))
+        .orderBy("event_id")),
     "quantiles_hist" -> ((s, dir) =>
       // the distinct-value-histogram exact form on a LOW-cardinality
       // measure (l_quantity: 50 distinct in 600k rows) — the shape where
@@ -2860,6 +2877,13 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars,
         |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pct
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pct_norm_cont" ->
+      // same floor(value*10) bin: floor of the shared IEEE product is
+      // bit-identical on both engines; percent_rank ties = bin ties
+      """SELECT event_id, event_type, value,
+        |  percent_rank() OVER (PARTITION BY event_type
+        |    ORDER BY CAST(floor(value * 10) AS BIGINT)) AS pct
+        |FROM events ORDER BY event_id""".stripMargin,
     "mix_quota" ->
       """WITH tl AS (SELECT doc_id, source,
         |  CAST(len(list_filter(regexp_split_to_array(text, ' +'),

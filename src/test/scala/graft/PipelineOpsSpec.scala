@@ -907,6 +907,40 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == 5L, "row-preserving")
   }
 
+  test("percentileNormalize: null group/value rows are preserved (null-safe join)") {
+    import spark.implicits._
+    val df = Seq((0L, Some("a"), Some(10L)), (1L, Some("a"), None),
+      (2L, None, Some(5L)), (3L, Some("a"), Some(20L)))
+      .toDF("doc_id", "src", "v")
+    val out = graft.ops.Quantiles.percentileNormalize(df, "src", "v")
+    assert(out.count() == 4L,
+      "null-valued and null-group rows must survive the rank join back")
+  }
+
+  test("percentileNormalizeBinned: mostly-distinct continuous scores, bounded histogram") {
+    import spark.implicits._
+    // 500 mostly-distinct doubles in [0, 1) — the continuous shape where
+    // the UNBINNED histogram is row-sized (the degenerate case the
+    // scaladoc warns about); at 2 digits the histogram is <= 101 cells
+    val rnd = new scala.util.Random(42)
+    val df = (0 until 500).map(i =>
+        (i.toLong, if (i % 2 == 0) "a" else "b", rnd.nextDouble()))
+      .toDF("doc_id", "src", "score")
+    val out = graft.ops.Quantiles
+      .percentileNormalizeBinned(df, "src", "score", digits = 2)
+    // oracle (same engine, so rounding semantics agree by construction):
+    // percent_rank over the ROUNDED value — binned ties share min rank
+    val expected = df.select(col("doc_id"),
+      percent_rank().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(round(col("score"), 2))).as("pct"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = out.select(col("doc_id"), col("score_pct"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expected)
+    assert(out.columns.contains("score") && out.count() == 500L,
+      "rows keep their exact original score; only the rank is binned")
+  }
+
   test("associationRules: hand-checked support/confidence/lift on tiny baskets") {
     import spark.implicits._
     // baskets: 1:{a,b} 2:{a,b} 3:{a,c} 4:{b} — n(a)=3 n(b)=3 n(c)=1,
