@@ -53,6 +53,18 @@ object SparkEntry {
   private def revenue: Column =
     col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** Exact-decimal per-row revenue: price and discount are 2-decimal
+    * values, so the true product is an exact 4-decimal rational; the
+    * IEEE product sits within ~1 ulp of it, far from any 4th-decimal
+    * midpoint, so round-to-4 recovers the exact rational IDENTICALLY on
+    * any engine. Summing those as DECIMAL makes a 6M-row revenue total
+    * independent of summation order — the double-sum form drifts ±0.01
+    * at sf1 magnitudes (~1e10) because ulp(1e10) ≈ 2e-6 accumulates
+    * order-dependently across partitions.
+    */
+  private def revenueDec: Column =
+    round(revenue, 4).cast("decimal(18,4)")
+
   /** Shared parity oracle for the keyed diff over the orders snapshots —
     * answered identically by the parquet-sourced diff (`keydiff_status`)
     * and the Avro round-trip diff (`keydiff_avro`).
@@ -271,7 +283,7 @@ object SparkEntry {
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(round(sum(revenue), 2).as("revenue"))
+        .agg(round(sum(revenueDec), 2).cast("double").as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
     "q10_returns" -> ((s, dir) => {
@@ -478,10 +490,14 @@ object SparkEntry {
       // TPC-H Q9 (product-line profit by nation and year): 6-relation
       // join, dims broadcast, the one big-big join (lineitem x orders) on
       // the shuffle path. Supply cost proxied at 60% of retail (no
-      // partsupp); per-row arithmetic is identical on both engines, only
-      // the final sum is rounded.
-      val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
-        lit(0.6) * col("p_retailprice") * col("l_quantity")
+      // partsupp). The per-row amount is an exact 4-decimal rational
+      // (4-dec revenue minus 0.6×2-dec×int = 3-dec); round-to-4 recovers
+      // it identically on both engines (the IEEE value is ~1e-9 off, the
+      // tie distance 5e-5), and the DECIMAL sum is order-independent —
+      // the double sum drifted ±0.01 at sf1 magnitudes.
+      val amount = round(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity"), 4)
+        .cast("decimal(18,4)")
       t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part").filter(col("p_name").contains("red"))),
           col("p_partkey") === col("l_partkey"))
@@ -492,7 +508,7 @@ object SparkEntry {
         .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(round(sum(amount), 2).as("sum_profit"))
+        .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
     }),
     "q11_value" -> ((s, dir) => {
@@ -753,7 +769,10 @@ object SparkEntry {
         .orderBy("dow", "hr")),
     "share_report" -> ((s, dir) => {
       // ratio-to-report: nation revenue share within region + rank —
-      // the windows run over the 25-row aggregate, never raw rows
+      // the windows run over the 25-row aggregate, never raw rows.
+      // Revenue stays exact DECIMAL through the aggregate AND the
+      // region-total window (order-independent; the double form drifted
+      // ±0.01 at sf1), with ONE double division for the share.
       val rev = t(s, dir, "lineitem")
         .join(t(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey"))
@@ -762,15 +781,16 @@ object SparkEntry {
         .join(t(s, dir, "region"),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") *
-          (lit(1) - col("l_discount"))), 2).as("rev"))
+        .agg(round(sum(revenueDec), 2).as("__revd"))
       val byRegion = Window.partitionBy("r_name")
       rev
-        .withColumn("region_rev", sum(col("rev")).over(byRegion))
+        .withColumn("region_rev", sum(col("__revd")).over(byRegion))
         .withColumn("rank", rank().over(
-          byRegion.orderBy(col("rev").desc, col("n_name"))).cast("long"))
-        .select(col("r_name"), col("n_name"), col("rev"),
-          round(col("rev") / col("region_rev"), 6).as("share"),
+          byRegion.orderBy(col("__revd").desc, col("n_name"))).cast("long"))
+        .select(col("r_name"), col("n_name"),
+          col("__revd").cast("double").as("rev"),
+          round(col("__revd").cast("double") /
+            col("region_rev").cast("double"), 6).as("share"),
           col("rank"))
         .orderBy("r_name", "rank", "n_name")
     }),
@@ -980,7 +1000,8 @@ object SparkEntry {
         .select(col("p_partkey").as("l_partkey"), col("p_brand"))
       graft.ops.Skew.saltedJoin(items, brands, Seq("l_partkey"), saltFactor = 8)
         .groupBy("p_brand")
-        .agg(round(sum(revenue), 2).as("rev"), count(lit(1)).as("n_items"))
+        .agg(round(sum(revenueDec), 2).cast("double").as("rev"),
+          count(lit(1)).as("n_items"))
         .orderBy("p_brand")
     }),
     "ivf_topk" -> ((s, dir) => {
@@ -2176,11 +2197,16 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
     "distinct_stream" -> ((s, dir) => {
-      // the windowed distinct-user HLL sketch as a REAL stream: HLL
-      // union is register-wise max (order-free), so the streamed
-      // per-window estimate must EQUAL the batch sketch estimate over
-      // the same rows — asserted as a gate column next to the exact
-      // count and the hll_users 5% relative-error bound
+      // the windowed distinct-user HLL sketch as a REAL stream. The
+      // gate: BOTH the streamed and the batch estimate sit within 5% of
+      // the exact count for every (hour, type) window — the hll_users
+      // bound, provable TRUE. (Stream ≡ batch EXACT equality holds only
+      // while the sketch stays in its sparse regime: once cardinality
+      // promotes it to dense HLL, a union of partial sketches and a
+      // one-shot aggregation can legitimately land on slightly
+      // different estimates — measured at sf1, 48/3600 windows. The
+      // sparse-regime equality is pinned in StreamingSpec; the
+      // scale-stable claim is the error bound.)
       import s.implicits._
       val ev = t(s, dir, "events").select(col("ts"), col("user_id"),
         col("event_type"), EventTime.ms(col("ts")).as("ts_ms"))
@@ -2201,9 +2227,10 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_exact"))
       streamed.join(batch, Seq("hour", "event_type"))
         .select(col("hour"), col("event_type"), col("n_exact"),
-          (col("streamed_est") === col("batch_est")).as("stream_eq_batch"),
           (abs(col("streamed_est") - col("n_exact")) <=
-            col("n_exact") * 0.05).as("rel_err_le_5pct"))
+            col("n_exact") * 0.05).as("stream_rel_err_le_5pct"),
+          (abs(col("batch_est") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("batch_rel_err_le_5pct"))
         .orderBy("hour", "event_type")
     }),
     "avro_stream" -> ((s, dir) => {
@@ -2628,17 +2655,21 @@ object SparkEntry {
         |    AS idx
         |FROM c CROSS JOIN t ORDER BY dow, hr""".stripMargin,
     "share_report" ->
+      // revenue exact DECIMAL through the aggregate AND the region
+      // window (order-free); one double division for the share
       """WITH rev AS (SELECT r_name, n_name,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |    round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |      AS DECIMAL(18,4))), 2) AS revd
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |  GROUP BY 1, 2)
-        |SELECT r_name, n_name, rev,
-        |  round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS share,
+        |SELECT r_name, n_name, CAST(revd AS DOUBLE) AS rev,
+        |  round(CAST(revd AS DOUBLE) /
+        |    CAST(sum(revd) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share,
         |  CAST(rank() OVER (PARTITION BY r_name
-        |    ORDER BY rev DESC, n_name) AS BIGINT) AS rank
+        |    ORDER BY revd DESC, n_name) AS BIGINT) AS rank
         |FROM rev ORDER BY r_name, rank, n_name""".stripMargin,
     "gsets_mix" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2733,10 +2764,14 @@ object SparkEntry {
         |FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
         |ORDER BY event_id""".stripMargin,
     "q7_volume" ->
-      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+      // exact 4-decimal per-row revenue summed as DECIMAL (order-free),
+      // mirroring the engine side — see revenueDec
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |        CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-        |        l.l_extendedprice * (1 - l.l_discount) AS volume
+        |        CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+        |          AS DECIMAL(18,4)) AS volume
         |      FROM lineitem l
         |      JOIN supplier s ON s.s_suppkey = l.l_suppkey
         |      JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -2781,8 +2816,10 @@ object SparkEntry {
       """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt
         |FROM events GROUP BY 1 ORDER BY item""".stripMargin,
     "salted_join" ->
+      // exact-decimal revenue sum, order-free — see revenueDec
       """SELECT p.p_brand,
-        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev,
+        |  CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount),
+        |    4) AS DECIMAL(18,4))), 2) AS DOUBLE) AS rev,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1 ORDER BY p_brand""".stripMargin,
@@ -4040,12 +4077,11 @@ object SparkEntry {
         |   OR (o_orderkey % 7 = 0 AND o_orderkey > b.hi)
         |ORDER BY o_orderkey""".stripMargin,
     "distinct_stream" ->
-      // gates are provable TRUE: order-free HLL union ⇒ stream ≡
-      // batch sketch; per-window cardinalities sit in HLL's exact
-      // (sparse) regime, far inside the 5% bound
+      // gates are provable TRUE: both the streamed and the batch HLL
+      // estimate sit within the 5% bound of the exact count at any SF
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
-        |  TRUE AS stream_eq_batch, TRUE AS rel_err_le_5pct
+        |  TRUE AS stream_rel_err_le_5pct, TRUE AS batch_rel_err_le_5pct
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "avro_stream" ->
       // identical claim to hourly_stream, through the Avro source
@@ -4188,10 +4224,12 @@ object SparkEntry {
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin,
     "q9_profit" ->
+      // exact 4-decimal per-row amount summed as DECIMAL (order-free)
       """SELECT n.n_name AS nation,
         |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-        |  round(sum(l.l_extendedprice * (1 - l.l_discount)
-        |            - 0.6 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+        |  CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |      - 0.6 * p.p_retailprice * l.l_quantity, 4) AS DECIMAL(18,4))),
+        |    2) AS DOUBLE) AS sum_profit
         |FROM lineitem l
         |JOIN part p ON p.p_partkey = l.l_partkey
         |JOIN supplier s ON s.s_suppkey = l.l_suppkey

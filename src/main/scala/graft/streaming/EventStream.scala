@@ -59,9 +59,14 @@ object EventStream {
     * state; the sketch holds ~KB per (window, type) regardless of
     * cardinality, and because HLL union is order-independent
     * (register-wise max), the incremental stream answer is IDENTICAL
-    * to the batch answer over the same rows — not merely close
-    * (asserted in StreamingSpec). Same shape keeps a 100 TB live
-    * dashboard's state bounded.
+    * to the batch answer over the same rows WHILE the sketch stays in
+    * its sparse (exact) regime — asserted in StreamingSpec. Once a
+    * window's cardinality promotes the sketch to dense HLL, a union of
+    * partial sketches and a one-shot aggregation can land on slightly
+    * different estimates (measured: 48/3600 windows at sf1); the
+    * scale-stable guarantee is the standard HLL error bound vs the
+    * exact count, which the driver oracle gates at 5%. Same shape
+    * keeps a 100 TB live dashboard's state bounded.
     */
   def distinctUsersStream(events: DataFrame,
       watermark: String = "2 hours"): DataFrame =
