@@ -166,6 +166,145 @@ object Quantiles {
     } finally { vals.unpersist(); () }
   }
 
+  /** Exact interpolated GROUPED quantiles by distributed selection — the
+    * grouped generalization of [[exactDistributed]], replacing [[exact]]'s
+    * per-group sequential window (parallelism = #groups: 3 groups over
+    * 6M rows ran 3 tasks, ~12 s at sf1) with fully parallel passes:
+    *
+    *   1. range-partition by (group, value) + sort WITHIN partitions —
+    *      a parallel total order per group across partition boundaries
+    *      (groups are contiguous runs inside each sorted partition);
+    *   2. one pass counts per-(partition, group) — P×G longs to the
+    *      driver, never data. Prefix sums locate each requested global
+    *      rank ⌊(n_g−1)p⌋/⌈(n_g−1)p⌉ as (partition, within-group local
+    *      index);
+    *   3. one selection pass walks each partition's sorted run and
+    *      extracts exactly the requested positions.
+    *
+    * Ties may split a (group, value) run across partitions; selection is
+    * positional, and equal values make any split irrelevant — the value
+    * at a global rank is well-defined. Interpolation is the same
+    * arithmetic as [[exact]] (v_lo·(1−f) + v_hi·f from the identical
+    * IEEE pos/frac), so the two forms are bit-equal and share oracles —
+    * pinned differentially in PipelineOpsSpec.
+    *
+    * PREMISE: the P×G count matrix and the G×|ps| result live on the
+    * driver — bounded by the group count, the same premise as any
+    * grouped-quantile report. Route huge-G shapes through
+    * [[exactHistogram]] (low-cardinality values) or approx_percentile.
+    * RDD + mapPartitionsWithIndex is deliberate (SURVEY §7 last-resort
+    * tier): positional selection inside a sorted run is per-partition
+    * imperative logic no Column expression states.
+    */
+  def exactSelect(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)], partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = df.sparkSession
+    val p0 = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val gcols = groupCols.map(col)
+    val sorted = df
+      .select(struct(gcols: _*).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull) // nulls ignored, as in exact()
+      .repartitionByRange(p0, col("__g"), col("__v"))
+      .sortWithinPartitions("__g", "__v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-(partition, group) counts — groups are contiguous
+      // runs inside the sorted partition, so one streaming fold suffices
+      val counts: Array[(Int, Row, Long)] =
+        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Row, Long)]
+          var cur: Row = null
+          var c = 0L
+          it.foreach { r =>
+            val g = r.getStruct(0)
+            if (cur == null || g != cur) {
+              if (cur != null) buf += ((pid, cur, c))
+              cur = g; c = 0L
+            }
+            c += 1
+          }
+          if (cur != null) buf += ((pid, cur, c))
+          buf.iterator
+        }.collect()
+      // driver-side rank → (partition, within-group local index)
+      val byGroup: Map[Row, Array[(Int, Long)]] = counts.groupBy(_._2)
+        .map { case (g, arr) => g -> arr.sortBy(_._1).map(a => (a._1, a._3)) }
+      val groupN: Map[Row, Long] =
+        byGroup.map { case (g, parts) => g -> parts.map(_._2).sum }
+      val wantedByPid =
+        scala.collection.mutable.Map.empty[Int,
+          scala.collection.mutable.ArrayBuffer[(Row, Long, Long)]]
+      byGroup.foreach { case (g, parts) =>
+        val n = groupN(g)
+        val ranks = ps.flatMap { case (_, p) =>
+          val pos = (n - 1).toDouble * p
+          Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+        }.distinct
+        ranks.foreach { r =>
+          var rem = r
+          var i = 0
+          while (rem >= parts(i)._2) { rem -= parts(i)._2; i += 1 }
+          wantedByPid.getOrElseUpdate(parts(i)._1,
+            scala.collection.mutable.ArrayBuffer.empty) += ((g, r, rem))
+        }
+      }
+      val bc = spark.sparkContext.broadcast(
+        wantedByPid.map { case (pid, a) =>
+          pid -> a.toArray.groupBy(_._1).map { case (g, ws) =>
+            g -> ws.map(w => (w._2, w._3)).sortBy(_._2)
+          }
+        }.toMap)
+      // pass 2: positional selection inside each sorted run
+      val found: Map[(Row, Long), Double] =
+        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          bc.value.get(pid) match {
+            case None => Iterator.empty
+            case Some(byG) =>
+              val out =
+                scala.collection.mutable.ArrayBuffer.empty[((Row, Long), Double)]
+              var cur: Row = null
+              var idx = 0L
+              var arr: Array[(Long, Long)] = null
+              var w = 0
+              it.foreach { r =>
+                val g = r.getStruct(0)
+                if (cur == null || g != cur) {
+                  cur = g; idx = 0L; w = 0
+                  arr = byG.getOrElse(g, null)
+                }
+                if (arr != null) {
+                  while (w < arr.length && arr(w)._2 == idx) {
+                    out += (((g, arr(w)._1), r.getDouble(1))); w += 1
+                  }
+                }
+                idx += 1
+              }
+              out.iterator
+          }
+        }.collect().toMap
+      val outRows = groupN.toSeq.map { case (g, n) =>
+        val qs = ps.map { case (_, p) =>
+          val pos = (n - 1).toDouble * p
+          val lo = math.floor(pos).toLong
+          val hi = math.ceil(pos).toLong
+          val frac = pos - lo.toDouble
+          // same interpolation arithmetic as exact(): v_lo·(1−f) + v_hi·f
+          if (lo == hi) found((g, lo))
+          else found((g, lo)) * (1.0 - frac) + found((g, hi)) * frac
+        }
+        Row.fromSeq(g.toSeq ++ qs)
+      }
+      val schema = StructType(df.select(gcols: _*).schema.fields ++
+        ps.map(p => StructField(p._1, DoubleType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(outRows, 1), schema)
+    } finally { sorted.unpersist(); () }
+  }
+
   def exactHistogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
     val gcols = groupCols.map(col)
@@ -207,18 +346,18 @@ object Quantiles {
     * the mean without dropping the row, unlike `outliers`-style
     * filtering).
     *
-    * Scale shape: the bounds come from [[exact]] (one sort-window pass,
-    * see the cardinality guidance above — swap in [[exactHistogram]]
-    * bounds for low-cardinality measures), yielding a GROUPS-sized
-    * frame that is broadcast back onto the data; the clip itself is a
-    * map-side `least/greatest`, so the data-sized side never shuffles.
+    * Scale shape: the bounds come from [[exactSelect]] (parallel
+    * distributed selection — swap in [[exactHistogram]] bounds for
+    * low-cardinality measures), yielding a GROUPS-sized frame that is
+    * broadcast back onto the data; the clip itself is a map-side
+    * `least/greatest`, so the data-sized side never shuffles.
     *
     * Output: input columns + `<valueCol>_w` (the clipped value).
     */
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
       pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad bounds ($pLo, $pHi)")
-    val bounds = exact(df, groupCols, valueCol,
+    val bounds = exactSelect(df, groupCols, valueCol,
       Seq("__lo" -> pLo, "__hi" -> pHi))
     df.join(broadcast(bounds), groupCols)
       .withColumn(s"${valueCol}_w",
@@ -233,8 +372,8 @@ object Quantiles {
     * 0.6745·(x − median)/MAD` (0.6745 = Φ⁻¹(3/4) rescales MAD to σ
     * under normality); rows with |robust_z| > k surface.
     *
-    * Two exact-median passes ([[exact]] — groups-sized results ride
-    * broadcasts back onto the row scan, nothing row-sized shuffles
+    * Two exact-median passes ([[exactSelect]] — groups-sized results
+    * ride broadcasts back onto the row scan, nothing row-sized shuffles
     * beyond the quantile machinery), then the gate is a map-side
     * filter. All arithmetic after the medians is single IEEE ops over
     * identical doubles — engine-reproducible, so the flagged SET is
@@ -245,10 +384,10 @@ object Quantiles {
     */
   def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Double = 3.5): DataFrame = {
-    val med = exact(df, groupCols, valueCol, Seq("__med" -> 0.5))
+    val med = exactSelect(df, groupCols, valueCol, Seq("__med" -> 0.5))
     val dev = df.join(broadcast(med), groupCols)
       .withColumn("__adev", abs(col(valueCol).cast("double") - col("__med")))
-    val mad = exact(dev, groupCols, "__adev", Seq("__mad" -> 0.5))
+    val mad = exactSelect(dev, groupCols, "__adev", Seq("__mad" -> 0.5))
     dev.join(broadcast(mad), groupCols)
       .filter(col("__mad") > 0d)
       .withColumn("robust_z",

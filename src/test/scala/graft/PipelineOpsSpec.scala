@@ -917,6 +917,30 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "null-valued and null-group rows must survive the rank join back")
   }
 
+  test("exactSelect == exact: grouped distributed selection, bit-equal quantiles") {
+    import spark.implicits._
+    // ties, skewed group sizes, a 1-row group, negative values — the
+    // shapes where positional selection vs window arithmetic could
+    // diverge; bit-equality required (same IEEE interpolation)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 2000).map { i =>
+      val g = if (i == 0) "solo" else s"g${i % 3}"
+      val v = if (i % 7 == 0) 42.0 else rnd.nextDouble() * 200 - 100
+      (g, v)
+    } :+ (("gnull", Double.NaN))
+    val df = rows.toDF("grp", "v")
+      .withColumn("v", when(col("grp") === "gnull", lit(null)).otherwise(col("v")))
+    val ps = Seq("p10" -> 0.1, "p50" -> 0.5, "p99" -> 0.99)
+    val a = graft.ops.Quantiles.exact(df, Seq("grp"), "v", ps)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val b = graft.ops.Quantiles.exactSelect(df, Seq("grp"), "v", ps)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(a.keySet == b.keySet, s"group sets differ: ${a.keySet} vs ${b.keySet}")
+    a.foreach { case (g, q) =>
+      assert(b(g) == q, s"group $g: exactSelect ${b(g)} != exact $q")
+    }
+  }
+
   test("percentileNormalizeBinned: mostly-distinct continuous scores, bounded histogram") {
     import spark.implicits._
     // 500 mostly-distinct doubles in [0, 1) — the continuous shape where

@@ -601,4 +601,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_min"),
       s"expected map-side partial_min on the span relation in:\n$p")
   }
+
+  test("gsets_mix: Expand runs over the pre-aggregate, not the raw scan") {
+    // GROUPING SETS compiles to Expand (×sets per input row). The sets
+    // are all subsets of the finest grouping, so the scale-correct plan
+    // aggregates to (flag, status) FIRST and expands the 9-row relation
+    // — Expand over the raw scan would put 4× the table through the
+    // aggregate's map side (measured ~7× q1_agg for identical answers).
+    // Pin: below the Expand there must be a completed hash aggregate
+    // (the pre-agg's final step), i.e. Expand's subtree contains
+    // HashAggregate, and the scan-side partial aggregate sits UNDER it.
+    // (string-order assert: the plan prints top-down, so everything
+    // after the Expand line is its subtree plus nothing above it)
+    val p = plan("gsets_mix")
+    val at = p.indexOf("Expand")
+    assert(at >= 0, s"no Expand in gsets_mix plan:\n$p")
+    val under = p.substring(at)
+    assert("HashAggregate".r.findAllIn(under).size >= 2,
+      s"Expand must sit ABOVE the finest-grain pre-aggregate " +
+        s"(partial+final HashAggregate below it), got:\n$under")
+    assert(under.contains("parquet"),
+      s"the raw scan must feed the pre-aggregate below Expand:\n$under")
+  }
 }
