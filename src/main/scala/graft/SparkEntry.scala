@@ -1669,6 +1669,16 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
         .orderBy("source")),
+    "temp_mix" -> ((s, dir) =>
+      // temperature-balanced source mixing (α = 1/2): budget split ∝
+      // sqrt(source token mass) — integer-sqrt weights, exact-integer
+      // normalizer, one IEEE division per source, md5 membership (see
+      // TextAnalysis.temperatureMixSample)
+      TextAnalysis.temperatureMixSample(t(s, dir, "documents"),
+          "doc_id", "text", "source", budgetTokens = 1200L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("source")),
     "domain_cap" -> ((s, dir) =>
       // RefinedWeb-style per-domain document cap: at most 40 docs kept
       // per source, chosen by the md5 permutation through the bounded
@@ -2936,6 +2946,28 @@ object SparkEntry {
         |  FROM tl JOIN tot USING (source)),
         |kept AS (SELECT * FROM r
         |  WHERE rate >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thr)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    "temp_mix" ->
+      // same integer-sqrt weights / exact normalizer / one-division
+      // rate; HUGEINT products mirror the engine's DECIMAL(38) exactly
+      """WITH tl AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(regexp_split_to_array(text, ' +'),
+        |    t -> t <> '')) AS BIGINT) n_tok
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tot
+        |  FROM tl GROUP BY 1),
+        |w AS (SELECT source, tot,
+        |  CAST(floor(sqrt(CAST(tot AS DOUBLE))) AS BIGINT) AS w FROM tot),
+        |norm AS (SELECT CAST(sum(w) AS BIGINT) AS sumw FROM w),
+        |r AS (SELECT tl.doc_id, tl.source, tl.n_tok,
+        |  CAST(CAST(1200 AS HUGEINT) * w.w AS DOUBLE)
+        |    / CAST(CAST(norm.sumw AS HUGEINT) * w.tot AS DOUBLE) AS rate
+        |  FROM tl JOIN w USING (source) CROSS JOIN norm),
+        |kept AS (SELECT * FROM r WHERE rate >= 1.0
+        |  OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |     < printf('%08x', CAST(floor(rate * 4294967296) AS BIGINT)))
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,

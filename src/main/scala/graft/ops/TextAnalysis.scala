@@ -173,6 +173,38 @@ object TextAnalysis {
       .drop("__tot")
   }
 
+  /** Temperature-balanced multi-source mixing (the XLM-R / mT5 / LLaMA
+    * data recipe): split a token budget across sources proportional to
+    * p_s^α so head sources stop drowning the tail, here at α = 1/2 in
+    * EXACT arithmetic — the per-source weight is the integer sqrt of
+    * its measured token total (IEEE-754 requires sqrt correctly
+    * rounded, so `floor(sqrt(·))` is engine-identical — unlike pow(),
+    * whose last ulp differs across libm implementations and could flip
+    * a threshold-boundary document), the normalizer is an exact
+    * integer sum, and each source's keep rate is ONE double division
+    * of two exact DECIMAL products. Membership is the same
+    * md5-permutation rule as [[tokenQuotaSample]]: per-row
+    * deterministic, monotone in the budget (raising it only ADDS
+    * docs). Everything source-sized rides broadcasts; the corpus never
+    * shuffles.
+    */
+  def temperatureMixSample(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, budgetTokens: Long): DataFrame = {
+    val tl = docs.select(col(idCol), col(srcCol),
+      size(tokens(col(textCol))).cast("long").as("n_tok"))
+    val tot = tl.groupBy(srcCol)
+      .agg(sum(col("n_tok")).as("__tot"))
+      .withColumn("__w", floor(sqrt(col("__tot").cast("double"))).cast("long"))
+    val norm = tot.agg(sum(col("__w")).as("__sumw"))
+    val rate = (lit(budgetTokens).cast("decimal(38,0)") * col("__w"))
+      .cast("double") /
+      (col("__sumw").cast("decimal(38,0)") * col("__tot")).cast("double")
+    val thr = lower(lpad(hex(floor(rate * lit(4294967296L)).cast("long")), 8, "0"))
+    tl.join(broadcast(tot), srcCol).crossJoin(broadcast(norm))
+      .filter(rate >= 1.0 || hashBucket(col(idCol)) < thr)
+      .drop("__tot", "__w", "__sumw")
+  }
+
   /** Out-of-vocabulary rate per document against the corpus top-`vocabSize`
     * vocabulary — the classic "does this doc look like the corpus" quality
     * gate (docs full of rare tokens are OCR noise, code dumps, or another

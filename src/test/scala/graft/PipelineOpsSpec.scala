@@ -1416,6 +1416,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept(100000L).size == 200, "quota above total keeps every doc")
   }
 
+  test("temperatureMixSample: budget-monotone, layout-invariant, tail share above proportional") {
+    import spark.implicits._
+    // head source ~9x the tail's token mass: 100 docs x 9 tokens vs 100 x 1
+    val df = (1L to 200L).map { i =>
+      val head = i <= 100
+      (i, ("w " * (if (head) 9 else 1)).trim, if (head) "head" else "tail")
+    }.toDF("doc_id", "text", "source")
+    def kept(d: org.apache.spark.sql.DataFrame, budget: Long): Set[Long] =
+      graft.ops.TextAnalysis.temperatureMixSample(d, "doc_id", "text", "source", budget)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    val small = kept(df, 200L)
+    val big = kept(df, 500L)
+    assert(small.subsetOf(big), "raising the budget must only ADD docs")
+    assert(small.nonEmpty && small.size < big.size)
+    assert(kept(df, 100000L).size == 200, "budget above total keeps every doc")
+    // membership is a pure function of (id, source totals), not layout
+    assert(small == kept(df.repartition(7, col("doc_id")), 200L))
+    // alpha = 1/2 flattens the mix: the tail's kept-token share must
+    // exceed its proportional share (1/10). tail w=10, head w=30 =>
+    // tail gets 1/4 of the budget instead of 1/10.
+    val keptRows = graft.ops.TextAnalysis
+      .temperatureMixSample(df, "doc_id", "text", "source", 400L)
+      .groupBy("source").agg(sum("n_tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("t")).toMap
+    val tailShare = keptRows.getOrElse("tail", 0L).toDouble /
+      (keptRows.values.sum max 1L)
+    assert(tailShare > 0.10, s"temperature mixing must lift the tail share, got $tailShare")
+  }
+
   test("MarkerCounts kernel == regexp length-diff formula on the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val padded = concat(lit(" "), col("text"), lit(" "))
