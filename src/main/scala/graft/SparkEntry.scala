@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, EventAnalytics, EventTime, FreqSketch, Fuzzy, Graph, KeyDiff, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Sharding, Similarity, Skew, Stats, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, EventAnalytics, EventTime, FreqSketch, Fuzzy, Graph, KeyDiff, Layout, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Sharding, Similarity, Skew, Stats, TextAnalysis, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -2395,6 +2395,35 @@ object SparkEntry {
       // groupBy-count, output bounded by violations
       DataTests.kAnonymity(t(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 12L)),
+    "l_diversity" -> ((s, dir) =>
+      // l-diversity release gate (the homogeneity-attack check k-anonymity
+      // misses): every quasi-identifier class must carry >= l distinct
+      // sensitive values — here the account-balance kilobucket. One
+      // two-phase partial-distinct aggregate, output bounded by classes.
+      DataTests.lDiversity(
+        t(s, dir, "customer").withColumn("bal_bucket",
+          floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_bucket", l = 10L)),
+    "zorder_skip" -> ((s, dir) => {
+      // Z-order layout vs single-column clustering, measured the way a
+      // parquet reader actually prunes: per-file min/max envelopes vs a
+      // 2-D box predicate. Coordinates are 8-bit price/quantity buckets;
+      // the z layout's files are the 16x16-cell Morton grid (top-4-bit
+      // interleave — what repartitionByRange(zValue) yields at scale),
+      // the linear layout clusters on price alone at the same file
+      // granularity. Map-only bit arithmetic + one mergeable groupBy per
+      // layout; the z layout must scan strictly fewer rows (spec-gated).
+      val li = t(s, dir, "lineitem")
+      val x = least(floor(col("l_extendedprice") / 500), lit(255)).cast("long")
+      val y = floor(col("l_quantity") * 5).cast("long")
+      val box = (64L, 95L, 100L, 149L)
+      val zs = Layout.skippingSummary(Layout.skippingStats(li,
+        Layout.zFile(x, y, bitsPerDim = 8, gridBits = 4), x, y,
+        box._1, box._2, box._3, box._4), "zorder")
+      val ls = Layout.skippingSummary(Layout.skippingStats(li,
+        x, x, y, box._1, box._2, box._3, box._4), "linear")
+      zs.unionByName(ls).orderBy("layout")
+    }),
     "shard_shuffle" -> ((s, dir) =>
       // deterministic corpus shuffle + sharding: md5-permutation key,
       // hex-prefix shard, rank-in-shard position — one shard-keyed
@@ -4760,6 +4789,67 @@ object SparkEntry {
       """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
         |FROM customer GROUP BY 1, 2 HAVING count(*) < 12
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "l_diversity" ->
+      // sensitive attribute = account-balance kilobucket; floor() keeps
+      // the negative-balance bucket at -1 on both engines
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |    AS BIGINT) AS n_sensitive
+        |FROM customer GROUP BY 1, 2
+        |HAVING count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 10
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "zorder_skip" ->
+      // identical Morton shift/mask chain as Layout.spreadBits16; masks
+      // in decimal (0x00FF00FF00FF00FF, 0x0F0F..., 0x3333..., 0x5555...)
+      """WITH pts AS (SELECT
+        |    least(CAST(floor(l_extendedprice / 500) AS BIGINT), 255) AS x,
+        |    CAST(floor(l_quantity * 5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s1 AS (SELECT x, y,
+        |    ((x | (x << 8)) & 71777214294589695) AS sx,
+        |    ((y | (y << 8)) & 71777214294589695) AS sy FROM pts),
+        |s2 AS (SELECT x, y,
+        |    ((sx | (sx << 4)) & 1085102592571150095) AS sx,
+        |    ((sy | (sy << 4)) & 1085102592571150095) AS sy FROM s1),
+        |s3 AS (SELECT x, y,
+        |    ((sx | (sx << 2)) & 3689348814741910323) AS sx,
+        |    ((sy | (sy << 2)) & 3689348814741910323) AS sy FROM s2),
+        |s4 AS (SELECT x, y,
+        |    ((sx | (sx << 1)) & 6148914691236517205) AS sx,
+        |    ((sy | (sy << 1)) & 6148914691236517205) AS sy FROM s3),
+        |f AS (SELECT x, y, ((sx | (sy << 1)) >> 8) AS zfile FROM s4),
+        |zstats AS (SELECT zfile, count(*) AS n,
+        |    min(x) AS min_x, max(x) AS max_x,
+        |    min(y) AS min_y, max(y) AS max_y,
+        |    sum(CASE WHEN x BETWEEN 64 AND 95 AND y BETWEEN 100 AND 149
+        |        THEN 1 ELSE 0 END) AS n_match
+        |  FROM f GROUP BY 1),
+        |lstats AS (SELECT x AS lfile, count(*) AS n,
+        |    min(x) AS min_x, max(x) AS max_x,
+        |    min(y) AS min_y, max(y) AS max_y,
+        |    sum(CASE WHEN x BETWEEN 64 AND 95 AND y BETWEEN 100 AND 149
+        |        THEN 1 ELSE 0 END) AS n_match
+        |  FROM f GROUP BY 1),
+        |zsum AS (SELECT 'zorder' AS layout,
+        |    CAST(count(*) AS BIGINT) AS files_total,
+        |    CAST(sum(CASE WHEN NOT (max_x < 64 OR min_x > 95
+        |      OR max_y < 100 OR min_y > 149) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS files_scanned,
+        |    CAST(sum(CASE WHEN NOT (max_x < 64 OR min_x > 95
+        |      OR max_y < 100 OR min_y > 149) THEN n ELSE 0 END) AS BIGINT)
+        |      AS rows_scanned,
+        |    CAST(sum(n_match) AS BIGINT) AS rows_matching FROM zstats),
+        |lsum AS (SELECT 'linear' AS layout,
+        |    CAST(count(*) AS BIGINT) AS files_total,
+        |    CAST(sum(CASE WHEN NOT (max_x < 64 OR min_x > 95
+        |      OR max_y < 100 OR min_y > 149) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS files_scanned,
+        |    CAST(sum(CASE WHEN NOT (max_x < 64 OR min_x > 95
+        |      OR max_y < 100 OR min_y > 149) THEN n ELSE 0 END) AS BIGINT)
+        |      AS rows_scanned,
+        |    CAST(sum(n_match) AS BIGINT) AS rows_matching FROM lstats)
+        |SELECT * FROM zsum UNION ALL SELECT * FROM lsum
+        |ORDER BY layout""".stripMargin,
     "shard_shuffle" ->
       """WITH ks AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
         |  FROM documents)

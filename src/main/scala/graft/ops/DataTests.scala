@@ -177,4 +177,27 @@ object DataTests {
       .filter(col("n") < k)
       .orderBy(quasiCols.map(col).toIndexedSeq: _*)
   }
+
+  /** l-diversity release gate (Machanavajjhala et al. 2007) — the
+    * follow-up to [[kAnonymity]]: a class of k identical quasi-identifier
+    * rows still leaks if all k share one sensitive value (the "homogeneity
+    * attack" k-anonymity cannot see). Each equivalence class must carry at
+    * least `l` DISTINCT sensitive values.
+    *
+    * One groupBy with an exact count-distinct — Spark plans it as the
+    * two-phase partial-distinct aggregate (dedup on (quasi, sensitive)
+    * map-side, then count), so no class's raw rows ever collect anywhere.
+    * Output: one row per violating class `(quasi…, n, n_sensitive)`,
+    * bounded by classes, ordered; empty ⇒ the release is l-diverse.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasiCols.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .filter(col("n_sensitive") < l)
+      .orderBy(quasiCols.map(col).toIndexedSeq: _*)
+  }
 }

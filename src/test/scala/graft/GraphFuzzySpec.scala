@@ -113,6 +113,75 @@ class GraphFuzzySpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 1L) // only the singleton violates k=2
   }
 
+  test("lDiversity flags homogeneous classes k-anonymity passes") {
+    import spark.implicits._
+    // class (US, A): 5 rows but ONE sensitive value — k-anonymous at
+    // k=3, yet a homogeneity attack reads the value off any member
+    val df = (Seq.fill(5)(("US", "A", "hiv")) ++
+      Seq(("US", "B", "flu"), ("US", "B", "none"), ("US", "B", "hiv")))
+      .toDF("country", "seg", "dx")
+    assert(graft.ops.DataTests.kAnonymity(df, Seq("country", "seg"), 3L)
+      .count() == 0L, "both classes have >= 3 rows")
+    val out = graft.ops.DataTests.lDiversity(df, Seq("country", "seg"), "dx", 2L)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("US", "A", 5L, 1L)),
+      "only the single-valued class violates l=2")
+  }
+
+  // --- Layout: Morton z-order + min/max data skipping ---------------------
+
+  test("zValue equals bit-by-bit Morton interleave over the full 16-bit grid corners") {
+    import spark.implicits._
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | ((x >> i & 1L) << (2 * i)) | ((y >> i & 1L) << (2 * i + 1))
+      }
+    val pts = (for {
+      x <- Seq(0L, 1L, 2L, 3L, 7L, 255L, 256L, 32767L, 65535L)
+      y <- Seq(0L, 1L, 2L, 5L, 100L, 254L, 65535L)
+    } yield (x, y)).toDF("x", "y")
+    val bad = pts.select(org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y"),
+        graft.ops.Layout.zValue(
+          org.apache.spark.sql.functions.col("x"),
+          org.apache.spark.sql.functions.col("y")).as("z"))
+      .collect().filter(r => r.getAs[Long]("z") !=
+        morton(r.getAs[Long]("x"), r.getAs[Long]("y")))
+    assert(bad.isEmpty, s"mask-spread chain diverged: ${bad.take(3).toSeq}")
+  }
+
+  test("skippingStats: matches appear ONLY in scanned files; z-order beats linear clustering") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic uniform 256x256 grid, one point per cell
+    val pts = (0L until 65536L).map(i => (i % 256L, i / 256L)).toDF("x", "y")
+    val (x0, x1, y0, y1) = (64L, 95L, 100L, 149L)
+    def audit(fileCol: org.apache.spark.sql.Column) =
+      graft.ops.Layout.skippingStats(pts, fileCol, col("x"), col("y"),
+        x0, x1, y0, y1)
+    val z = audit(graft.ops.Layout.zFile(col("x"), col("y"), 8, 4)).cache()
+    val lin = audit(col("x")).cache()
+    // min/max pruning is CORRECT: no matching row hides in a skipped file
+    for (s <- Seq(z, lin))
+      assert(s.filter(col("n_match") > 0 && !col("scanned")).count() == 0L,
+        "a matching row in a skipped file breaks pruning correctness")
+    def scanned(s: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = graft.ops.Layout.skippingSummary(s, "t").head()
+      (r.getAs[Long]("files_scanned"), r.getAs[Long]("rows_scanned"))
+    }
+    val (zf, zr) = scanned(z)
+    val (lf, lr) = scanned(lin)
+    // exact on the uniform grid: box covers x-cells 4..5, y-cells 6..9
+    assert((zf, zr) == (8L, 8L * 16 * 16), s"z grid scan was ($zf, $zr)")
+    assert((lf, lr) == (32L, 32L * 256), s"linear scan was ($lf, $lr)")
+    assert(zr < lr, "z-order must scan fewer rows for a 2-D box")
+    val match0 = z.agg(sum("n_match")).head().getLong(0)
+    assert(match0 == 32L * 50 &&
+      lin.agg(sum("n_match")).head().getLong(0) == match0,
+      "rows_matching is layout-invariant")
+  }
+
   test("shardShuffle: every row exactly once, pos dense per shard, deterministic") {
     import spark.implicits._
     val df = (1L to 500L).toDF("id")
