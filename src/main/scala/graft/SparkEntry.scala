@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, EventAnalytics, EventTime, FreqSketch, Fuzzy, Graph, KeyDiff, Layout, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Sharding, Similarity, Skew, Stats, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, Dsir, EventAnalytics, EventTime, Expectations, FreqSketch, Fuzzy, Graph, KeyDiff, Layout, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Sharding, Similarity, Skew, Stats, TextAnalysis, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -1993,6 +1993,17 @@ object SparkEntry {
           round(-avg(log2(col("prob"))), 4).as("cross_entropy"))
         .orderBy("doc_id")
     }),
+    "dsir_scores" -> ((s, dir) => {
+      // DSIR importance scoring (Xie et al. 2023): rank every raw doc by
+      // how much its hashed-bigram profile resembles the target domain
+      // (here the German slice) — mean log((p_b+1)/(P+m)) −
+      // log((q_b+1)/(Q+m)) over the doc's 256-bucket hashed bigrams.
+      // Model side is one m-row broadcast; the corpus streams map-side.
+      val docs = t(s, dir, "documents")
+      Dsir.dsirScores(docs, docs.filter(col("lang") === "de"),
+          "doc_id", "text", m = 256)
+        .orderBy("doc_id")
+    }),
     "dup_by_source" -> ((s, dir) =>
       // which ingest sources are duplicate-heavy: exact-hash distinct per
       // source rides Spark's two-level partial-distinct aggregate
@@ -2395,6 +2406,19 @@ object SparkEntry {
       // groupBy-count, output bounded by violations
       DataTests.kAnonymity(t(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 12L)),
+    "expectations" -> ((s, dir) =>
+      // dbt/Deequ-style declarative quality suite: six rules over
+      // orders, ALL compiled into ONE aggregate over ONE scan (row
+      // rules are conditional counts, uniqueness rides the same
+      // aggregate as n - count(distinct)) — #rules never multiplies
+      // the scan count
+      Expectations.check(t(s, dir, "orders"), Seq(
+        Expectations.NotNull("o_custkey"),
+        Expectations.AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+        Expectations.InRange("o_totalprice", 1.0, 500000.0),
+        Expectations.MatchesRegex("o_orderpriority", "^[1-5]-"),
+        Expectations.Unique("o_orderkey"),
+        Expectations.Unique("o_custkey")))),
     "l_diversity" -> ((s, dir) =>
       // l-diversity release gate (the homogeneity-attack check k-anonymity
       // misses): every quasi-identifier class must carry >= l distinct
@@ -4575,6 +4599,36 @@ object SparkEntry {
          |  round(-avg(log2(p.prob)), 4) AS cross_entropy
          |FROM pr JOIN p USING (pair)
          |GROUP BY pr.doc_id ORDER BY pr.doc_id""".stripMargin,
+    "dsir_scores" ->
+      // same 256-bucket md5 feature hash, add-one smoothing and
+      // textually-parallel float formula as Dsir.dsirScores
+      """WITH tk AS (SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(text, ' +'), t -> t <> '') toks
+        |  FROM documents),
+        |pr AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS pair
+        |  FROM tk WHERE len(toks) >= 2),
+        |pb AS (SELECT doc_id,
+        |    (('0x' || substr(md5(pair), 1, 8))::BIGINT % 256) AS b FROM pr),
+        |tpr AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS pair
+        |  FROM tk WHERE lang = 'de' AND len(toks) >= 2),
+        |tb AS (SELECT
+        |    (('0x' || substr(md5(pair), 1, 8))::BIGINT % 256) AS b FROM tpr),
+        |q AS (SELECT b, CAST(count(*) AS BIGINT) AS nq FROM pb GROUP BY 1),
+        |p AS (SELECT b, CAST(count(*) AS BIGINT) AS np FROM tb GROUP BY 1),
+        |qt AS (SELECT CAST(sum(nq) AS BIGINT) AS qtot FROM q),
+        |pt AS (SELECT CAST(sum(np) AS BIGINT) AS ptot FROM p),
+        |lr AS (SELECT q.b,
+        |    ln((CAST(coalesce(p.np, 0) AS DOUBLE) + 1.0)
+        |       / (CAST(pt.ptot AS DOUBLE) + 256.0))
+        |  - ln((CAST(q.nq AS DOUBLE) + 1.0)
+        |       / (CAST(qt.qtot AS DOUBLE) + 256.0)) AS lr
+        |  FROM q LEFT JOIN p USING (b) CROSS JOIN pt CROSS JOIN qt)
+        |SELECT pb.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(avg(lr), 4) + 0.0 AS dsir_score
+        |FROM pb JOIN lr USING (b)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dup_by_source" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
@@ -4789,6 +4843,39 @@ object SparkEntry {
       """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
         |FROM customer GROUP BY 1, 2 HAVING count(*) < 12
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "expectations" ->
+      // same one-aggregate evaluation; unique-with-nulls counts the null
+      // group as one more distinct key (n > count(col) detects any null)
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v0,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL
+        |    OR o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v1,
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 1.0
+        |    OR o_totalprice > 500000.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v2,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL
+        |    OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |  CAST(count(*) - count(DISTINCT o_orderkey)
+        |    - (CASE WHEN count(*) > count(o_orderkey) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v4,
+        |  CAST(count(*) - count(DISTINCT o_custkey)
+        |    - (CASE WHEN count(*) > count(o_custkey) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v5
+        |  FROM orders)
+        |SELECT rule, column_name, n AS n_rows, v AS n_violations,
+        |  v = 0 AS pass
+        |FROM (
+        |  SELECT 'not_null' AS rule, 'o_custkey' AS column_name,
+        |    n, v0 AS v FROM a
+        |  UNION ALL SELECT 'accepted_values', 'o_orderstatus', n, v1 FROM a
+        |  UNION ALL SELECT 'in_range', 'o_totalprice', n, v2 FROM a
+        |  UNION ALL SELECT 'matches_regex', 'o_orderpriority', n, v3 FROM a
+        |  UNION ALL SELECT 'unique', 'o_orderkey', n, v4 FROM a
+        |  UNION ALL SELECT 'unique', 'o_custkey', n, v5 FROM a)
+        |ORDER BY rule, column_name""".stripMargin,
     "l_diversity" ->
       // sensitive attribute = account-balance kilobucket; floor() keeps
       // the negative-balance bucket at -1 on both engines

@@ -129,6 +129,32 @@ class GraphFuzzySpec extends AnyFunSuite with BeforeAndAfterAll {
       "only the single-valued class violates l=2")
   }
 
+  test("Expectations: every rule's null discipline, one row per rule") {
+    import spark.implicits._
+    import graft.ops.Expectations._
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "F", 10.0), (2L, "O", 20.0), (2L, "X", -5.0),
+      (null, null, null), (null, "F", 999.0))
+      .toDF("k", "status", "price")
+    val out = check(df, Seq(
+      NotNull("k"), AcceptedValues("status", Seq("F", "O")),
+      InRange("price", 0.0, 100.0), MatchesRegex("status", "^[FO]$"),
+      Unique("k")))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("not_null") == 2L, "two null keys")
+    assert(out("accepted_values") == 2L, "one 'X' + one null status")
+    assert(out("in_range") == 3L, "-5, 999 and the null price all violate")
+    assert(out("matches_regex") == 2L, "'X' and null fail the regex")
+    // keys: 1, 2, 2, null, null -> distinct {1, 2, null-group} = 3; 5-3 = 2
+    assert(out("unique") == 2L,
+      "dup 2 and the second null each add one violation")
+    // all-clean suite passes every rule
+    val clean = check(Seq((1L, "F"), (2L, "O")).toDF("k", "status"),
+      Seq(NotNull("k"), Unique("k"), AcceptedValues("status", Seq("F", "O"))))
+    assert(clean.filter(!org.apache.spark.sql.functions.col("pass"))
+      .count() == 0L)
+  }
+
   // --- Layout: Morton z-order + min/max data skipping ---------------------
 
   test("zValue equals bit-by-bit Morton interleave over the full 16-bit grid corners") {

@@ -1416,6 +1416,36 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept(100000L).size == 200, "quota above total keeps every doc")
   }
 
+  test("dsirScores ranks target-domain docs above off-domain; layout-invariant; skips <2-token docs") {
+    import spark.implicits._
+    // two disjoint vocabularies: "code" domain vs "prose" domain
+    val code = Seq("def foo return baz import bar", "import bar def foo return baz",
+      "return baz import bar def foo", "def foo import bar return baz")
+    val prose = Seq("the cat sat on the mat", "a dog ran in the park",
+      "rain fell on the green hill", "the sun rose over the sea")
+    val raw = (code ++ prose).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .union(Seq((100L, "solo")).toDF("doc_id", "text")) // 1 token: no bigram
+    // repeated 100x so the target counts dominate the add-one smoothing
+    // mass (m = 4096 pseudo-counts): p_seen/p_unseen ~ 100, log-ratio ~4.6
+    val target = Seq.fill(100)(
+      Seq("def foo return baz", "import bar def foo")).flatten.toDF("text")
+    val out = graft.ops.Dsir.dsirScores(raw, target, "doc_id", "text", m = 4096)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("dsir_score")).toMap
+    assert(!out.contains(100L), "a doc without bigrams carries no evidence")
+    val codeScores = (0 until 4).map(i => out(i.toLong))
+    val proseScores = (4 until 8).map(i => out(i.toLong))
+    assert(codeScores.min > proseScores.max,
+      s"every code doc must outrank every prose doc: $codeScores vs $proseScores")
+    // deterministic in physical layout
+    val again = graft.ops.Dsir
+      .dsirScores(raw.repartition(7, col("doc_id")), target, "doc_id", "text", 4096)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("dsir_score")).toMap
+    assert(out == again)
+  }
+
   test("temperatureMixSample: budget-monotone, layout-invariant, tail share above proportional") {
     import spark.implicits._
     // head source ~9x the tail's token mass: 100 docs x 9 tokens vs 100 x 1
