@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, Dsir, EventAnalytics, EventTime, Expectations, FreqSketch, Fuzzy, Graph, KeyDiff, Layout, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Sharding, Similarity, Skew, Stats, TextAnalysis, VennDiff}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, Dsir, EventAnalytics, EventTime, Expectations, FreqSketch, Fuzzy, Graph, KeyDiff, Layout, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Sharding, Similarity, Skew, Stats, TextAnalysis, TimeSeries, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -753,6 +753,14 @@ object SparkEntry {
           |    AS DOUBLE) AS running_rev
           |FROM m ORDER BY month""".stripMargin)
     }),
+    "gap_fill" -> ((s, dir) =>
+      // regular-grid resampling (the time_bucket_gapfill surface): a
+      // complete hourly spine per event type, gaps filled by linear
+      // interpolation between observed neighbors; the fill windows run
+      // over the BUCKETED grid (wall-clock-bounded per group), never
+      // raw events
+      TimeSeries.gapFillHourly(t(s, dir, "events"),
+        "event_type", "ts", "value")),
     "seasonality" -> ((s, dir) =>
       // traffic seasonality profile: events per (day-of-week, hour)
       // with an index vs the uniform-cell expectation — one exact-count
@@ -2157,17 +2165,17 @@ object SparkEntry {
         col("event_type"), col("value"), EventTime.ms(col("ts")).as("ts_ms"))
       val onTime = ev0.filter(col("event_id") % 97 =!= 0).drop("event_id")
       val late = ev0.filter(col("event_id") % 97 === 0).drop("event_id")
-      val nLate = late.count()
       // the drop metric counts post-partial-agg rows (see fileReplay),
-      // so the exact band is [distinct late (hour, type) cells, rows]
-      val nLateCells = late
-        .select(date_trunc("hour", col("ts")), col("event_type"))
-        .distinct().count()
+      // so the exact band is [distinct late (hour, type) cells, rows] —
+      // both counts in ONE pass (multi-distinct rides the same aggregate)
+      val lateStats = late.agg(count(lit(1)),
+        countDistinct(date_trunc("hour", col("ts")), col("event_type"))).head
+      val (nLate, nLateCells) = (lateStats.getLong(0), lateStats.getLong(1))
       val maxMs = onTime.agg(max("ts_ms")).head.getLong(0)
       def sentinel(offsetMs: Long) =
         Seq((new java.sql.Timestamp(maxMs + offsetMs), "__sentinel", 0.0,
           maxMs + offsetMs)).toDF("ts", "event_type", "value", "ts_ms")
-      // batch order: slice0, slice1, sentinel(+240min) [advances the
+      // batch order: slice0, sentinel(+240min) [advances the
       // tracked max event time], spacer sentinel(+300min) [the watermark
       // Spark FILTERS WITH during batch N is the one computed from
       // batches ≤ N−2, one batch behind the tracked stats — measured
@@ -2176,8 +2184,10 @@ object SparkEntry {
       // watermark], LATE slice [watermark now past every real window →
       // all dropped, counted exactly]; the closing no-data micro-batch
       // evicts + emits the real windows (all sentinel rows filtered
-      // below)
-      EventStream.fileReplay(onTime, "ts_ms", chunks = 2,
+      // below). One on-time chunk suffices: the cross-batch
+      // window-merge proof lives in hourly_stream; THIS oracle proves
+      // the late-drop, which needs only the sentinel/spacer/late order.
+      EventStream.fileReplay(onTime, "ts_ms", chunks = 1,
           extras = Seq(sentinel(EventTime.minutesMs(240L)),
             sentinel(EventTime.minutesMs(300L)), late),
           expectLateDropped = Some((nLateCells, nLate)))(df =>
@@ -2708,6 +2718,53 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS running_rev
         |FROM m ORDER BY month""".stripMargin,
+    "gap_fill" ->
+      // same exact-cents pipeline: integer cent-sums + counts through
+      // the windows, ONE IEEE division at the end (no intermediate
+      // rounding anywhere — a float re-round splits engines on the
+      // .00005 halves a gap midpoint produces)
+      """WITH obs AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cs,
+        |    CAST(count(*) AS BIGINT) AS cn
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |sp AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+        |        FROM obs GROUP BY 1)),
+        |j AS (SELECT sp.event_type, sp.hour, obs.cs, obs.cn,
+        |    CAST(epoch_ms(sp.hour) / 3600000 AS BIGINT) AS h
+        |  FROM sp LEFT JOIN obs USING (event_type, hour)),
+        |f AS (SELECT *,
+        |    last_value(cs IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS pcs,
+        |    last_value(cn IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS pcn,
+        |    last_value(CASE WHEN cs IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    first_value(cs IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY hour ROWS BETWEEN CURRENT ROW AND
+        |      UNBOUNDED FOLLOWING) AS ncs,
+        |    first_value(cn IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY hour ROWS BETWEEN CURRENT ROW AND
+        |      UNBOUNDED FOLLOWING) AS ncn,
+        |    first_value(CASE WHEN cs IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j)
+        |SELECT event_type, hour,
+        |  CASE WHEN cs IS NOT NULL
+        |    THEN CAST(cs AS DOUBLE) / CAST(cn * 100 AS DOUBLE)
+        |    ELSE CAST(pcs * ncn * (nh - h) + ncs * pcn * (h - ph)
+        |           AS DOUBLE)
+        |      / CAST(pcn * ncn * (nh - ph) * 100 AS DOUBLE)
+        |  END AS value,
+        |  CASE WHEN cs IS NOT NULL THEN 'observed'
+        |    ELSE 'interpolated' END AS src
+        |FROM f ORDER BY event_type, hour""".stripMargin,
     "seasonality" ->
       // DuckDB dayofweek is 0-based Sunday; +1 matches Spark's 1-based
       """WITH c AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,

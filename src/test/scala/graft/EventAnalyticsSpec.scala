@@ -190,4 +190,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(ent(2L).contains(0.0)) // single token: 0 bits
     assert(ent(3L).isEmpty)       // empty doc: null, not a crash
   }
+
+  test("gapFillHourly: complete spine, exact lerp across a 3-hour gap, per-group isolation") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: observed 10:00 (mean 10.0) and 14:00 (mean 18.0);
+      // 11:00-13:00 are gaps -> lerp 12.0, 14.0, 16.0
+      ("a", ts("2024-03-01 10:05:00"), 8.0),
+      ("a", ts("2024-03-01 10:45:00"), 12.0),
+      ("a", ts("2024-03-01 14:30:00"), 18.0),
+      // group b: its own 2-hour span, must not bleed into a's spine
+      ("b", ts("2024-03-01 23:10:00"), 1.0),
+      ("b", ts("2024-03-02 01:50:00"), 4.0))
+      .toDF("g", "ts", "value")
+    val out = graft.ops.TimeSeries.gapFillHourly(df, "g", "ts", "value")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getDouble(2), r.getString(3)))
+    val a = out.filter(_._1 == "a")
+    assert(a.map(_._2).toSeq == (10 to 14).map(h => s"2024-03-01 $h:00:00.0"),
+      "spine must cover exactly first..last observed hour")
+    assert(a.map(_._3).toSeq == Seq(10.0, 12.0, 14.0, 16.0, 18.0))
+    assert(a.map(_._4).toSeq ==
+      Seq("observed", "interpolated", "interpolated", "interpolated",
+        "observed"))
+    val b = out.filter(_._1 == "b").map(t => (t._2, t._3, t._4))
+    assert(b.toSeq == Seq(
+      ("2024-03-01 23:00:00.0", 1.0, "observed"),
+      ("2024-03-02 00:00:00.0", 2.5, "interpolated"),
+      ("2024-03-02 01:00:00.0", 4.0, "observed")),
+      s"group b got $b")
+  }
 }

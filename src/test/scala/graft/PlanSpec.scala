@@ -623,4 +623,42 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(under.contains("parquet"),
       s"the raw scan must feed the pre-aggregate below Expand:\n$under")
   }
+
+  test("expectations: the whole rule suite is ONE scan (and no window)") {
+    // the op's contract: N rules never multiply the scan count — row
+    // rules are conditional counts and uniqueness is n - count(distinct)
+    // inside the SAME aggregate (multi-distinct Expand is fine; a second
+    // FileScan or a Window would mean a rule escaped the one-pass form)
+    val p = plan("expectations")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expectations must scan orders exactly once:\n$p")
+    assert(!p.contains("Window"), s"no window in the one-pass suite:\n$p")
+  }
+
+  test("zorder_skip: map-only z-values — no join, no window, two scans max") {
+    // the layout audit is per-file stats: Morton arithmetic must stay a
+    // Project over the scan feeding partial/final hash aggregates; a
+    // Window (global rank) or a join (spine) would not survive 100 TB
+    val p = plan("zorder_skip")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"zorder_skip must be projection + aggregation only:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      s"one scan per audited layout:\n$p")
+  }
+
+  test("gap_fill: fill windows run over the bucketed grid, not raw events") {
+    // every Window must sit ABOVE the hourly aggregate: the plan's
+    // last (deepest) scan feeds a HashAggregate before any Window line
+    // appears above it — i.e. below the first Window there is still a
+    // HashAggregate (the bucketing), and the window partitions by the
+    // group column so groups fill in parallel
+    val p = plan("gap_fill")
+    val firstWin = p.indexOf("Window")
+    assert(firstWin >= 0, s"expected fill windows in:\n$p")
+    val below = p.substring(firstWin)
+    assert(below.contains("HashAggregate"),
+      s"Window must consume the hourly aggregate, not raw events:\n$below")
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"fill windows must partition by the group column:\n$p")
+  }
 }
