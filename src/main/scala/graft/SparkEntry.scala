@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, Dsir, EventAnalytics, EventTime, Expectations, FreqSketch, Fuzzy, Graph, KeyDiff, Layout, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Sharding, Similarity, Skew, Stats, TextAnalysis, TimeSeries, VennDiff}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, Dsir, EventAnalytics, EventTime, Expectations, FreqSketch, Fuzzy, Graph, KeyDiff, Layout, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Sharding, Similarity, Linkage, Skew, Stats, TextAnalysis, TimeSeries, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -2416,6 +2416,28 @@ object SparkEntry {
       // groupBy-count, output bounded by violations
       DataTests.kAnonymity(t(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 12L)),
+    "fs_linkage" -> ((s, dir) => {
+      // Fellegi–Sunter probabilistic linkage over (nation, balance-
+      // kilobucket) blocks: per-field u from the data's collision
+      // probability, integer-microbel weights, exact pair scores —
+      // rolled up per nation (pairs, matches at >= 6 bels, exact score
+      // mass). The blocked self-join is the scale knob; u aggregates
+      // are value-histogram-sized broadcasts.
+      import graft.ops.Linkage.FsField
+      val c = t(s, dir, "customer")
+        .withColumn("bal_b", floor(col("c_acctbal") / 100).cast("long"))
+      Linkage.fsSelfLinkage(c, "c_custkey", Seq("c_nationkey", "bal_b"),
+          Seq(FsField("seg", col("c_mktsegment"), 0.9),
+            FsField("name2", substring(col("c_name"), -2, 2), 0.9),
+            FsField("cents", round(col("c_acctbal") * 100, 0).cast("long"),
+              0.95)))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("score_micro") >= 6000000L, 1L).otherwise(0L))
+            .as("n_match"),
+          sum(col("score_micro")).as("sum_score_micro"))
+        .orderBy("c_nationkey")
+    }),
     "expectations" -> ((s, dir) =>
       // dbt/Deequ-style declarative quality suite: six rules over
       // orders, ALL compiled into ONE aggregate over ONE scan (row
@@ -4900,6 +4922,53 @@ object SparkEntry {
       """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
         |FROM customer GROUP BY 1, 2 HAVING count(*) < 12
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "fs_linkage" ->
+      // identical u estimation (exact Σn²/n² then one division),
+      // identical (1.0 - m) spelled as the expression so both engines
+      // fold the same double, identical microbel rounding
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_b,
+        |    right(c_name, 2) AS name2,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |  FROM customer),
+        |hs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c
+        |       GROUP BY c_mktsegment),
+        |us AS (SELECT CAST(sum(n*n) AS DOUBLE)
+        |         / CAST(sum(n)*sum(n) AS DOUBLE) AS u FROM hs),
+        |hn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c
+        |       GROUP BY name2),
+        |un AS (SELECT CAST(sum(n*n) AS DOUBLE)
+        |         / CAST(sum(n)*sum(n) AS DOUBLE) AS u FROM hn),
+        |hc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c
+        |       GROUP BY cents),
+        |uc AS (SELECT CAST(sum(n*n) AS DOUBLE)
+        |         / CAST(sum(n)*sum(n) AS DOUBLE) AS u FROM hc),
+        |w AS (SELECT
+        |    CAST(round(log2(0.9 / us.u) * 1000000, 0) AS BIGINT) AS w1a,
+        |    CAST(round(log2((1.0 - 0.9) / (1.0 - us.u)) * 1000000, 0)
+        |      AS BIGINT) AS w1d,
+        |    CAST(round(log2(0.9 / un.u) * 1000000, 0) AS BIGINT) AS w2a,
+        |    CAST(round(log2((1.0 - 0.9) / (1.0 - un.u)) * 1000000, 0)
+        |      AS BIGINT) AS w2d,
+        |    CAST(round(log2(0.95 / uc.u) * 1000000, 0) AS BIGINT) AS w3a,
+        |    CAST(round(log2((1.0 - 0.95) / (1.0 - uc.u)) * 1000000, 0)
+        |      AS BIGINT) AS w3d
+        |  FROM us, un, uc),
+        |p AS (SELECT a.c_nationkey,
+        |    (CASE WHEN a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+        |       THEN w.w1a ELSE w.w1d END
+        |   + CASE WHEN a.name2 IS NOT DISTINCT FROM b.name2
+        |       THEN w.w2a ELSE w.w2d END
+        |   + CASE WHEN a.cents IS NOT DISTINCT FROM b.cents
+        |       THEN w.w3a ELSE w.w3d END) AS s
+        |  FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+        |    AND a.bal_b = b.bal_b AND a.c_custkey < b.c_custkey
+        |  CROSS JOIN w)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN s >= 6000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_match,
+        |  CAST(sum(s) AS BIGINT) AS sum_score_micro
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "expectations" ->
       // same one-aggregate evaluation; unique-with-nulls counts the null
       // group as one more distinct key (n > count(col) detects any null)

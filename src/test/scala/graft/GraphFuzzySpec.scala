@@ -129,6 +129,33 @@ class GraphFuzzySpec extends AnyFunSuite with BeforeAndAfterAll {
       "only the single-valued class violates l=2")
   }
 
+  test("fsSelfLinkage: planted duplicate outscores every random pair; blocking isolates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.ops.Linkage, graft.ops.Linkage.FsField
+    // 40 distinct people + ONE planted duplicate of id 1 (same name,
+    // same city, same phone) — all in two blocks by region
+    val people = ((1L to 40L).map(i =>
+      (i, i % 2, s"name$i", s"city${i % 7}", s"555-00$i")) :+
+      ((99L, 1L % 2, "name1", "city1", "555-001")))
+      .toDF("id", "region", "nm", "city", "phone")
+    val pairs = Linkage.fsSelfLinkage(people, "id", Seq("region"),
+      Seq(FsField("nm", col("nm"), 0.9), FsField("city", col("city"), 0.9),
+        FsField("phone", col("phone"), 0.95))).cache()
+    // pairs never cross blocks
+    val n = people.count()
+    assert(pairs.count() < n * (n - 1) / 2, "blocking must prune pairs")
+    val scored = pairs.collect().map(r => ((r.getAs[Long]("a_key"),
+      r.getAs[Long]("b_key")), r.getAs[Long]("score_micro"))).toMap
+    val planted = scored((1L, 99L))
+    val others = (scored - ((1L, 99L))).values
+    assert(planted > others.max,
+      s"the planted duplicate ($planted) must outscore all ${others.size} " +
+        s"random pairs (max ${others.max})")
+    assert(planted > 0 && others.max < 0,
+      "agreement weights positive, random pairs net-negative")
+  }
+
   test("Expectations: every rule's null discipline, one row per rule") {
     import spark.implicits._
     import graft.ops.Expectations._
