@@ -2416,6 +2416,12 @@ object SparkEntry {
       // groupBy-count, output bounded by violations
       DataTests.kAnonymity(t(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 12L)),
+    "benford_audit" -> ((s, dir) =>
+      // Benford first-digit screen on order totals (0.9k-550k spans
+      // three magnitudes): digit via exact integer/string ops, shares
+      // as one division, expected log10(1+1/d) rounded to 8 for
+      // bitwise engine agreement
+      DataTests.benfordAudit(t(s, dir, "orders"), "o_totalprice")),
     "fs_linkage" -> ((s, dir) => {
       // Fellegi–Sunter probabilistic linkage over (nation, balance-
       // kilobucket) blocks: per-field u from the data's collision
@@ -2748,8 +2754,9 @@ object SparkEntry {
       """WITH obs AS (SELECT event_type, date_trunc('hour', ts) AS hour,
         |    CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) * 100
         |      AS BIGINT) AS cs,
-        |    CAST(count(*) AS BIGINT) AS cn
-        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |    CAST(count(value) AS BIGINT) AS cn
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |  HAVING count(value) > 0),
         |sp AS (SELECT event_type,
         |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
         |  FROM (SELECT event_type, min(hour) AS h0, max(hour) AS h1
@@ -4922,6 +4929,19 @@ object SparkEntry {
       """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
         |FROM customer GROUP BY 1, 2 HAVING count(*) < 12
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "benford_audit" ->
+      """WITH c AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT digit, n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 8) AS benford_p,
+        |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    - round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 8), 8)
+        |    AS dev
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
     "fs_linkage" ->
       // identical u estimation (exact Σn²/n² then one division),
       // identical (1.0 - m) spelled as the expression so both engines

@@ -190,6 +190,33 @@ object DataTests {
     * Output: one row per violating class `(quasi…, n, n_sensitive)`,
     * bounded by classes, ordered; empty ⇒ the release is l-diverse.
     */
+  /** Benford's-law first-digit audit — the classic fabricated-data /
+    * fraud screen for magnitude-spanning positive measures (amounts,
+    * populations, file sizes): natural multiplicative data puts digit d
+    * first with probability log10(1 + 1/d); uniform-ish fabrication
+    * shows up as a flat profile. One exact groupBy over the digit
+    * (extracted via integer/string ops — no float log in the digit
+    * path), shares as one division of exact counts, expected
+    * probabilities rounded to 8 so both engines' libm agree bitwise.
+    * Output: `(digit, n, share, benford_p, dev)`, 9 rows.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digit = substring(
+      floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+    df.filter(col(valueCol) >= 1.0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("__tot").cast("double"))
+          .as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 8)
+          .as("benford_p"))
+      .withColumn("dev", round(col("share") - col("benford_p"), 8))
+      .orderBy("digit")
+  }
+
   def lDiversity(df: DataFrame, quasiCols: Seq[String],
       sensitiveCol: String, l: Long): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")

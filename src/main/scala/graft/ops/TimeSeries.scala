@@ -41,7 +41,11 @@ object TimeSeries {
       .groupBy(col(groupCol), date_trunc("hour", col(tsCol)).as("hour"))
       .agg((sum(round(col(valueCol), 2).cast("decimal(18,2)")) * 100)
           .cast("long").as("cs"),   // exact integer cent-sum
-        count(lit(1)).as("cn"))
+        // count NON-NULL values so the mean matches avg() semantics —
+        // count(*) would dilute hours containing null measurements; an
+        // all-null hour gets cs = null ∧ cn = 0 and fills as a gap
+        count(col(valueCol)).as("cn"))
+      .filter(col("cn") > 0) // keeps the spine-endpoints-observed invariant
     val spine = obs.groupBy(col(groupCol))
       .agg(min(col("hour")).as("__h0"), max(col("hour")).as("__h1"))
       .select(col(groupCol),

@@ -220,4 +220,21 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("2024-03-02 01:00:00.0", 4.0, "observed")),
       s"group b got $b")
   }
+
+  test("gapFillHourly: null measurements don't dilute means; an all-null hour fills as a gap") {
+    import spark.implicits._
+    val df = Seq[(String, Timestamp, java.lang.Double)](
+      ("g", ts("2024-03-01 10:10:00"), 10.0),
+      ("g", ts("2024-03-01 10:20:00"), null), // must not drag the mean
+      ("g", ts("2024-03-01 11:30:00"), null), // all-null hour => gap
+      ("g", ts("2024-03-01 12:15:00"), 30.0))
+      .toDF("g", "ts", "value")
+    val out = graft.ops.TimeSeries.gapFillHourly(df, "g", "ts", "value")
+      .collect().map(r => (r.getTimestamp(1).toString, r.getDouble(2),
+        r.getString(3))).toSeq
+    assert(out == Seq(
+      ("2024-03-01 10:00:00.0", 10.0, "observed"),
+      ("2024-03-01 11:00:00.0", 20.0, "interpolated"),
+      ("2024-03-01 12:00:00.0", 30.0, "observed")), s"got $out")
+  }
 }

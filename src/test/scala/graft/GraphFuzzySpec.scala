@@ -129,6 +129,24 @@ class GraphFuzzySpec extends AnyFunSuite with BeforeAndAfterAll {
       "only the single-valued class violates l=2")
   }
 
+  test("benfordAudit: exact digit extraction, shares sum to 1, sub-unit rows excluded") {
+    import spark.implicits._
+    // 1..9 once each (uniform digits) + magnitude variety + a 0.5 row
+    // that must be excluded (no first significant digit path for <1)
+    val vals = (1 to 9).map(_.toDouble) ++ Seq(1234.56, 20.0, 0.5)
+    val out = graft.ops.DataTests.benfordAudit(vals.toDF("v"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet == (1 to 9).map(_.toString).toSet)
+    assert(out("1")._1 == 2L, "1 and 1234.56 only: 0.5 excluded")
+    assert(out("2")._1 == 2L && out("9")._1 == 1L)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12,
+      "shares must sum to 1")
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-7,
+      "Benford probabilities sum to 1")
+    assert(out("1")._3 > out("9")._3, "log10(2) > log10(10/9)")
+  }
+
   test("fsSelfLinkage: planted duplicate outscores every random pair; blocking isolates") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
