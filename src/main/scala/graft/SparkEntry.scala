@@ -2416,6 +2416,30 @@ object SparkEntry {
       // groupBy-count, output bounded by violations
       DataTests.kAnonymity(t(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 12L)),
+    "gini_conc" -> ((s, dir) => {
+      // revenue-concentration audit: exact Gini of order totals.
+      // G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over the value-sorted
+      // ranks — ranks come from Ranking.globalRank (range-partition +
+      // prefix offsets, the TeraSort composition; a global row_number
+      // window would sort 100 TB on one reducer), sums stay exact
+      // DECIMAL(38,0) cents, ONE IEEE division at the end. Tie order
+      // cannot change G (a run of equal values has a fixed rank-sum),
+      // the unique tiebreaker just makes ranks deterministic.
+      val v = t(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull)
+        .select(round(col("o_totalprice") * 100, 0).cast("long").as("c"),
+          col("o_orderkey"))
+      Ranking.globalRank(v, "c", "o_orderkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c")).cast("decimal(38,0)").as("__t"),
+          sum(col("rank").cast("decimal(38,0)") * col("c")).as("__s"))
+        .select(col("n"),
+          ((lit(2).cast("decimal(38,0)") * col("__s") -
+            (col("n") + 1).cast("decimal(38,0)") * col("__t"))
+             .cast("double") /
+           (col("n").cast("decimal(38,0)") * col("__t")).cast("double"))
+            .as("gini"))
+    }),
     "benford_audit" -> ((s, dir) =>
       // Benford first-digit screen on order totals (0.9k-550k spans
       // three magnitudes): digit via exact integer/string ops, shares
@@ -4929,6 +4953,22 @@ object SparkEntry {
       """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
         |FROM customer GROUP BY 1, 2 HAVING count(*) < 12
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "gini_conc" ->
+      // exact integer cents/ranks to HUGEINT, identical one-division
+      // closed form; tie order can't change the rank-sum of equal runs
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |    AS c, o_orderkey
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |r AS (SELECT c,
+        |    row_number() OVER (ORDER BY c, o_orderkey) AS rk FROM v),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS t,
+        |    CAST(sum(CAST(rk AS HUGEINT) * CAST(c AS HUGEINT)) AS HUGEINT)
+        |      AS s FROM r)
+        |SELECT n,
+        |  CAST(2 * s - (CAST(n AS HUGEINT) + 1) * t AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * t AS DOUBLE) AS gini
+        |FROM a""".stripMargin,
     "benford_audit" ->
       """WITH c AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
         |      AS VARCHAR), 1, 1) AS digit,

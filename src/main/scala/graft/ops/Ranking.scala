@@ -41,4 +41,65 @@ object Ranking {
         col("__sp.payload").as(idCol),
         col("__sp.score").as(scoreName))): _*)
   }
+
+  /** GLOBAL dense position 1..n under the total order
+    * `(valueCol, idCol)` — the TeraSort composition that replaces the
+    * unscalable `row_number() OVER (ORDER BY …)` (one reducer sorts
+    * everything): split the key space into P ranges, count each range
+    * once (a P-row driver collect — partition METADATA, the
+    * bounded-collect pattern), broadcast the prefix offsets back, and
+    * number locally within ranges. Each range sorts only its own
+    * slice; nothing global ever materializes on one node.
+    *
+    * The range boundaries are EXPLICIT data-derived splitters (the
+    * md5-ordered bounded sample, same draw as
+    * [[Dedup.sortedNeighborPairs]]) — NOT `repartitionByRange`, whose
+    * sampled boundaries are re-drawn per job (the sampling seed
+    * incorporates the RDD id), so the count job and the numbering job
+    * could disagree about which range a row is in and the offsets
+    * would silently misalign (caught by the n(n+1)/2 rank-sum check
+    * in the gini oracle during development). Splitters are ordinary
+    * literals, identical in every job by construction.
+    *
+    * `idCol` must be unique (the total-order tiebreaker). Output: the
+    * input columns + `rank` (1-based long).
+    */
+  def globalRank(df: DataFrame, valueCol: String, idCol: String,
+      partitions: Int = 0): DataFrame = {
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val keyed = df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+    val sample = keyed
+      .select(col(valueCol).cast("long").as("__v"),
+        col(idCol).cast("long").as("__i"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .orderBy("__h").limit(p * 20)
+      .select("__v", "__i")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val splitters: Seq[(Long, Long)] =
+      if (sample.isEmpty) Nil
+      else (1 until p).map(i => sample(i * sample.length / p))
+        .distinct.sorted
+    val bucket =
+      if (splitters.isEmpty) lit(0)
+      else aggregate(typedlit(splitters), lit(0), (acc, s) =>
+        acc + when(col(valueCol) > s("_1") ||
+          (col(valueCol) <=> s("_1") && col(idCol) >= s("_2")), 1)
+          .otherwise(0))
+    val bucketed = keyed.withColumn("__b", bucket)
+    val counts = bucketed.groupBy(col("__b")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefix: Map[Int, Long] = { // prefix(b) = rows in earlier ranges
+      var acc = 0L
+      counts.map { case (b, n) => val r = b -> acc; acc += n; r }.toMap
+    }
+    val offsetOf = counts.foldLeft(lit(0L)) { case (acc, (b, _)) =>
+      when(col("__b") === b, lit(prefix(b))).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col(valueCol), col(idCol))
+    bucketed
+      .withColumn("rank", row_number().over(w).cast("long") + offsetOf)
+      .drop("__b")
+  }
 }

@@ -129,6 +129,21 @@ class GraphFuzzySpec extends AnyFunSuite with BeforeAndAfterAll {
       "only the single-valued class violates l=2")
   }
 
+  test("globalRank == single-partition row_number on a permuted total order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // values with heavy ties; (v, id) is the total order
+    val rows = (1L to 2000L).map(i => ((i * 7919) % 97, i))
+    val df = rows.toDF("v", "id").repartition(13)
+    val got = graft.ops.Ranking.globalRank(df, "v", "id", partitions = 8)
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Long]("id")) ->
+        r.getAs[Long]("rank")).toMap
+    val want = rows.sortBy(identity).zipWithIndex
+      .map { case (k, i) => k -> (i + 1L) }.toMap
+    val bad = want.collect { case (k, r) if got(k) != r => (k, got(k), r) }
+    assert(bad.isEmpty, s"${bad.size} wrong ranks, first: ${bad.take(3)}")
+  }
+
   test("benfordAudit: exact digit extraction, shares sum to 1, sub-unit rows excluded") {
     import spark.implicits._
     // 1..9 once each (uniform digits) + magnitude variety + a 0.5 row
