@@ -142,6 +142,14 @@ class GraphFuzzySpec extends AnyFunSuite with BeforeAndAfterAll {
       .map { case (k, i) => k -> (i + 1L) }.toMap
     val bad = want.collect { case (k, r) if got(k) != r => (k, got(k), r) }
     assert(bad.isEmpty, s"${bad.size} wrong ranks, first: ${bad.take(3)}")
+    // ranks are a pure function of the data: neither the bucket count
+    // nor the physical input layout may change them (the property the
+    // per-job repartitionByRange boundary re-draw violated)
+    val other = graft.ops.Ranking.globalRank(
+      df.repartition(3), "v", "id", partitions = 3)
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Long]("id")) ->
+        r.getAs[Long]("rank")).toMap
+    assert(other == got, "rank must be invariant to partitioning choices")
   }
 
   test("benfordAudit: exact digit extraction, shares sum to 1, sub-unit rows excluded") {
