@@ -80,22 +80,33 @@ object Ranking {
       if (sample.isEmpty) Nil
       else (1 until p).map(i => sample(i * sample.length / p))
         .distinct.sorted
+    // Per-row range assignment: a codegen'd binary search over the
+    // broadcast sorted splitters — O(log P) per row. The naive form
+    // (a higher-order `aggregate` fold over a splitter-array literal)
+    // is O(P) per row AND CodegenFallback; at cluster scale P is
+    // 10³–10⁴, which puts 10⁴ interpreted ops on every row of the
+    // scan. Same bucket semantics bit-for-bit (see SplitterBucket).
     val bucket =
       if (splitters.isEmpty) lit(0)
-      else aggregate(typedlit(splitters), lit(0), (acc, s) =>
-        acc + when(col(valueCol) > s("_1") ||
-          (col(valueCol) <=> s("_1") && col(idCol) >= s("_2")), 1)
-          .otherwise(0))
+      else bridge.column(graft.functions.SplitterBucket(
+        bridge.expression(col(valueCol).cast("long")),
+        bridge.expression(col(idCol).cast("long")),
+        splitters.map(_._1), splitters.map(_._2)))
     val bucketed = keyed.withColumn("__b", bucket)
     val counts = bucketed.groupBy(col("__b")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val prefix: Map[Int, Long] = { // prefix(b) = rows in earlier ranges
+    // prefix(b) = rows in earlier ranges, as a DENSE array indexed by
+    // bucket id (empty ranges inherit the next range's prefix) — the
+    // per-row lookup is one O(1) element_at on an array literal, not
+    // the O(P) when-chain it replaces.
+    val offsets: Seq[Long] = {
+      val cmap = counts.toMap
       var acc = 0L
-      counts.map { case (b, n) => val r = b -> acc; acc += n; r }.toMap
+      (0 to splitters.length).map { b =>
+        val o = acc; acc += cmap.getOrElse(b, 0L); o
+      }
     }
-    val offsetOf = counts.foldLeft(lit(0L)) { case (acc, (b, _)) =>
-      when(col("__b") === b, lit(prefix(b))).otherwise(acc)
-    }
+    val offsetOf = element_at(typedlit(offsets), col("__b") + 1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__b")).orderBy(col(valueCol), col(idCol))
     bucketed
