@@ -2447,20 +2447,29 @@ object SparkEntry {
       // bitwise engine agreement
       DataTests.benfordAudit(t(s, dir, "orders"), "o_totalprice")),
     "fs_linkage" -> ((s, dir) => {
-      // Fellegi–Sunter probabilistic linkage over (nation, balance-
-      // kilobucket) blocks: per-field u from the data's collision
-      // probability, integer-microbel weights, exact pair scores —
-      // rolled up per nation (pairs, matches at >= 6 bels, exact score
-      // mass). The blocked self-join is the scale knob; u aggregates
-      // are value-histogram-sized broadcasts.
+      // Fellegi–Sunter probabilistic linkage over RANK-BUCKET blocks
+      // (nation, (rank-1) div 16 under the (nation, balance, custkey)
+      // total order): the bucket count is ceil(n/16) — it GROWS WITH n,
+      // so blocked-pair work is <= n*15/2, linear by construction (the
+      // round-9 $100-value-bucket key had constant B and ~n^2/2B pairs,
+      // measured 3.4x pair growth at 10x data; this shape's is ~1.0x).
+      // Rank comes from Ranking.globalRank (distributed, splitter-
+      // bucketed — never a single-reducer window); per-field u from the
+      // data's collision probability, integer-microbel weights, exact
+      // pair scores, rolled up per nation. Nation stays a block column,
+      // so buckets straddling a nation boundary split — pairs never
+      // cross nations and the rollup is exact.
       import graft.ops.Linkage.FsField
-      val c = t(s, dir, "customer")
-        .withColumn("bal_b", floor(col("c_acctbal") / 100).cast("long"))
-      Linkage.fsSelfLinkage(c, "c_custkey", Seq("c_nationkey", "bal_b"),
+      val c0 = t(s, dir, "customer")
+        .withColumn("cents", round(col("c_acctbal") * 100, 0).cast("long"))
+        .withColumn("sortkey",
+          col("c_nationkey").cast("long") * 100000000L +
+            col("cents") + 1000000L)
+      val c = Linkage.rankBlocks(c0, "sortkey", "c_custkey", occupancy = 16)
+      Linkage.fsSelfLinkage(c, "c_custkey", Seq("c_nationkey", "blk"),
           Seq(FsField("seg", col("c_mktsegment"), 0.9),
             FsField("name2", substring(col("c_name"), -2, 2), 0.9),
-            FsField("cents", round(col("c_acctbal") * 100, 0).cast("long"),
-              0.95)))
+            FsField("cents2", col("cents"), 0.95)))
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("score_micro") >= 6000000L, 1L).otherwise(0L))
@@ -4985,11 +4994,16 @@ object SparkEntry {
     "fs_linkage" ->
       // identical u estimation (exact Σn²/n² then one division),
       // identical (1.0 - m) spelled as the expression so both engines
-      // fold the same double, identical microbel rounding
+      // fold the same double, identical microbel rounding; the rank-
+      // bucket block key is row_number under the same (nation, cents,
+      // custkey) total order globalRank uses, cut into 32-row buckets
       """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
-        |    CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_b,
         |    right(c_name, 2) AS name2,
-        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+        |    CAST((row_number() OVER (ORDER BY
+        |        CAST(c_nationkey AS BIGINT) * 100000000
+        |          + CAST(round(c_acctbal * 100, 0) AS BIGINT) + 1000000,
+        |        c_custkey) - 1) // 16 AS BIGINT) AS blk
         |  FROM customer),
         |hs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c
         |       GROUP BY c_mktsegment),
@@ -5022,7 +5036,7 @@ object SparkEntry {
         |   + CASE WHEN a.cents IS NOT DISTINCT FROM b.cents
         |       THEN w.w3a ELSE w.w3d END) AS s
         |  FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
-        |    AND a.bal_b = b.bal_b AND a.c_custkey < b.c_custkey
+        |    AND a.blk = b.blk AND a.c_custkey < b.c_custkey
         |  CROSS JOIN w)
         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_pairs,
         |  CAST(sum(CASE WHEN s >= 6000000 THEN 1 ELSE 0 END) AS BIGINT)

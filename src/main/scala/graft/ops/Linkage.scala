@@ -33,6 +33,31 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
+  /** Rank-bucket blocking keys that SCALE WITH n by construction: rank
+    * every row under the total order `(sortCol, idCol)` (distributed —
+    * [[Ranking.globalRank]]'s TeraSort composition, never a
+    * single-reducer window) and cut the rank sequence into
+    * fixed-OCCUPANCY buckets `blk = (rank-1) div occupancy`.
+    *
+    * This is the sorted-neighborhood idea expressed as a blocking key:
+    * the bucket COUNT is ⌈n/occupancy⌉ — it grows linearly with the
+    * data, so blocked-pair work is ≤ ⌈n/occ⌉·C(occ,2) ≈ n·(occ−1)/2,
+    * O(n) for a fixed occupancy. Contrast a VALUE-bucket key over a
+    * fixed-range attribute (e.g. $100 balance buckets): there B is a
+    * constant, occupancy grows with n, and pair work is ~n²/2B —
+    * quadratic. Use this whenever no natural key with data-growing
+    * cardinality exists.
+    *
+    * Output: input columns + `blk` (long). `idCol` must be unique.
+    */
+  def rankBlocks(df: DataFrame, sortCol: String, idCol: String,
+      occupancy: Int): DataFrame = {
+    require(occupancy > 1, "occupancy must exceed 1 or no pairs form")
+    Ranking.globalRank(df, sortCol, idCol)
+      .withColumn("blk", expr(s"(rank - 1) DIV $occupancy"))
+      .drop("rank")
+  }
+
   /** A compared field: output column name, value expression, and the
     * m-probability P(field agrees | records refer to the same entity).
     */

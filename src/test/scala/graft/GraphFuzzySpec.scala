@@ -197,6 +197,27 @@ class GraphFuzzySpec extends AnyFunSuite with BeforeAndAfterAll {
       "agreement weights positive, random pairs net-negative")
   }
 
+  test("rankBlocks: blocked-pair count grows LINEARLY with n (occupancy-bounded)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the scale contract behind fs_linkage's round-10 fix: bucket count
+    // is ceil(n/occ), so pairs <= ceil(n/32)*C(32,2) — 10x rows must
+    // give ~10x pairs (the round-9 fixed-B value-bucket key gave ~100x)
+    def pairs(n: Int): Long = {
+      val df = (1 to n).map(i => ((i * 2654435761L) % 100000, i.toLong))
+        .toDF("v", "id")
+      val b = graft.ops.Linkage.rankBlocks(df, "v", "id", occupancy = 32)
+      b.as("a").join(b.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id")).count()
+    }
+    val p1 = pairs(2000)
+    val p10 = pairs(20000)
+    assert(p1 <= 2000L / 32 * 496 + 496, s"pair bound violated: $p1")
+    val ratio = p10.toDouble / p1
+    assert(ratio > 9.0 && ratio < 11.0,
+      s"pairs must scale ~linearly: $p1 -> $p10 (ratio $ratio)")
+  }
+
   test("Expectations: every rule's null discipline, one row per rule") {
     import spark.implicits._
     import graft.ops.Expectations._
