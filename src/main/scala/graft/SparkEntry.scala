@@ -65,6 +65,41 @@ object SparkEntry {
   private def revenueDec: Column =
     round(revenue, 4).cast("decimal(18,4)")
 
+  /** The same exact 4-decimal revenue as [[revenueDec]], scaled to LONG
+    * ten-thousandths: the true revenue is an exact 4-decimal rational v,
+    * the IEEE product ×10⁴ sits within a few ulps of the integer v·10⁴
+    * (ulp(1.1e9) ≈ 2.4e-7 — nowhere near a .5 midpoint), so half-up
+    * round recovers v·10⁴ identically on any engine. Summing LONGs is
+    * exact and order-free like the DECIMAL sum, but stays inside
+    * whole-stage codegen primitive arithmetic — the DECIMAL(18,4)
+    * aggregate cost ~0.6 s per query at sf0.1 (round-9 measurement).
+    * Range: |row| ≤ ~1.1e9, so overflow needs ~8e9 rows PER GROUP;
+    * [[l4Guarded]] makes the bound loud instead of silent.
+    */
+  private def revenueL4: Column =
+    round(revenue * 10000, 0).cast("long")
+
+  /** Loud overflow guard for LONG ten-thousandths sums (the corrMatrix
+    * pattern — checked once on the aggregate output via the conservative
+    * bound |sum| ≤ max|x|·n, costs an abs/max per input row, nothing
+    * else): fails the query instead of silently wrapping past 2⁶³.
+    */
+  private def l4Guarded(sumL4: Column, maxAbs: Column, n: Column): Column =
+    when(maxAbs.cast("double") * n.cast("double") > 9.0e18,
+      raise_error(format_string(
+        "long-scaled revenue sum may exceed 2^63 (max|x4| %d over %d " +
+          "rows); switch this group to the decimal path", maxAbs, n)))
+      .otherwise(sumL4)
+
+  /** Half-up ten-thousandths → cents for positive revenue sums:
+    * floor((x+50)/100) via exact decimal division + truncating cast —
+    * no double ever touches the value (a double path would lose
+    * exactness past 2⁵³ ≈ 9e15, reachable at sf10 totals). Runs only
+    * on GROUP-sized aggregate outputs, so the decimal cost is nil.
+    */
+  private def l4ToCents(c: Column): Column =
+    ((c + 50).cast("decimal(20,0)") / lit(100)).cast("long")
+
   /** Shared parity oracle for the keyed diff over the orders snapshots —
     * answered identically by the parquet-sourced diff (`keydiff_status`)
     * and the Avro round-trip diff (`keydiff_avro`).
@@ -778,9 +813,14 @@ object SparkEntry {
     "share_report" -> ((s, dir) => {
       // ratio-to-report: nation revenue share within region + rank —
       // the windows run over the 25-row aggregate, never raw rows.
-      // Revenue stays exact DECIMAL through the aggregate AND the
-      // region-total window (order-independent; the double form drifted
-      // ±0.01 at sf1), with ONE double division for the share.
+      // Revenue stays EXACT and order-free through the aggregate AND
+      // the region-total window (the double form drifted ±0.01 at sf1)
+      // as LONG ten-thousandths → cents (codegen-primitive; the
+      // DECIMAL(18,4) form this replaces cost ~0.6 s at sf0.1), with
+      // ONE double division for the share. The two division operands
+      // are cast from exact cents LONGs, so they equal the DECIMAL
+      // casts bit-for-bit (both are the nearest double to the same
+      // 2-decimal rational).
       val rev = t(s, dir, "lineitem")
         .join(t(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey"))
@@ -789,16 +829,19 @@ object SparkEntry {
         .join(t(s, dir, "region"),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum(revenueDec), 2).as("__revd"))
+        .agg(sum(revenueL4).as("__r4"), max(abs(revenueL4)).as("__ma"),
+          count(lit(1)).as("__n"))
+        .withColumn("__cents",
+          l4ToCents(l4Guarded(col("__r4"), col("__ma"), col("__n"))))
       val byRegion = Window.partitionBy("r_name")
       rev
-        .withColumn("region_rev", sum(col("__revd")).over(byRegion))
+        .withColumn("region_cents", sum(col("__cents")).over(byRegion))
         .withColumn("rank", rank().over(
-          byRegion.orderBy(col("__revd").desc, col("n_name"))).cast("long"))
+          byRegion.orderBy(col("__cents").desc, col("n_name"))).cast("long"))
         .select(col("r_name"), col("n_name"),
-          col("__revd").cast("double").as("rev"),
-          round(col("__revd").cast("double") /
-            col("region_rev").cast("double"), 6).as("share"),
+          (col("__cents").cast("double") / 100.0).as("rev"),
+          round((col("__cents").cast("double") / 100.0) /
+            (col("region_cents").cast("double") / 100.0), 6).as("share"),
           col("rank"))
         .orderBy("r_name", "rank", "n_name")
     }),
@@ -1006,10 +1049,18 @@ object SparkEntry {
         .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
       val brands = t(s, dir, "part")
         .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      // revenue summed as LONG ten-thousandths (exact + order-free like
+      // the DECIMAL sum it replaces, but codegen-primitive — the
+      // DECIMAL(18,4) aggregate cost ~0.6 s here at sf0.1), with the
+      // loud 2^63 guard on the group outputs
       graft.ops.Skew.saltedJoin(items, brands, Seq("l_partkey"), saltFactor = 8)
         .groupBy("p_brand")
-        .agg(round(sum(revenueDec), 2).cast("double").as("rev"),
+        .agg(sum(revenueL4).as("__r4"), max(abs(revenueL4)).as("__ma"),
           count(lit(1)).as("n_items"))
+        .select(col("p_brand"),
+          (l4ToCents(l4Guarded(col("__r4"), col("__ma"), col("n_items")))
+            .cast("double") / 100.0).as("rev"),
+          col("n_items"))
         .orderBy("p_brand")
     }),
     "ivf_topk" -> ((s, dir) => {
