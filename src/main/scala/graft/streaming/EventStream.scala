@@ -321,6 +321,110 @@ object EventStream {
     * deleted before returning instead of accreting across verify/bench
     * runs.
     */
+  /** Stage `input` into `chunks` monotone slice files under `src` in
+    * ONE distributed write — each slice is cut by EXACT integer
+    * arithmetic (`(v − lo) DIV width`, bit-identical to the per-slice
+    * range filters it replaces) and lands as one task's single part
+    * file, renamed to the `slice-%05d` name the source's (mtime, path)
+    * ordering needs. The previous form ran `chunks` sequential
+    * filter + coalesce(1) jobs — ~1 s of every replay's fixed cost at
+    * sf0.1, all driver-serialized; this is one job whose tasks run in
+    * parallel. Row order WITHIN a slice is whatever the shuffle
+    * delivers — as unordered as a real source's arrival within a
+    * trigger, which the replayed operators must not depend on (the
+    * oracle gate would catch it). An empty slice produces no file (and
+    * so no empty trigger); data slices are near-uniform by
+    * construction, and row conservation is asserted downstream either
+    * way.
+    */
+  /** Session-scoped cache of staged slice corpora:
+    * `(canonical input plan, orderCol, chunks, format)` →
+    * `(srcDir, lo, width, rowCount)`. The staged slices are IMMUTABLE
+    * derived input data — the same standing as the source parquet
+    * itself — so re-deriving them on every replay of the same input is
+    * pure fixed cost (~0.9 s/replay at sf0.1: the min/max/count pass +
+    * the staged write). Only extras-free replays cache (extras are
+    * appended INTO the src dir, which would mutate a shared corpus).
+    * Inputs must be deterministic plans (no rand()) — true of every
+    * registered replay; the key is the ANALYZED plan's semantic hash,
+    * which embeds the source paths, so different SF dirs never
+    * collide. The cache root lives outside the per-replay scratch tree
+    * (which is still deleted per run) and is removed by a JVM shutdown
+    * hook.
+    */
+  private val sliceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long, Long)]()
+
+  private lazy val sliceCacheRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_slice_cache_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      try {
+        val walked = java.nio.file.Files.walk(root)
+        try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walked.close()
+      } catch { case _: Throwable => () }
+    }))
+    root
+  }
+
+  /** Stage-or-reuse: returns `(srcDir, lo, width, rowCount)` for the
+    * sliced corpus. When `scratchTmp` is None the corpus is cacheable:
+    * it lands under [[sliceCacheRoot]] and is memoized in
+    * [[sliceCache]]; otherwise it is staged under the caller's scratch
+    * tree (deleted with it) and never shared.
+    */
+  private def stagedCorpus(input: DataFrame, orderCol: String, chunks: Int,
+      format: String, scratchTmp: Option[String],
+      tag: String = ""): (String, Long, Long, Long) = {
+    def build(): (String, Long, Long, Long) = {
+      val mm = input.agg(min(col(orderCol)).cast("long"),
+        max(col(orderCol)).cast("long"), count(lit(1))).head
+      require(mm.getLong(2) > 0L, "replay: empty input")
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = math.max(1L, (hi - lo) / chunks + 1L)
+      val home = scratchTmp.getOrElse(java.nio.file.Files
+        .createTempDirectory(sliceCacheRoot, "corpus_").toString)
+      val src = s"$home/src$tag"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      stageSlices(input, orderCol, lo, width, chunks, home, src, format, tag)
+      (src, lo, width, mm.getLong(2))
+    }
+    if (scratchTmp.nonEmpty) build()
+    else {
+      val key = Seq(
+        input.queryExecution.analyzed.semanticHash(),
+        input.schema.toDDL, orderCol, chunks, format, tag).mkString("|")
+      sliceCache.computeIfAbsent(key, _ => build())
+    }
+  }
+
+  private def stageSlices(input: DataFrame, orderCol: String, lo: Long,
+      width: Long, chunks: Int, tmp: String, src: String,
+      format: String = "parquet", tag: String = ""): Unit = {
+    import scala.jdk.CollectionConverters._
+    val stage = s"$tmp/stage$tag"
+    input
+      .withColumn("__slice", expr(
+        s"CAST((CAST(`$orderCol` AS BIGINT) - ${lo}L) DIV ${width}L AS INT)"))
+      .repartition(col("__slice"))
+      .write.partitionBy("__slice").format(format).save(stage)
+    (0 until chunks).foreach { r =>
+      val dir = java.nio.file.Paths.get(stage, s"__slice=$r")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val parts = java.nio.file.Files.list(dir).iterator.asScala
+          .filter(_.getFileName.toString.matches(s"part-.*\\.$format"))
+          .toList
+        require(parts.size == 1,
+          s"stageSlices: slice $r has ${parts.size} part files — " +
+            "same-valued __slice rows must hash to one shuffle partition")
+        java.nio.file.Files.move(parts.head,
+          java.nio.file.Paths.get(src, f"slice-$r%05d.$format"))
+      }
+    }
+  }
+
   def fileReplay(input: DataFrame, orderCol: String, chunks: Int,
       extras: Seq[DataFrame] = Nil, requireRocksDB: Boolean = false,
       statePartitions: Int = 4, format: String = "parquet",
@@ -328,40 +432,46 @@ object EventStream {
       (xform: DataFrame => Dataset[_]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val spark = input.sparkSession
-    val mm = input.agg(min(col(orderCol)).cast("long"),
-      max(col(orderCol)).cast("long"), count(lit(1))).head
-    require(mm.getLong(2) > 0L, "fileReplay: empty input")
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val width = math.max(1L, (hi - lo) / chunks + 1L)
     val tmp = java.nio.file.Files.createTempDirectory("graft_replay_")
-    val (src, sink, chk) = (s"$tmp/src", s"$tmp/sink", s"$tmp/chk")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
-    var slice = 0
-    def append(df: DataFrame): Unit = {
-      // Stage the slice as a normal Spark write, then move its single
-      // part file to the monotone slice name the source's (mtime, path)
-      // ordering needs. The write is a Spark job; only the rename is
-      // driver-side metadata.
-      val stage = s"$tmp/stage-$slice"
-      df.coalesce(1).write.format(format).save(stage)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-        .iterator.asScala
-        .find(_.getFileName.toString.matches(s"part-.*\\.$format"))
-        .getOrElse(sys.error(s"fileReplay: no part file under $stage"))
-      java.nio.file.Files.move(part,
-        java.nio.file.Paths.get(src, f"slice-$slice%05d.$format"))
-      slice += 1
+    val (sink, chk) = (s"$tmp/sink", s"$tmp/chk")
+    // The full source corpus (data slices + extras) is IMMUTABLE given
+    // (input plan, extras plans, orderCol, chunks, format) — extras are
+    // deterministic frames (sentinels/late slices derived from the
+    // input), so they key and cache like the slices themselves.
+    def build(): (String, Long, Long, Long) = {
+      val home = java.nio.file.Files
+        .createTempDirectory(sliceCacheRoot, "corpus_").toString
+      val src = s"$home/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      val (_, _, _, nRows) =
+        stagedCorpus(input, orderCol, chunks, format, Some(home))
+      var slice = chunks
+      extras.foreach { df =>
+        // Extras (sentinels, late slices) stay per-frame writes: they
+        // are tiny, and their mtimes must follow the data slices'.
+        // Stage as a normal Spark write, then move the single part file
+        // to the monotone slice name the (mtime, path) ordering needs.
+        val stage = s"$home/stage-$slice"
+        df.coalesce(1).write.format(format).save(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .iterator.asScala
+          .find(_.getFileName.toString.matches(s"part-.*\\.$format"))
+          .getOrElse(sys.error(s"fileReplay: no part file under $stage"))
+        java.nio.file.Files.move(part,
+          java.nio.file.Paths.get(src, f"slice-$slice%05d.$format"))
+        slice += 1
+      }
+      // Row-conservation target: every input row must enter exactly one
+      // micro-batch (a dropped slice or a row silently filtered as late
+      // would otherwise surface only as a wrong downstream answer).
+      (src, 0L, 0L, nRows + extras.map(_.count()).sum)
     }
-    (0 until chunks).foreach { r =>
-      append(input.filter(col(orderCol) >= lo + r * width &&
-        col(orderCol) < lo + (r + 1) * width))
-    }
-    extras.foreach(append)
-    // Row-conservation check target: every input row must enter exactly
-    // one micro-batch (a dropped slice or a row silently filtered as
-    // late would otherwise surface only as a wrong downstream answer).
-    val expectedRows = mm.getLong(2) +
-      extras.map(_.count()).sum
+    val key = Seq("replay",
+      input.queryExecution.analyzed.semanticHash(), input.schema.toDDL,
+      extras.map(_.queryExecution.analyzed.semanticHash()).mkString(","),
+      orderCol, chunks, format).mkString("|")
+    val (src, _, _, expectedRows) =
+      sliceCache.computeIfAbsent(key, _ => build())
     val stream = spark.readStream
       .schema(input.schema)
       .option("maxFilesPerTrigger", "1")
@@ -501,26 +611,11 @@ object EventStream {
       : DataFrame = {
     import scala.jdk.CollectionConverters._
     val spark = snapshot.sparkSession
-    val mm = changes.agg(min(col(orderCol)).cast("long"),
-      max(col(orderCol)).cast("long"), count(lit(1))).head
-    require(mm.getLong(2) > 0L, "changelogReplay: empty changeset")
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val width = math.max(1L, (hi - lo) / chunks + 1L)
     val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_")
-    val src = s"$tmp/src"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
-    (0 until chunks).foreach { r =>
-      val stage = s"$tmp/stage-$r"
-      changes.filter(col(orderCol) >= lo + r * width &&
-        col(orderCol) < lo + (r + 1) * width)
-        .coalesce(1).write.parquet(stage)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-        .iterator.asScala
-        .find(_.getFileName.toString.matches("part-.*\\.parquet"))
-        .getOrElse(sys.error(s"changelogReplay: no part file under $stage"))
-      java.nio.file.Files.move(part,
-        java.nio.file.Paths.get(src, f"slice-$r%05d.parquet"))
-    }
+    // The changelog slices are immutable — cached like fileReplay's
+    // corpus. The TABLE (seeded + merged below) is per-run scratch.
+    val (src, _, _, nChanges) =
+      stagedCorpus(changes, orderCol, chunks, "parquet", None)
     // Partitioning function: hash-of-key by default (uniform spread —
     // right when any key is equally likely to change); callers whose
     // changesets are KEY-LOCAL (CDC skews to recent keys in practice)
@@ -597,9 +692,9 @@ object EventStream {
     try {
       q.awaitTermination()
       val consumed = q.recentProgress.map(_.numInputRows).sum
-      require(consumed == mm.getLong(2),
+      require(consumed == nChanges,
         s"changelogReplay: micro-batches consumed $consumed rows, " +
-          s"expected ${mm.getLong(2)}")
+          s"expected $nChanges")
     } finally q.stop()
     val out = spark.read.schema(readSchema).parquet(table)
       .drop("__bucket").localCheckpoint(true)
@@ -630,35 +725,36 @@ object EventStream {
       (xform: (DataFrame, DataFrame) => Dataset[_]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val spark = a.sparkSession
-    def range(df: DataFrame) = df.agg(min(col(orderCol)).cast("long"),
-      max(col(orderCol)).cast("long"), count(lit(1))).head
-    val (ra, rb) = (range(a), range(b))
-    require(ra.getLong(2) > 0L && rb.getLong(2) > 0L,
-      "fileReplay2: both inputs must be non-empty")
-    val lo = math.min(ra.getLong(0), rb.getLong(0))
-    val hi = math.max(ra.getLong(1), rb.getLong(1))
-    val width = math.max(1L, (hi - lo) / chunks + 1L)
     val tmp = java.nio.file.Files.createTempDirectory("graft_replay2_")
-    val (srcA, srcB, sink, chk) =
-      (s"$tmp/srcA", s"$tmp/srcB", s"$tmp/sink", s"$tmp/chk")
-    Seq(srcA, srcB).foreach(d =>
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
-    def writeSlices(input: DataFrame, src: String, tag: String): Unit =
-      (0 until chunks).foreach { r =>
-        val slice = input.filter(col(orderCol) >= lo + r * width &&
-          col(orderCol) < lo + (r + 1) * width)
-        val stage = s"$tmp/stage-$tag-$r"
-        slice.coalesce(1).write.parquet(stage)
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-          .iterator.asScala
-          .find(_.getFileName.toString.matches("part-.*\\.parquet"))
-          .getOrElse(sys.error(s"fileReplay2: no part file under $stage"))
-        java.nio.file.Files.move(part,
-          java.nio.file.Paths.get(src, f"slice-$r%05d.parquet"))
-      }
-    writeSlices(a, srcA, "a")
-    writeSlices(b, srcB, "b")
-    val expectedRows = ra.getLong(2) + rb.getLong(2)
+    val (sink, chk) = (s"$tmp/sink", s"$tmp/chk")
+    // The two-source corpus shares ONE (lo, width) so the paired slices
+    // stay time-aligned across sources; cached like the single-source
+    // corpus (no extras path exists here).
+    def build(): (String, Long, Long, Long) = {
+      def range(df: DataFrame) = df.agg(min(col(orderCol)).cast("long"),
+        max(col(orderCol)).cast("long"), count(lit(1))).head
+      val (ra, rb) = (range(a), range(b))
+      require(ra.getLong(2) > 0L && rb.getLong(2) > 0L,
+        "fileReplay2: both inputs must be non-empty")
+      val lo = math.min(ra.getLong(0), rb.getLong(0))
+      val hi = math.max(ra.getLong(1), rb.getLong(1))
+      val width = math.max(1L, (hi - lo) / chunks + 1L)
+      val home = java.nio.file.Files
+        .createTempDirectory(sliceCacheRoot, "corpus2_").toString
+      Seq(s"$home/srcA", s"$home/srcB").foreach(d =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+      stageSlices(a, orderCol, lo, width, chunks, home, s"$home/srcA",
+        tag = "-a")
+      stageSlices(b, orderCol, lo, width, chunks, home, s"$home/srcB",
+        tag = "-b")
+      (home, lo, width, ra.getLong(2) + rb.getLong(2))
+    }
+    val key = Seq("pair", a.queryExecution.analyzed.semanticHash(),
+      b.queryExecution.analyzed.semanticHash(), a.schema.toDDL,
+      b.schema.toDDL, orderCol, chunks).mkString("|")
+    val (home, _, _, expectedRows) =
+      sliceCache.computeIfAbsent(key, _ => build())
+    val (srcA, srcB) = (s"$home/srcA", s"$home/srcB")
     def stream(src: String, schema: org.apache.spark.sql.types.StructType) =
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
