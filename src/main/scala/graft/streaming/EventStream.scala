@@ -22,6 +22,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** When true, every replay records its streaming query's FINAL
+    * micro-batch executed plan (the `IncrementalExecution`, with state
+    * restore/save operators — same operator shape as every post-first
+    * batch) into [[capturedPlans]] — PlanDump's hook for putting the
+    * streaming plans in PLANS.md. Costs nothing when off.
+    */
+  @volatile var capturePlans: Boolean = false
+  val capturedPlans = new scala.collection.mutable.ArrayBuffer[String]()
+  private def capture(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    if (capturePlans)
+      org.apache.spark.sql.graft.lastExecutedPlan(q).foreach(p =>
+        capturedPlans.synchronized { capturedPlans += p })
+
   /** Watermarked hourly tumbling-window aggregate. Batch: identical to a
     * date_trunc groupBy. Stream: incremental, state dropped once the
     * watermark passes the window end.
@@ -502,6 +516,7 @@ object EventStream {
       }
     try {
       q.awaitTermination()
+      capture(q)
       if (requireRocksDB) {
         val metricKeys = Option(q.lastProgress).toSeq
           .flatMap(_.stateOperators.toSeq)
@@ -691,6 +706,7 @@ object EventStream {
       .start()
     try {
       q.awaitTermination()
+      capture(q)
       val consumed = q.recentProgress.map(_.numInputRows).sum
       require(consumed == nChanges,
         s"changelogReplay: micro-batches consumed $consumed rows, " +
@@ -776,6 +792,7 @@ object EventStream {
       }
     try {
       q.awaitTermination()
+      capture(q)
       val consumed = q.recentProgress.map(_.numInputRows).sum
       require(consumed == expectedRows,
         s"fileReplay2: micro-batches consumed $consumed rows, " +

@@ -12,4 +12,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 package object graft {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Formatted physical plan of a streaming query's LAST executed
+    * micro-batch (the `IncrementalExecution` the plan-audit artifact
+    * needs) — `StreamingQueryWrapper` is `private[sql]`, hence bridged
+    * here like the Column↔Expression conversions above.
+    */
+  def lastExecutedPlan(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Option[String] =
+    q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        Option(w.streamingQuery.lastExecution).map(_.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      case _ => None
+    }
 }
