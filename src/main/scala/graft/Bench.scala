@@ -84,6 +84,22 @@ object Bench {
         }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // KNOWN MEASUREMENT ARTIFACT (root-caused round 10, recurring since
+    // round 7): iterative multi-stage queries (pagerank, textrank) read
+    // ~2× their steady state in-suite. Diagnosis data — 30 back-to-back
+    // self-reps show NO degradation (1.88→1.33 s, so not self-inflicted
+    // cache/plan growth); after one aging pass of the other 193 queries
+    // the FIRST re-execution reads 3.15 s, the second 1.92, then steady
+    // ~1.5 (transient, fully recovering); a fresh-session cold run is
+    // 1.62 s (so it is NOT a cache rebuild — aged-first is slower than
+    // cold); System.gc() draining of the ContextCleaner has no effect at
+    // suite scale and forced periodic GC only adds pauses inside timed
+    // windows (+19 s suite-wide). Mechanism consistent with JIT
+    // profile/code re-warm after ~580 intervening compilations. The
+    // INTERLEAVED min-of-3 protocol (below) makes every timed run a
+    // "first run after aging", so these queries never show steady state
+    // in-suite — accepted, because interleaving is what decorrelates the
+    // multi-second host-contention windows (worth far more suite-wide).
     val passes = (1 to 3).map { _ =>
       queries.map { case (name, fn) => timeOne(name, fn) }
     }
