@@ -42,6 +42,25 @@ object SparkEntry {
       |       o_orderdate, o_orderpriority
       |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin
 
+  /** FS-scored candidate pairs over rank-bucket blocks — the shared
+    * front half of `fs_linkage` (per-nation rollup) and `fs_clusters`
+    * (transitive entity resolution). Scale shape documented at the
+    * fs_linkage registry entry.
+    */
+  private def fsScoredPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Linkage.FsField
+    val c0 = t(s, dir, "customer")
+      .withColumn("cents", round(col("c_acctbal") * 100, 0).cast("long"))
+      .withColumn("sortkey",
+        col("c_nationkey").cast("long") * 100000000L +
+          col("cents") + 1000000L)
+    val c = Linkage.rankBlocks(c0, "sortkey", "c_custkey", occupancy = 16)
+    Linkage.fsSelfLinkage(c, "c_custkey", Seq("c_nationkey", "blk"),
+      Seq(FsField("seg", col("c_mktsegment"), 0.9),
+        FsField("name2", substring(col("c_name"), -2, 2), 0.9),
+        FsField("cents2", col("cents"), 0.95)))
+  }
+
   private def vennOld(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
       .select("o_orderstatus", "o_orderpriority")
@@ -2510,17 +2529,7 @@ object SparkEntry {
       // pair scores, rolled up per nation. Nation stays a block column,
       // so buckets straddling a nation boundary split — pairs never
       // cross nations and the rollup is exact.
-      import graft.ops.Linkage.FsField
-      val c0 = t(s, dir, "customer")
-        .withColumn("cents", round(col("c_acctbal") * 100, 0).cast("long"))
-        .withColumn("sortkey",
-          col("c_nationkey").cast("long") * 100000000L +
-            col("cents") + 1000000L)
-      val c = Linkage.rankBlocks(c0, "sortkey", "c_custkey", occupancy = 16)
-      Linkage.fsSelfLinkage(c, "c_custkey", Seq("c_nationkey", "blk"),
-          Seq(FsField("seg", col("c_mktsegment"), 0.9),
-            FsField("name2", substring(col("c_name"), -2, 2), 0.9),
-            FsField("cents2", col("cents"), 0.95)))
+      fsScoredPairs(s, dir)
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("score_micro") >= 6000000L, 1L).otherwise(0L))
@@ -2528,6 +2537,25 @@ object SparkEntry {
           sum(col("score_micro")).as("sum_score_micro"))
         .orderBy("c_nationkey")
     }),
+    "fs_clusters" -> ((s, dir) =>
+      // entity resolution END-TO-END: the FS match pairs (>= 3.5 bels —
+      // reachable by segment+name-suffix double agreement, so clusters
+      // form at every SF, not just where exact-cents collisions occur)
+      // become an undirected identity graph; transitive closure
+      // (Dedup.components — checkpointed min-label propagation, the
+      // same machinery as near-dup clustering) resolves each connected
+      // set of records to ONE canonical entity (min custkey). Output:
+      // one row per multi-record entity with its member count — the
+      // golden-record rollup a master-data pipeline materializes. Every
+      // stage is the linear-blocked/banded shape: pairs O(n·occ),
+      // closure rounds = cluster diameter.
+      Dedup.components(
+          fsScoredPairs(s, dir).filter(col("score_micro") >= 3500000L),
+          "a_key", "b_key")
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("comp").as("entity"), col("n_members"))
+        .orderBy("entity")),
     "expectations" -> ((s, dir) =>
       // dbt/Deequ-style declarative quality suite: six rules over
       // orders, ALL compiled into ONE aggregate over ONE scan (row
@@ -5112,6 +5140,63 @@ object SparkEntry {
         |    AS n_match,
         |  CAST(sum(s) AS BIGINT) AS sum_score_micro
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fs_clusters" ->
+      // same pair generation as fs_linkage, then transitive closure by
+      // recursive min-label walk (the dedup_clusters pattern) and a
+      // per-entity member count
+      """WITH RECURSIVE c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    right(c_name, 2) AS name2,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+        |    CAST((row_number() OVER (ORDER BY
+        |        CAST(c_nationkey AS BIGINT) * 100000000
+        |          + CAST(round(c_acctbal * 100, 0) AS BIGINT) + 1000000,
+        |        c_custkey) - 1) // 16 AS BIGINT) AS blk
+        |  FROM customer),
+        |hs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c
+        |       GROUP BY c_mktsegment),
+        |us AS (SELECT CAST(sum(n*n) AS DOUBLE)
+        |         / CAST(sum(n)*sum(n) AS DOUBLE) AS u FROM hs),
+        |hn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c
+        |       GROUP BY name2),
+        |un AS (SELECT CAST(sum(n*n) AS DOUBLE)
+        |         / CAST(sum(n)*sum(n) AS DOUBLE) AS u FROM hn),
+        |hc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c
+        |       GROUP BY cents),
+        |uc AS (SELECT CAST(sum(n*n) AS DOUBLE)
+        |         / CAST(sum(n)*sum(n) AS DOUBLE) AS u FROM hc),
+        |w AS (SELECT
+        |    CAST(round(log2(0.9 / us.u) * 1000000, 0) AS BIGINT) AS w1a,
+        |    CAST(round(log2((1.0 - 0.9) / (1.0 - us.u)) * 1000000, 0)
+        |      AS BIGINT) AS w1d,
+        |    CAST(round(log2(0.9 / un.u) * 1000000, 0) AS BIGINT) AS w2a,
+        |    CAST(round(log2((1.0 - 0.9) / (1.0 - un.u)) * 1000000, 0)
+        |      AS BIGINT) AS w2d,
+        |    CAST(round(log2(0.95 / uc.u) * 1000000, 0) AS BIGINT) AS w3a,
+        |    CAST(round(log2((1.0 - 0.95) / (1.0 - uc.u)) * 1000000, 0)
+        |      AS BIGINT) AS w3d
+        |  FROM us, un, uc),
+        |p AS (SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+        |    (CASE WHEN a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+        |       THEN w.w1a ELSE w.w1d END
+        |   + CASE WHEN a.name2 IS NOT DISTINCT FROM b.name2
+        |       THEN w.w2a ELSE w.w2d END
+        |   + CASE WHEN a.cents IS NOT DISTINCT FROM b.cents
+        |       THEN w.w3a ELSE w.w3d END) AS s
+        |  FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+        |    AND a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |  CROSS JOIN w),
+        |good AS (SELECT a_key, b_key FROM p WHERE s >= 3500000),
+        |edges AS (SELECT a_key AS es, b_key AS ed FROM good
+        |  UNION SELECT b_key, a_key FROM good),
+        |walk AS (
+        |  SELECT es AS id, es AS comp FROM edges
+        |  UNION
+        |  SELECT e.ed, wk.comp FROM walk wk JOIN edges e ON e.es = wk.id
+        |),
+        |lab AS (SELECT id, min(comp) AS comp FROM walk GROUP BY 1)
+        |SELECT CAST(comp AS BIGINT) AS entity,
+        |  CAST(count(*) AS BIGINT) AS n_members
+        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
     "expectations" ->
       // same one-aggregate evaluation; unique-with-nulls counts the null
       // group as one more distinct key (n > count(col) detects any null)

@@ -197,6 +197,29 @@ class GraphFuzzySpec extends AnyFunSuite with BeforeAndAfterAll {
       "agreement weights positive, random pairs net-negative")
   }
 
+  test("fs entity resolution: planted triple resolves to ONE entity via components") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{Dedup, Linkage}, graft.ops.Linkage.FsField
+    // 30 distinct people + a planted entity recorded THREE times
+    // (ids 1, 90, 91 share name+city+phone); chained pairs (1,90),
+    // (1,91), (90,91) must collapse to one canonical entity = 1
+    val people = ((1L to 30L).map(i =>
+      (i, i % 2, s"name$i", s"city${i % 7}", s"555-00$i")) ++
+      Seq((90L, 1L, "name1", "city1", "555-001"),
+        (91L, 1L, "name1", "city1", "555-001")))
+      .toDF("id", "region", "nm", "city", "phone")
+    val pairs = Linkage.fsSelfLinkage(people, "id", Seq("region"),
+      Seq(FsField("nm", col("nm"), 0.9), FsField("city", col("city"), 0.9),
+        FsField("phone", col("phone"), 0.95)))
+      .filter(col("score_micro") > 0)
+    val ents = Dedup.components(pairs, "a_key", "b_key")
+      .groupBy("comp").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ents == Map(1L -> 3L),
+      s"expected one 3-member entity rooted at id 1, got $ents")
+  }
+
   test("rankBlocks: blocked-pair count grows LINEARLY with n (occupancy-bounded)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
