@@ -424,6 +424,17 @@ object EventStream {
         s"CAST((CAST(`$orderCol` AS BIGINT) - ${lo}L) DIV ${width}L AS INT)"))
       .repartition(col("__slice"))
       .write.partitionBy("__slice").format(format).save(stage)
+    // The one-job write's tasks finish in ARBITRARY order, so the part
+    // files' mtimes do NOT increase with slice number — and the file
+    // source admits files in (mtime, path) order. Small SFs masked this
+    // through ms-granularity mtime ties (path tie-break rescued the
+    // order); at sf10 the halves processed REVERSED, batch 1's watermark
+    // jumped to max−horizon and every earlier slice went late (caught by
+    // the sf10 gate: sessionize's timeout-before-watermark throw).
+    // Stamp each slice with an explicitly monotone mtime; extras are
+    // written afterwards with real (later) clock mtimes.
+    val t0 = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - chunks - 1000L)
     (0 until chunks).foreach { r =>
       val dir = java.nio.file.Paths.get(stage, s"__slice=$r")
       if (java.nio.file.Files.isDirectory(dir)) {
@@ -433,8 +444,11 @@ object EventStream {
         require(parts.size == 1,
           s"stageSlices: slice $r has ${parts.size} part files — " +
             "same-valued __slice rows must hash to one shuffle partition")
-        java.nio.file.Files.move(parts.head,
-          java.nio.file.Paths.get(src, f"slice-$r%05d.$format"))
+        val dest = java.nio.file.Paths.get(src, f"slice-$r%05d.$format")
+        java.nio.file.Files.move(parts.head, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            t0.toMillis + r))
       }
     }
   }
