@@ -756,25 +756,32 @@ object SparkEntry {
           col("O").as("n_o"), col("P").as("n_p"))
         .orderBy("o_orderpriority")),
     "cube_sales" -> ((s, dir) =>
+      // revenue summed as exact long ten-thousandths (see revenueL4):
+      // the double sum drifted a cent at sf10's ~1.5e12 grand-total
+      // magnitude (ulp(1.5e12) = 2.4e-4 accumulates order-dependently)
       t(s, dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(round(sum(revenue), 2).as("rev"), count(lit(1)).as("n"),
-          grouping_id().cast("long").as("gid"))
+        .agg(sum(revenueL4).as("__r4"), max(abs(revenueL4)).as("__ma"),
+          count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
-          col("rev"), col("n"), col("gid"))
+          (l4ToCents(l4Guarded(col("__r4"), col("__ma"), col("n")))
+            .cast("double") / 100.0).as("rev"),
+          col("n"), col("gid"))
         .orderBy("gid", "l_returnflag", "l_linestatus")),
     "rollup_sales" -> ((s, dir) =>
+      // same exact-cents discipline as cube_sales
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(round(sum(revenue), 2).as("rev"),
-          count(lit(1)).as("n"),
-          grouping_id().cast("long").as("gid"))
+        .agg(sum(revenueL4).as("__r4"), max(abs(revenueL4)).as("__ma"),
+          count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
-          col("rev"), col("n"), col("gid"))
+          (l4ToCents(l4Guarded(col("__r4"), col("__ma"), col("n")))
+            .cast("double") / 100.0).as("rev"),
+          col("n"), col("gid"))
         .orderBy("gid", "l_returnflag", "l_linestatus")),
     // SQL-surface path: authored via spark.sql over temp views — the same
     // Catalyst plans as the DataFrame API, proving the engine's SQL
@@ -2841,7 +2848,8 @@ object SparkEntry {
     "cube_sales" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+        |  CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS rev,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
         |    AS gid
@@ -2850,7 +2858,8 @@ object SparkEntry {
     "rollup_sales" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+        |  CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS rev,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
         |    AS gid
