@@ -1143,13 +1143,19 @@ object SparkEntry {
       //    before ranking; codebook training is a deterministic
       //    driver-side Lloyd's on an md5-ordered sample, so this is
       //    partition- and run-invariant);
-      //  - recall_ge_0_2: shortlist recall@20 against the exact top-20,
-      //    aggregated over all queries. Measured 0.32-0.48 across
-      //    sf0.001/0.01/0.1 (the synthetic embeddings are uniform random —
-      //    the hardest case for a 32x-lossy code; clustered real data
-      //    ranks far better, see the spec's fixture). A broken encoder
-      //    lands at ~depth/n ≈ 0.004, so 0.2 separates working from
-      //    broken with wide margin on both sides.
+      //  - recall_ge_100x_random: shortlist recall@20 against the exact
+      //    top-20, aggregated over all queries, gated against a
+      //    SCALE-STABLE bar: least(0.2, 100 * depth/n). Absolute recall
+      //    of a 32x-lossy code on UNIFORM RANDOM vectors (the hardest
+      //    case; clustered real data ranks far better, see the spec's
+      //    fixture) legitimately falls with corpus size — measured
+      //    0.32-0.48 at sf<=0.1, 0.21 at sf1 (20k vecs), 0.095 at sf10
+      //    (200k vecs) — so a FIXED threshold is a miscalibrated gate
+      //    (the round-9 0.2 bar passed sf1 by 0.01 and failed sf10,
+      //    caught by the sf10 gate). A broken encoder scores the random
+      //    baseline depth/n (1x), so 100x random separates working from
+      //    broken with >=9x margin at every measured SF while the 0.2
+      //    cap keeps the bar meaningful at tiny n where 100*depth/n > 1.
       // Oracle = one row of literals (+ the DuckDB-computable query count).
       // Single pass per ANN path (reused DataFrames re-execute): widen
       // adc with indicator columns from the decode twin and the exact
@@ -1167,16 +1173,21 @@ object SparkEntry {
           col("neighbor_id").as("d_nid"), col("cos").as("d_cos"))
       val bf = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", depth)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      val nCorpus = broadcast(e.agg(count(lit(1)).as("__nc")))
       adc.join(dec, Seq("query_id", "rn"), "left")
         .join(bf, Seq("query_id", "neighbor_id"), "left")
-        .agg(countDistinct(col("query_id")).as("n_queries"),
+        .crossJoin(nCorpus)
+        .agg(max(col("__nc")).as("__nc"),
+          countDistinct(col("query_id")).as("n_queries"),
           count(lit(1)).as("n_adc"),
           count(when(col("d_nid") === col("neighbor_id") &&
             col("d_cos") === col("cos"), 1)).as("n_eq"),
           count(col("__hit")).as("n_hits"))
         .select(col("n_queries"),
           (col("n_eq") === col("n_adc")).as("adc_eq_decode"),
-          (col("n_hits").cast("double") >= col("n_adc") * 0.2).as("recall_ge_0_2"))
+          (col("n_hits").cast("double") >= col("n_adc").cast("double") *
+            least(lit(0.2), lit(100.0 * depth) / col("__nc").cast("double")))
+            .as("recall_ge_100x_random"))
     }),
     "json_props" -> ((s, dir) =>
       t(s, dir, "events")
@@ -4958,7 +4969,7 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     "pq_topk" ->
       """SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
-        |  true AS adc_eq_decode, true AS recall_ge_0_2
+        |  true AS adc_eq_decode, true AS recall_ge_100x_random
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "hll_users" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
