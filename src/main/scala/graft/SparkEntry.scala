@@ -946,10 +946,16 @@ object SparkEntry {
         .orderBy("month")),
     "sql_part_stats" -> ((s, dir) => {
       Tables.names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      // avg in EXACT integer space: the double avg rounded to 4 landed on
+      // a ten-thousandth midpoint at sf10 (949.70625) and the two
+      // engines' order-dependent sums rounded opposite ways. Half-up of
+      // the exact rational (200*cents+n) div (2n), one exact division.
       s.sql(
         """SELECT p_brand, p_type,
           |  CAST(count(*) AS BIGINT) AS n_parts,
-          |  round(avg(p_retailprice), 4) AS avg_price,
+          |  CAST((200 * sum(CAST(round(p_retailprice * 100, 0) AS BIGINT))
+          |        + count(*)) DIV (2 * count(*)) AS DOUBLE) / 10000.0
+          |    AS avg_price,
           |  CAST(max(p_size) AS INTEGER) AS max_size
           |FROM part GROUP BY p_brand, p_type
           |ORDER BY p_brand, p_type""".stripMargin)
@@ -3016,9 +3022,12 @@ object SparkEntry {
         |    AS mom_pct
         |FROM m ORDER BY month""".stripMargin,
     "sql_part_stats" ->
+      // same exact integer half-up as the engine side
       """SELECT p_brand, p_type,
         |  CAST(count(*) AS BIGINT) AS n_parts,
-        |  round(avg(p_retailprice), 4) AS avg_price,
+        |  CAST((200 * sum(CAST(round(p_retailprice * 100, 0) AS BIGINT))
+        |        + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
+        |    AS avg_price,
         |  CAST(max(p_size) AS INTEGER) AS max_size
         |FROM part GROUP BY p_brand, p_type
         |ORDER BY p_brand, p_type""".stripMargin,
