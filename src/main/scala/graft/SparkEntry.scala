@@ -1715,8 +1715,15 @@ object SparkEntry {
         dims = 4, width = 0.25)
         .orderBy("cell")),
     "embed_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35)
+      // Exact all-pairs cosine via the BLOCKED kernel: C(n,2) primitive-
+      // loop dot products over B(B+1)/2 uniform block-pair tasks — the
+      // scale form of the row-pair join (bit-identical output; the
+      // differential spec pins it). Banded LSH is measurably unusable
+      // for an exact answer at this threshold (one 8-bit band misses
+      // 265/271 pairs; zero-miss banding costs 2.6x all-pairs) — see
+      // Similarity.nearDupPairs scaladoc for the analysis.
+      Similarity.nearDupPairsBlocked(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.35)
         .orderBy("a_id", "b_id")),
     // --- LLM-pipeline: multimodal binary columns (stub decode) ------------
     "media_meta" -> ((s, dir) =>
@@ -5122,7 +5129,7 @@ object SparkEntry {
       // identical (1.0 - m) spelled as the expression so both engines
       // fold the same double, identical microbel rounding; the rank-
       // bucket block key is row_number under the same (nation, cents,
-      // custkey) total order globalRank uses, cut into 32-row buckets
+      // custkey) total order globalRank uses, cut into 16-row buckets
       """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
         |    right(c_name, 2) AS name2,
         |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,

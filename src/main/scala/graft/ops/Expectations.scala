@@ -122,9 +122,11 @@ object Expectations {
 
   /** Evaluate drift rules: one row per rule,
     * `(rule, column_name, prior_value, current_value, pass)` ordered by
-    * (rule, column_name). `prior` must be [[snapshotStats]] output for
-    * the SAME rule list (or the live prior snapshot — it is reduced the
-    * same way). One scan per snapshot, whatever the suite size; every
+    * (rule, column_name). `priorStats` must be [[snapshotStats]] output
+    * for the SAME rule list — to compare against a live prior snapshot,
+    * pass `snapshotStats(priorSnapshot, rules)` (a raw snapshot frame
+    * fails loudly on the unresolved stats columns). One scan per
+    * snapshot, whatever the suite size; every
     * emitted value is a ratio/mean of EXACT integer stats, so the
     * doubles are engine- and partitioning-invariant.
     */

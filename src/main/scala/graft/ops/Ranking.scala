@@ -66,6 +66,20 @@ object Ranking {
     */
   def globalRank(df: DataFrame, valueCol: String, idCol: String,
       partitions: Int = 0): DataFrame = {
+    // The splitter bucketing casts valueCol to long; for non-integral
+    // inputs two values that truncate to the same long could be split
+    // across a bucket boundary by the id tiebreak while the in-bucket
+    // window orders by the ORIGINAL value — silently wrong ranks. Fail
+    // loudly instead of truncating.
+    Seq(valueCol, idCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"globalRank requires an integral column, " +
+        s"got $c: ${df.schema(c).dataType}")
+    }
     val p = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val keyed = df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)

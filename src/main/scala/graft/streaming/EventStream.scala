@@ -357,8 +357,11 @@ object EventStream {
     * derived input data — the same standing as the source parquet
     * itself — so re-deriving them on every replay of the same input is
     * pure fixed cost (~0.9 s/replay at sf0.1: the min/max/count pass +
-    * the staged write). Only extras-free replays cache (extras are
-    * appended INTO the src dir, which would mutate a shared corpus).
+    * the staged write). Extras-bearing corpora cache too: extras are
+    * baked into the corpus at build time and their plans' semantic
+    * hashes are part of the cache key, so the cached corpus stays
+    * immutable and correctly keyed. Only stagedCorpus's scratchTmp
+    * path is uncached.
     * Inputs must be deterministic plans (no rand()) — true of every
     * registered replay; the key is the ANALYZED plan's semantic hash,
     * which embeds the source paths, so different SF dirs never
