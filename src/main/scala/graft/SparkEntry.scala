@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, Dsir, EventAnalytics, EventTime, Expectations, FreqSketch, Fuzzy, Graph, KeyDiff, Layout, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Sharding, Similarity, Linkage, Skew, Stats, TextAnalysis, TimeSeries, VennDiff}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, Dsir, EventAnalytics, EventTime, Expectations, FreqSketch, Fuzzy, Graph, KeyDiff, Layout, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Sharding, Similarity, Linkage, Skew, Stats, TextAnalysis, TextExtract, TimeSeries, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -1620,6 +1620,19 @@ object SparkEntry {
     "fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id") +: TextAnalysis.fingerprintColumns(col("text")): _*)
+        .orderBy("doc_id")),
+    "html_extract" -> ((s, dir) =>
+      // Boilerplate/HTML main-text extraction (trafilatura/Arc90 rule
+      // family) — the step BEFORE every other text query in a real
+      // pipeline. documents carries clean text, so the query first
+      // applies the deterministic synthetic HTML wrap (head matter,
+      // all-link nav/footer boilerplate, <p> paragraphs cycling inline
+      // markup / entities / citation links), then runs the single-pass
+      // native extractor; the oracle rebuilds the same bytes and
+      // extracts with regexp/string ops. Map-only at any scale.
+      TextExtract.extract(
+        TextExtract.syntheticHtml(t(s, dir, "documents"), "doc_id", "text"),
+        "html")
         .orderBy("doc_id")),
     "decontam" -> ((s, dir) => {
       // eval/benchmark set = every 37th doc; report each remaining doc's
@@ -4112,18 +4125,42 @@ object SparkEntry {
         |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4
         |ORDER BY a_id, b_id""".stripMargin,
     "ppjoin_pairs" ->
-      // the exact reference computation: NO frequency cap, all shingle
-      // collisions joined — what the prefix filter must reproduce
+      // Independent PPJoin spelling with the PROVABLY LOSSLESS bounds
+      // (so the oracle stays sf10-feasible — the earlier all-pairs
+      // shingle join was quadratic-infeasible at 500k docs):
+      //  - prefix theorem: under ANY global shingle total order, two
+      //    sets with |A∩B| >= ceil(t/(1+t)·(|A|+|B|)) share an element
+      //    within each one's first n − ceil(t·n) + 1 elements; for
+      //    t = 1/2 that prefix length is exactly n//2 + 1 (integer).
+      //  - length filter: J >= 1/2 forces max(|A|,|B|) <= 2·min (exact
+      //    integers, no float eps anywhere).
+      // The SQL uses its own order (frequency, then shingle string —
+      // NOT the Spark side's xxhash64-fingerprint order), then exact
+      // set intersection on the candidates only. Rounding headroom: at
+      // union size u the largest sub-threshold Jaccard is 1/2 − 1/(2u),
+      // which rounds to >= 0.5 only past u = 10^4 — two orders above
+      // any document's shingle count in this corpus.
       s"""WITH $toksCte, $shinglesCte,
          |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
-         |sz AS (SELECT doc_id, count(*) n FROM ex GROUP BY 1),
-         |shared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
-         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+         |f AS (SELECT s, count(*) fc FROM ex GROUP BY s),
+         |r AS (SELECT doc_id, s,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY fc, s) p,
+         |    count(*) OVER (PARTITION BY doc_id) n
+         |  FROM ex JOIN f USING (s)),
+         |pre AS (SELECT doc_id, s, n FROM r WHERE p <= n // 2 + 1),
+         |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+         |  FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
+         |    AND b.n <= 2*a.n AND a.n <= 2*b.n),
+         |fs AS (SELECT doc_id, shingles, len(shingles) n FROM sh),
+         |j AS (SELECT a_id, b_id,
+         |    len(list_intersect(x.shingles, y.shingles)) c,
+         |    x.n xn, y.n yn
+         |  FROM cand JOIN fs x ON a_id = x.doc_id
+         |    JOIN fs y ON b_id = y.doc_id)
          |SELECT a_id, b_id,
-         |  round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 4) AS jaccard
-         |FROM shared JOIN sz x ON a_id = x.doc_id JOIN sz y ON b_id = y.doc_id
-         |WHERE round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 4) >= 0.5
+         |  round(CAST(c AS DOUBLE) / CAST(xn + yn - c AS DOUBLE), 4) AS jaccard
+         |FROM j
+         |WHERE round(CAST(c AS DOUBLE) / CAST(xn + yn - c AS DOUBLE), 4) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
     "lang_id" -> {
       val scores = TextAnalysis.langMarkers.map { case (l, m) =>
@@ -4163,6 +4200,73 @@ object SparkEntry {
         |           i -> md5(substr(text, i+1, 8))))
         |    ELSE md5(text) END AS rolling_min
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "html_extract" ->
+      // Oracle rebuilds the synthetic HTML byte-for-byte (same wrap
+      // grammar as TextExtract.syntheticHtml), then extracts with
+      // regexp/string ops: <p>/<div> blocks, tag strip, &amp;/&nbsp;
+      // decode, whitespace normalize, and the integer link-density
+      // keep rule 2*link <= total on decoded pre-normalization text.
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') words FROM documents),
+        |ph AS (SELECT doc_id, words,
+        |  CAST(ceil(len(words) / 25.0) AS BIGINT) np FROM d),
+        |h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id || '</title>' ||
+        |  '<style>body { color: #fff; }</style>' ||
+        |  '<script>var x = ' || doc_id ||
+        |    '; if (x < 2) { x = x + 1; }</script>' ||
+        |  '</head><body>' ||
+        |  '<div class="nav"><a href="/home">home</a> ' ||
+        |    '<a href="/about">about</a> <a href="/s?id=' || doc_id ||
+        |    '">source</a></div>' ||
+        |  array_to_string(list_transform(range(0, np), k ->
+        |    '<p>' ||
+        |    CASE CAST(k % 3 AS INTEGER)
+        |      WHEN 0 THEN array_to_string(words[k*25+1 : k*25+25], ' ')
+        |      WHEN 1 THEN '<b>' || words[k*25+1] || '</b> &amp; ' ||
+        |        substr(array_to_string(words[k*25+1 : k*25+25], ' '),
+        |          length(words[k*25+1]) + 2, 1000000) || '&nbsp;'
+        |      ELSE '<a href="/ref">' || words[k*25+1] || '</a>' ||
+        |        CASE WHEN length(substr(
+        |            array_to_string(words[k*25+1 : k*25+25], ' '),
+        |            length(words[k*25+1]) + 2, 1000000)) > 0
+        |          THEN ' ' || substr(
+        |            array_to_string(words[k*25+1 : k*25+25], ' '),
+        |            length(words[k*25+1]) + 2, 1000000)
+        |          ELSE '' END
+        |    END || '</p>'), '') ||
+        |  '<div class="footer"><a href="/next">next page</a></div>' ||
+        |  '</body></html>' AS html FROM ph),
+        |x AS (SELECT doc_id,
+        |  list_transform(regexp_extract_all(html, '<p>(.*?)</p>', 1), p -> {
+        |    'norm': trim(regexp_replace(replace(replace(
+        |      regexp_replace(p, '<[^>]*>', '', 'g'),
+        |      '&amp;', '&'), '&nbsp;', ' '), '\s+', ' ', 'g')),
+        |    'total': length(replace(replace(
+        |      regexp_replace(p, '<[^>]*>', '', 'g'),
+        |      '&amp;', '&'), '&nbsp;', ' ')),
+        |    'link': coalesce(length(array_to_string(
+        |      regexp_extract_all(p, '<a[^>]*>(.*?)</a>', 1), '')), 0)}) ps,
+        |  list_transform(regexp_extract_all(html, '<div[^>]*>(.*?)</div>', 1), p -> {
+        |    'norm': trim(regexp_replace(replace(replace(
+        |      regexp_replace(p, '<[^>]*>', '', 'g'),
+        |      '&amp;', '&'), '&nbsp;', ' '), '\s+', ' ', 'g')),
+        |    'total': length(replace(replace(
+        |      regexp_replace(p, '<[^>]*>', '', 'g'),
+        |      '&amp;', '&'), '&nbsp;', ' ')),
+        |    'link': coalesce(length(array_to_string(
+        |      regexp_extract_all(p, '<a[^>]*>(.*?)</a>', 1), '')), 0)}) ds
+        |  FROM h),
+        |f AS (SELECT doc_id,
+        |  list_filter(ps, b -> length(b.norm) > 0 AND 2*b.link <= b.total) keep_ps,
+        |  len(list_filter(ps, b -> length(b.norm) > 0 AND 2*b.link > b.total)) drop_ps,
+        |  list_filter(ds, b -> length(b.norm) > 0 AND 2*b.link <= b.total) keep_ds,
+        |  len(list_filter(ds, b -> length(b.norm) > 0 AND 2*b.link > b.total)) drop_ds
+        |  FROM x)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(keep_ps, b -> b.norm), chr(10)) AS clean,
+        |  CAST(len(keep_ps) + len(keep_ds) AS INTEGER) AS kept_blocks,
+        |  CAST(drop_ps + drop_ds AS INTEGER) AS dropped_blocks
+        |FROM f ORDER BY doc_id""".stripMargin,
     "ann_topk" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
@@ -5382,20 +5486,28 @@ object SparkEntry {
         |    ORDER BY h, doc_id) AS BIGINT) AS pos
         |FROM ks ORDER BY shard, pos""".stripMargin,
     "edit_pairs" ->
-      // independent formulation: blocked all-pairs + levenshtein. The
-      // blocking is provably complete for distance 1 — an equal-length
-      // pair differing in BOTH its first and last character is at
-      // distance >= 2, and an insert/delete pair differs in length
+      // Deletion-variant candidates (provably complete for distance 1,
+      // so the oracle stays sf10-feasible — the earlier length-blocked
+      // all-pairs join was quadratic at 1.5M names): if lev(a,b) = 1
+      // then either it's a substitution at position i (both share the
+      // delete-at-i variant) or an insert/delete (the longer's deletion
+      // at that position IS the shorter word, which list_prepend keeps
+      // in its own variant list). Exact levenshtein still verifies
+      // every candidate — DuckDB's own edit-distance kernel, not the
+      // Spark side's.
       """WITH v AS (SELECT DISTINCT c_name AS w FROM customer
-        |  WHERE c_name IS NOT NULL AND len(c_name) >= 2)
-        |SELECT a.w AS name_a, b.w AS name_b,
-        |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
-        |FROM v a JOIN v b ON a.w < b.w
-        |  AND abs(len(a.w) - len(b.w)) <= 1
-        |  AND (len(a.w) <> len(b.w)
-        |       OR substr(a.w, 1, 1) = substr(b.w, 1, 1)
-        |       OR substr(a.w, len(a.w), 1) = substr(b.w, len(b.w), 1))
-        |WHERE levenshtein(a.w, b.w) = 1
+        |  WHERE c_name IS NOT NULL AND len(c_name) >= 2),
+        |ex AS (SELECT w, unnest(list_prepend(w,
+        |    list_transform(range(1, len(w) + 1), i ->
+        |      substr(w, 1, CAST(i - 1 AS INTEGER)) ||
+        |      substr(w, CAST(i + 1 AS INTEGER), 100000)))) var
+        |  FROM v),
+        |cand AS (SELECT DISTINCT a.w wa, b.w wb
+        |  FROM ex a JOIN ex b ON a.var = b.var AND a.w < b.w)
+        |SELECT wa AS name_a, wb AS name_b,
+        |  CAST(levenshtein(wa, wb) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(wa, wb) = 1
         |ORDER BY name_a, name_b""".stripMargin,
     "pagerank" ->
       // the same integer-mass recurrence unrolled: every step is `//`

