@@ -98,10 +98,21 @@ object Bench {
     // profile/code re-warm after ~580 intervening compilations. The
     // INTERLEAVED min-of-3 protocol (below) makes every timed run a
     // "first run after aging", so these queries never show steady state
-    // in-suite — accepted, because interleaving is what decorrelates the
-    // multi-second host-contention windows (worth far more suite-wide).
-    val passes = (1 to 3).map { _ =>
-      queries.map { case (name, fn) => timeOne(name, fn) }
+    // in-suite. Interleaving stays (it decorrelates the multi-second
+    // host-contention windows, worth far more suite-wide); instead, the
+    // LAST pass gives exactly these queries one untimed re-warm
+    // execution immediately before their timed run, so the min-of-3
+    // sees one steady-state sample. Costs ~5 s of untimed wall clock;
+    // removes the ~1.7 s/query artifact from the headline.
+    val rewarm = Set("pagerank", "textrank")
+    val passes = (1 to 3).map { p =>
+      queries.map { case (name, fn) =>
+        if (p == 3 && rewarm(name)) {
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case NonFatal(_) => () }
+        }
+        timeOne(name, fn)
+      }
     }
     val results = queries.zipWithIndex.map { case ((name, _), i) =>
       val times = passes.map(_(i))

@@ -30,11 +30,28 @@ object EventStream {
     */
   @volatile var capturePlans: Boolean = false
   val capturedPlans = new scala.collection.mutable.ArrayBuffer[String]()
+
+  /** When true, every replay also records its per-micro-batch
+    * StreamingQueryProgress JSON (durationMs breakdown: addBatch,
+    * getBatch, walCommit, commitOffsets, …) — the profiling hook for
+    * attributing the replay family's fixed cost. Costs nothing when off.
+    */
+  @volatile var captureProgress: Boolean = false
+  val capturedProgress = new scala.collection.mutable.ArrayBuffer[String]()
+
+  /** When true, fileReplay prints wall-clock section timers
+    * (stage | start | stream | asserts | readback) to stderr. */
+  @volatile var sectionTimers: Boolean = false
   private def capture(
-      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     if (capturePlans)
       org.apache.spark.sql.graft.lastExecutedPlan(q).foreach(p =>
         capturedPlans.synchronized { capturedPlans += p })
+    if (captureProgress)
+      capturedProgress.synchronized {
+        capturedProgress ++= q.recentProgress.map(_.json)
+      }
+  }
 
   /** Watermarked hourly tumbling-window aggregate. Batch: identical to a
     * date_trunc groupBy. Stream: incremental, state dropped once the
@@ -329,11 +346,10 @@ object EventStream {
     *
     * Everything data-sized stays distributed — slice writes are Spark
     * jobs, the stream reads files, results land in parquet; the driver
-    * handles only the min/max range scalars. The returned frame is
-    * `localCheckpoint`ed (result-sized, block-manager-backed) so the
-    * replay's temp directory — input copy, sink, checkpoint — can be
-    * deleted before returning instead of accreting across verify/bench
-    * runs.
+    * handles only the min/max range scalars. The returned frame reads
+    * the (result-sized) sink lazily; the replay's temp directory —
+    * sink + checkpoint — is deleted by a JVM shutdown hook, so it never
+    * outlives the process but costs no per-replay materialization job.
     */
   /** Stage `input` into `chunks` monotone slice files under `src` in
     * ONE distributed write — each slice is cut by EXACT integer
@@ -458,7 +474,7 @@ object EventStream {
 
   def fileReplay(input: DataFrame, orderCol: String, chunks: Int,
       extras: Seq[DataFrame] = Nil, requireRocksDB: Boolean = false,
-      statePartitions: Int = 4, format: String = "parquet",
+      statePartitions: Int = 2, format: String = "parquet",
       expectLateDropped: Option[(Long, Long)] = Some((0L, 0L)))
       (xform: DataFrame => Dataset[_]): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -501,8 +517,15 @@ object EventStream {
       input.queryExecution.analyzed.semanticHash(), input.schema.toDDL,
       extras.map(_.queryExecution.analyzed.semanticHash()).mkString(","),
       orderCol, chunks, format).mkString("|")
+    var tMark = System.nanoTime()
+    def section(name: String): Unit = if (sectionTimers) {
+      val now = System.nanoTime()
+      System.err.println(f"[replay-timer] $name%s ${(now - tMark) / 1e9}%.3f s")
+      tMark = now
+    } else tMark = System.nanoTime()
     val (src, _, _, expectedRows) =
       sliceCache.computeIfAbsent(key, _ => build())
+    section("stage")
     val stream = spark.readStream
       .schema(input.schema)
       .option("maxFilesPerTrigger", "1")
@@ -531,8 +554,10 @@ object EventStream {
         spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         throw e
       }
+    section("start")
     try {
       q.awaitTermination()
+      section("stream")
       capture(q)
       if (requireRocksDB) {
         val metricKeys = Option(q.lastProgress).toSeq
@@ -577,15 +602,37 @@ object EventStream {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
-    // Pin the (result-sized) sink contents into the block manager, then
-    // delete the whole replay scratch tree — otherwise every replay
-    // leaks a full copy of its input + sink + checkpoint to /tmp.
-    val out = spark.read.parquet(sink).localCheckpoint(true)
-    val walked = java.nio.file.Files.walk(tmp)
-    try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-    finally walked.close()
+    section("asserts")
+    // Return the sink LAZILY (its parquet is result-sized) and defer the
+    // scratch-tree delete to the JVM shutdown hook — the previous eager
+    // localCheckpoint(true) + immediate walk-delete pinned the result
+    // into the block manager with one extra job per replay (~0.15 s of
+    // pure fixed cost × 12 replays × 3 bench passes). The tree still
+    // never outlives the process; its bulk is the checkpoint's small
+    // state deltas (slices live in the shared sliceCache, not here).
+    deferredScratchHook
+    deferredScratch.add(tmp)
+    val out = spark.read.parquet(sink)
+    section("readback")
     out
+  }
+
+  /** Replay scratch trees awaiting the shutdown-hook delete. */
+  private val deferredScratch =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val deferredScratchHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      deferredScratch.asScala.foreach { tmp =>
+        try {
+          val walked = java.nio.file.Files.walk(tmp)
+          try walked
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walked.close()
+        } catch { case _: Throwable => () }
+      }
+    }))
   }
 
   /** Per-batch cost accounting for [[changelogReplay]]: how many of the
@@ -729,13 +776,11 @@ object EventStream {
         s"changelogReplay: micro-batches consumed $consumed rows, " +
           s"expected $nChanges")
     } finally q.stop()
-    val out = spark.read.schema(readSchema).parquet(table)
-      .drop("__bucket").localCheckpoint(true)
-    val walked = java.nio.file.Files.walk(tmp)
-    try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-    finally walked.close()
-    out
+    // Lazy return + shutdown-hook delete — same fixed-cost trim as
+    // fileReplay's readback.
+    deferredScratchHook
+    deferredScratch.add(tmp)
+    spark.read.schema(readSchema).parquet(table).drop("__bucket")
   }
 
   /** Two-source file replay for STREAM-STREAM operators: both inputs
@@ -745,8 +790,8 @@ object EventStream {
     * names in its own source directory — empty slices are written too,
     * keeping the per-source file sequences aligned. `xform` builds the
     * two-stream query (e.g. a watermarked interval join); the sink is
-    * read back, pinned, and the whole scratch tree deleted, as in
-    * [[fileReplay]]. Row conservation holds across BOTH sources:
+    * read back lazily and the scratch tree deleted at JVM shutdown, as
+    * in [[fileReplay]]. Row conservation holds across BOTH sources:
     * Σ numInputRows must equal |a| + |b|.
     *
     * Inner stream-stream joins emit eagerly on match (watermarks gate
@@ -754,7 +799,7 @@ object EventStream {
     * are needed to flush results.
     */
   def fileReplay2(a: DataFrame, b: DataFrame, orderCol: String,
-      chunks: Int, statePartitions: Int = 4)
+      chunks: Int, statePartitions: Int = 2)
       (xform: (DataFrame, DataFrame) => Dataset[_]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val spark = a.sparkSession
@@ -818,12 +863,11 @@ object EventStream {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
-    val out = spark.read.parquet(sink).localCheckpoint(true)
-    val walked = java.nio.file.Files.walk(tmp)
-    try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-    finally walked.close()
-    out
+    // Lazy return + shutdown-hook delete — same fixed-cost trim as
+    // fileReplay's readback.
+    deferredScratchHook
+    deferredScratch.add(tmp)
+    spark.read.parquet(sink)
   }
 
   /** Stream-static dimension enrichment: joins every micro-batch of a

@@ -1,12 +1,17 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [names]
 
 Registers each testdata table as a DuckDB view, runs every oracle SQL from
 <verifyOutDir>/oracle_sql.json, and compares against the Spark parquet dump
 at <verifyOutDir>/<name>/ — columns sorted by name, rows sorted, exact value
 compare (the strictest plausible version of the driver's hash compare).
+
+Optional [names] (comma-separated) restricts to a subset — the large-SF
+gate runs the suite in CHUNKED FRESH PROCESSES with it, because one
+long-lived DuckDB process accumulating 196 heavy oracle results OOMed in
+the round-10 sf10 run and cascaded 9 spurious FAILs.
 """
 import json
 import sys
@@ -35,6 +40,13 @@ def main():
             path = f"{path}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if len(sys.argv) > 3 and sys.argv[3]:
+        keep = set(sys.argv[3].split(","))
+        missing = keep - set(oracle)
+        if missing:
+            print(f"FAIL unknown query names: {sorted(missing)}")
+            sys.exit(1)
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     failed = []
     for name, sql in sorted(oracle.items()):
         try:

@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Large-SF oracle gate driver: runs tools/check.py over the full oracle
+suite in chunks of N queries, EACH CHUNK IN A FRESH PROCESS — DuckDB's
+memory in one long-lived process OOMed at sf10 in round 10 and cascaded
+9 spurious FAILs; fresh processes make every verdict independent.
+
+embed_neardup / decontam_embed route to tools/embed_oracle.py (their
+DuckDB spellings are inherently all-pairs; the sidecar is the bounded
+exact oracle — see that file's docstring).
+
+Usage: python3 tools/check_chunked.py <sfDir> <verifyOutDir> [chunk=12]
+"""
+import json
+import subprocess
+import sys
+
+SIDE_CAR = {"embed_neardup", "decontam_embed"}
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+    names = sorted(json.load(open(f"{out_dir}/oracle_sql.json")))
+    duck = [n for n in names if n not in SIDE_CAR]
+    failed = []
+    for i in range(0, len(duck), chunk):
+        part = duck[i:i + chunk]
+        r = subprocess.run(
+            [sys.executable, "tools/check.py", sf_dir, out_dir, ",".join(part)],
+            capture_output=True, text=True)
+        sys.stdout.write(r.stdout)
+        if r.returncode != 0:
+            failed += [l.split()[1].rstrip(":") for l in r.stdout.splitlines()
+                       if l.startswith("FAIL")]
+            if r.stderr:
+                sys.stdout.write(r.stderr[-2000:])
+    if any(n in SIDE_CAR for n in names):
+        r = subprocess.run(
+            [sys.executable, "tools/embed_oracle.py", sf_dir, out_dir],
+            capture_output=True, text=True)
+        sys.stdout.write(r.stdout)
+        if r.returncode != 0:
+            failed.append("embed_sidecar")
+            if r.stderr:
+                sys.stdout.write(r.stderr[-2000:])
+    print(f"\nTOTAL: {len(names) - len(failed)}/{len(names)} queries match")
+    if failed:
+        print(f"failed: {sorted(set(failed))}")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
