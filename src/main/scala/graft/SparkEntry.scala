@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, Dsir, EventAnalytics, EventTime, Expectations, FreqSketch, Fuzzy, Graph, KeyDiff, Layout, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Sharding, Similarity, Linkage, Skew, Stats, TextAnalysis, TextExtract, TimeSeries, VennDiff}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, Dsir, EventAnalytics, EventTime, Expectations, FreqSketch, Fuzzy, Graph, KeyDiff, Layout, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Sharding, Similarity, Linkage, Skew, Stats, TextAnalysis, TextExtract, TimeSeries, UrlNorm, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -1634,6 +1634,19 @@ object SparkEntry {
         TextExtract.syntheticHtml(t(s, dir, "documents"), "doc_id", "text"),
         "html")
         .orderBy("doc_id")),
+    "url_norm" -> ((s, dir) =>
+      // URL-level dedup, the FIRST dedup pass of a crawl pipeline: RFC
+      // 3986 syntax normalization + tracking-param strip, then one hash
+      // aggregate on the canonical string (no sort, no window; output
+      // bounded by the canonical key space). The messy URLs derive
+      // deterministically from (doc_id, source) in pure built-ins — the
+      // syntheticHtml pattern — so the oracle rebuilds the same bytes;
+      // a per-doc-unique gclid means NOTHING collides unless the strip
+      // rules all fire.
+      UrlNorm.dedupByCanonical(
+        UrlNorm.syntheticUrls(t(s, dir, "documents"), "doc_id", "source"),
+        "doc_id", "url")
+        .orderBy("canonical_url")),
     "decontam" -> ((s, dir) => {
       // eval/benchmark set = every 37th doc; report each remaining doc's
       // shingle overlap with it (the pre-training hygiene pass)
@@ -2114,6 +2127,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           round(-avg(log2(col("prob"))), 4).as("cross_entropy"))
         .orderBy("doc_id")
+    }),
+    "ccnet_bucket" -> ((s, dir) => {
+      // CCNet-style quality bucketing (Wenzek et al., LREC 2020): score
+      // every doc under the corpus bigram LM (the perplexity query's
+      // model), then cut each language's score distribution into
+      // head / middle / tail terciles — the standard crawl-quality
+      // stratification before mixing. Tercile assignment is the exact
+      // integer rule rn*3 <= cnt / rn*3 <= 2*cnt over the total order
+      // (cross_entropy, doc_id), deterministic in both engines. The
+      // per-lang row_number is one shuffle+sort, linear; at true corpus
+      // scale CCNet computes the two cut points from a sample (or the
+      // exact distributed selection in ops/Quantiles) and classifies
+      // map-side — same rule, no global sort.
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id"),
+        explode(TextAnalysis.mergePairs(col("text"))).as("pair"))
+      val lm = pairs.groupBy("pair")
+        .agg(count(lit(1)).cast("double").as("n_ab"))
+        .withColumn("w1", split(col("pair"), " ").getItem(0))
+      val pre = lm.groupBy("w1").agg(sum(col("n_ab")).as("n_w1"))
+      val v = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .agg(countDistinct(col("t")).cast("double").as("__v"))
+      val prob = lm.join(pre, "w1").crossJoin(broadcast(v))
+        .select(col("pair"),
+          ((col("n_ab") + 1.0) / (col("n_w1") + col("__v"))).as("prob"))
+      val ce = pairs.join(broadcast(prob), "pair")
+        .groupBy("doc_id")
+        .agg(round(-avg(log2(col("prob"))), 4).as("cross_entropy"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("cross_entropy"), col("doc_id"))
+      ce.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+        .withColumn("bucket",
+          when(col("rn") * 3 <= col("cnt"), "head")
+            .when(col("rn") * 3 <= col("cnt") * 2, "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("cross_entropy").as("min_ce"),
+          max("cross_entropy").as("max_ce"))
+        .orderBy("lang", "bucket")
     }),
     "dsir_scores" -> ((s, dir) => {
       // DSIR importance scoring (Xie et al. 2023): rank every raw doc by
@@ -4267,6 +4323,58 @@ object SparkEntry {
         |  CAST(len(keep_ps) + len(keep_ds) AS INTEGER) AS kept_blocks,
         |  CAST(drop_ps + drop_ds AS INTEGER) AS dropped_blocks
         |FROM f ORDER BY doc_id""".stripMargin,
+    "url_norm" ->
+      // Oracle rebuilds the messy URLs byte-for-byte (same grammar as
+      // UrlNorm.syntheticUrls), canonicalizes with the same RFC-3986
+      // rule set (lowercase scheme/host, www. strip, default-port strip,
+      // fragment drop, trailing-slash strip, tracking-param strip +
+      // param sort), and rolls up by canonical string.
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) ||
+        |    '.Example.COM' ||
+        |    (CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN ':80'
+        |          WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 17 = 0 THEN ''
+        |          ELSE '/Articles/' || (doc_id % 20) ||
+        |            (CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END) END) ||
+        |    '?' ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |          THEN 'utm_source=feed&z=' || (doc_id % 3) || '&page=' ||
+        |            (doc_id % 4) || '&gclid=g' || doc_id
+        |          ELSE 'page=' || (doc_id % 4) || '&ref=r' || doc_id ||
+        |            '&z=' || (doc_id % 3) END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '#sec-' || (doc_id % 7)
+        |          ELSE '' END) AS url
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query0
+        |  FROM u),
+        |g AS (SELECT doc_id, scheme,
+        |    regexp_replace(lower(string_split(hostport, ':')[1]), '^www\.', '') AS host,
+        |    CASE WHEN len(string_split(hostport, ':')) > 1
+        |         THEN string_split(hostport, ':')[2] END AS port,
+        |    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(path0, '/+$', '') END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(query0, '&'),
+        |      p -> p <> '' AND NOT (starts_with(p, 'utm_') OR
+        |        starts_with(p, 'fbclid=') OR starts_with(p, 'gclid=') OR
+        |        starts_with(p, 'ref=')))), '&') AS canonq
+        |  FROM f)
+        |SELECT scheme || '://' || host ||
+        |    (CASE WHEN port IS NOT NULL AND
+        |          NOT ((scheme = 'http' AND port = '80') OR
+        |               (scheme = 'https' AND port = '443'))
+        |          THEN ':' || port ELSE '' END) ||
+        |    path ||
+        |    (CASE WHEN canonq <> '' THEN '?' || canonq ELSE '' END)
+        |      AS canonical_url,
+        |  CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS kept_doc
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_topk" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
@@ -4955,6 +5063,36 @@ object SparkEntry {
          |  round(-avg(log2(p.prob)), 4) AS cross_entropy
          |FROM pr JOIN p USING (pair)
          |GROUP BY pr.doc_id ORDER BY pr.doc_id""".stripMargin,
+    "ccnet_bucket" ->
+      // perplexity's LM CTEs + per-lang tercile cut on the exact integer
+      // rule rn*3 <= cnt / rn*3 <= 2*cnt over (cross_entropy, doc_id)
+      s"""WITH $toksCte,
+         |pr AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |         i -> toks[i] || ' ' || toks[i+1])) AS pair
+         |       FROM toks WHERE len(toks) >= 2),
+         |lm AS (SELECT pair, CAST(count(*) AS DOUBLE) AS n_ab
+         |       FROM pr GROUP BY pair),
+         |pre AS (SELECT split_part(pair, ' ', 1) AS w1, sum(n_ab) AS n_w1
+         |        FROM lm GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+         |       FROM (SELECT unnest(toks) AS t FROM toks)),
+         |p AS (SELECT lm.pair, (lm.n_ab + 1.0) / (pre.n_w1 + vv.v) AS prob
+         |      FROM lm JOIN pre ON split_part(lm.pair, ' ', 1) = pre.w1
+         |      CROSS JOIN vv),
+         |ce AS (SELECT pr.doc_id,
+         |         round(-avg(log2(p.prob)), 4) AS cross_entropy
+         |       FROM pr JOIN p USING (pair) GROUP BY pr.doc_id),
+         |cl AS (SELECT ce.doc_id, d.lang, ce.cross_entropy,
+         |         row_number() OVER (PARTITION BY d.lang
+         |           ORDER BY ce.cross_entropy, ce.doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY d.lang) AS cnt
+         |       FROM ce JOIN documents d ON ce.doc_id = d.doc_id)
+         |SELECT lang,
+         |  CASE WHEN rn*3 <= cnt THEN 'head'
+         |       WHEN rn*3 <= cnt*2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(cross_entropy) AS min_ce, max(cross_entropy) AS max_ce
+         |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dsir_scores" ->
       // same 256-bucket md5 feature hash, add-one smoothing and
       // textually-parallel float formula as Dsir.dsirScores

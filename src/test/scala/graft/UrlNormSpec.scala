@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.UrlNorm
+
+/** Edge cases for the URL canonicalizer — hand-built URLs exercising
+  * rule corners the synthetic crawl (and so the DuckDB oracle) cannot
+  * reach: non-default ports on both schemes, `www.` on a bare domain,
+  * tracking-only query (query dropped entirely), repeated trailing
+  * slashes, root path + fragment only, param-sort stability, and
+  * case-sensitive paths surviving a case-insensitive host.
+  */
+class UrlNormSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def canon(url: String): String = {
+    import spark.implicits._
+    Seq(url).toDF("url")
+      .select(UrlNorm.canonicalizeUrl(org.apache.spark.sql.functions.col("url")))
+      .head().getString(0)
+  }
+
+  test("scheme and host lowercase; path case preserved") {
+    assert(canon("HTTPS://ExAmPle.COM/CaseSensitive/Path") ==
+      "https://example.com/CaseSensitive/Path")
+  }
+
+  test("www. strip and default ports strip, per scheme") {
+    assert(canon("http://www.a.com:80/x") == "http://a.com/x")
+    assert(canon("https://WWW.a.com:443/x") == "https://a.com/x")
+  }
+
+  test("non-default ports kept, including cross-scheme defaults") {
+    assert(canon("http://a.com:8080/x") == "http://a.com:8080/x")
+    // http on 443 is NOT the default pairing — keep it
+    assert(canon("http://a.com:443/x") == "http://a.com:443/x")
+    assert(canon("https://a.com:80/x") == "https://a.com:80/x")
+  }
+
+  test("fragment drops; empty path becomes /") {
+    assert(canon("https://a.com#frag") == "https://a.com/")
+    assert(canon("https://a.com/p#frag") == "https://a.com/p")
+  }
+
+  test("trailing slash runs strip; root survives as /") {
+    assert(canon("https://a.com/p///") == "https://a.com/p")
+    assert(canon("https://a.com///") == "https://a.com/")
+  }
+
+  test("tracking params strip; rest sort by name=value bytes") {
+    assert(canon("https://a.com/p?z=2&utm_source=x&a=1&gclid=g9&page=3") ==
+      "https://a.com/p?a=1&page=3&z=2")
+    // tracking-only query: the '?' disappears entirely
+    assert(canon("https://a.com/p?utm_medium=m&fbclid=f&ref=rss") ==
+      "https://a.com/p")
+    // empty fragments of the query (&&) drop
+    assert(canon("https://a.com/p?&b=2&&a=1&") == "https://a.com/p?a=1&b=2")
+  }
+
+  test("ref strips only as a whole param name (refresh=1 survives)") {
+    assert(canon("https://a.com/p?refresh=1&ref=rss") ==
+      "https://a.com/p?refresh=1")
+  }
+
+  test("idempotent: canonicalizing a canonical URL is a no-op") {
+    val once = canon("HTTP://WWW.B.com:80/Art/7/?z=1&utm_source=s#f")
+    assert(canon(once) == once)
+  }
+
+  test("synthetic corpus: every canonical group's members canonicalize equal") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val urls = UrlNorm.syntheticUrls(docs, "doc_id", "source")
+    val rolled = UrlNorm.dedupByCanonical(urls, "doc_id", "url")
+    val n = rolled.agg(sum("n_docs")).head().getLong(0)
+    assert(n == docs.count(), "every doc lands in exactly one canonical group")
+    // the per-doc-unique gclid means the RAW urls are all distinct —
+    // any collision is the canonicalizer's doing
+    assert(urls.select("url").distinct().count() == docs.count())
+    assert(rolled.count() < n, "at least one group has >1 member at sf0.01")
+  }
+}
