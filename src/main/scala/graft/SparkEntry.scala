@@ -278,16 +278,30 @@ object SparkEntry {
         .orderBy("l_orderkey")),
     // --- analytics: aggregation / join / window / top-k -------------------
     "q1_agg" -> ((s, dir) => {
+      // sum_base_price / sum_disc_price as exact integer cents /
+      // ten-thousandths (the revenueL4 palette): the double sums
+      // drifted past the cent at sf100's ~2.8e12 per-group totals —
+      // the cube_sales/rollup_sales stratum, one decade later.
+      // sum_qty stays a double sum (integral quantities, total
+      // 1.4e9 ≪ 2^53, exact); the 4-decimal averages are n-divided
+      // and stable.
+      val baseC = round(col("l_extendedprice") * 100, 0).cast("long")
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(revenue), 2).as("sum_disc_price"),
+          sum(baseC).as("__bc"), max(abs(baseC)).as("__bm"),
+          sum(revenueL4).as("__r4"), max(abs(revenueL4)).as("__rm"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_extendedprice"), 4).as("avg_price"),
           count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          (l4Guarded(col("__bc"), col("__bm"), col("count_order"))
+            .cast("double") / 100.0).as("sum_base_price"),
+          (l4ToCents(l4Guarded(col("__r4"), col("__rm"), col("count_order")))
+            .cast("double") / 100.0).as("sum_disc_price"),
+          col("avg_qty"), col("avg_price"), col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
     "q3_topk" -> ((s, dir) => {
@@ -309,7 +323,13 @@ object SparkEntry {
         .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .groupBy("n_name")
-        .agg(round(sum(revenue), 2).as("rev"))
+        // exact long-ten-thousandths revenue (the cube_sales palette):
+        // the double sum drifted a cent at sf100's ~1.3e12 nation totals
+        .agg(sum(revenueL4).as("__r4"), max(abs(revenueL4)).as("__m"),
+          count(lit(1)).as("__n"))
+        .select(col("n_name"),
+          (l4ToCents(l4Guarded(col("__r4"), col("__m"), col("__n")))
+            .cast("double") / 100.0).as("rev"))
         .orderBy(col("rev").desc, col("n_name"))
     }),
     "q7_volume" -> ((s, dir) => {
@@ -386,13 +406,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
         .orderBy("o_orderpriority")
     }),
-    "q6_forecast" -> ((s, dir) =>
+    "q6_forecast" -> ((s, dir) => {
       // the pure scan-filter-agg shape: every predicate must reach the
-      // parquet scan (PushedFilters), output is a single global aggregate
+      // parquet scan (PushedFilters), output is a single global
+      // aggregate. price×discount is an exact 4-decimal rational →
+      // long ten-thousandths (the double sum drifted 0.07 at sf100's
+      // 2.6e11 total).
+      val fc4 = round(col("l_extendedprice") * col("l_discount") * 10000, 0)
+        .cast("long")
       t(s, dir, "lineitem")
         .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
-          count(lit(1)).as("n"))),
+        .agg(sum(fc4).as("__r4"), max(abs(fc4)).as("__m"),
+          count(lit(1)).as("n"))
+        .select(
+          (l4ToCents(l4Guarded(col("__r4"), col("__m"), col("n")))
+            .cast("double") / 100.0).as("revenue"),
+          col("n"))
+    }),
     "q14_promo" -> ((s, dir) => {
       // conditional-aggregate share: one joined scan, both sums in the
       // same partial aggregate, ratio + rounding above the agg
@@ -2895,8 +2925,10 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_extendedprice), 4) AS avg_price,
         |  CAST(count(*) AS BIGINT) AS count_order
@@ -2916,7 +2948,9 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_region" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS rev
         |FROM region
         |JOIN nation ON r_regionkey = n_regionkey
         |JOIN customer ON n_nationkey = c_nationkey
@@ -3585,7 +3619,9 @@ object SparkEntry {
         |  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q6_forecast" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      """SELECT
+        |  CAST(round(sum(CAST(round(l_extendedprice * l_discount, 4)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
