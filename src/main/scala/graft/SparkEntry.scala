@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, Dsir, EventAnalytics, EventTime, Expectations, FreqSketch, Fuzzy, Graph, KeyDiff, Layout, Multimodal, ProductQuant, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Sharding, Similarity, Linkage, Skew, Stats, TextAnalysis, TextExtract, TimeSeries, UrlNorm, VennDiff}
+import graft.ops.{AsOfJoin, BloomJoin, Chunking, DataTests, Decontam, Dedup, DistinctSketch, Dsir, EventAnalytics, EventTime, Expectations, FreqSketch, Fuzzy, Graph, KeyDiff, Layout, Multimodal, ProductQuant, QualityClf, Quantiles, RangeJoin, Ranking, Relevance, Sampling, Sharding, Similarity, Linkage, Skew, Stats, TextAnalysis, TextExtract, TimeSeries, UrlNorm, VennDiff}
 import graft.streaming.EventStream
 
 /** Driver contract — the query inventory (one entry per operator from
@@ -59,6 +59,36 @@ object SparkEntry {
       Seq(FsField("seg", col("c_mktsegment"), 0.9),
         FsField("name2", substring(col("c_name"), -2, 2), 0.9),
         FsField("cents2", col("cents"), 0.95)))
+  }
+
+  /** Per-doc cross-entropy under the corpus's own add-one-smoothed bigram
+    * LM — the model behind `perplexity` and `ccnet_bucket`: (doc_id,
+    * n_pairs, cross_entropy). Scoring the corpus under its own LM makes
+    * every pair in-vocabulary, so the smoothing never hits the
+    * unseen-pair branch (deterministic). Scale shape: the LM is an
+    * aggregate of the corpus's own pair stream and GROWS with corpus
+    * vocabulary — it is NOT broadcast (a fixed shipped KenLM artifact
+    * would be); the score join rides an ordinary pair-key shuffle, which
+    * AQE is free to convert to broadcast at runtime when the realized LM
+    * is small. At web scale prune the LM head first — same shape.
+    */
+  private def bigramCe(docs: DataFrame): DataFrame = {
+    val pairs = docs.select(col("doc_id"),
+      explode(TextAnalysis.mergePairs(col("text"))).as("pair"))
+    val lm = pairs.groupBy("pair")
+      .agg(count(lit(1)).cast("double").as("n_ab"))
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+    val pre = lm.groupBy("w1").agg(sum(col("n_ab")).as("n_w1"))
+    val v = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).cast("double").as("__v"))
+    val prob = lm.join(pre, "w1").crossJoin(broadcast(v))
+      .select(col("pair"),
+        ((col("n_ab") + 1.0) / (col("n_w1") + col("__v"))).as("prob"))
+    pairs.join(prob, "pair")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(-avg(log2(col("prob"))), 4).as("cross_entropy"))
   }
 
   private def vennOld(s: SparkSession, dir: String): DataFrame =
@@ -2132,68 +2162,50 @@ object SparkEntry {
           col("n").cast("double") / sum(col("n")).over(w).cast("double"), 4))
         .orderBy(col("n").desc, col("pair")).limit(30)
     }),
-    "perplexity" -> ((s, dir) => {
+    "perplexity" -> ((s, dir) =>
       // the classic LLM quality filter: per-doc cross-entropy under the
-      // corpus bigram LM (add-one smoothed). The LM is vocab²-bounded —
-      // one corpus pair count, broadcast back over the pair stream; at
-      // web scale prune the LM head first, same shape. Scoring the
-      // corpus under its own LM makes every pair in-vocabulary, so the
-      // smoothing never hits the unseen-pair branch (deterministic).
-      val docs = t(s, dir, "documents")
-      val pairs = docs.select(col("doc_id"),
-        explode(TextAnalysis.mergePairs(col("text"))).as("pair"))
-      val lm = pairs.groupBy("pair")
-        .agg(count(lit(1)).cast("double").as("n_ab"))
-        .withColumn("w1", split(col("pair"), " ").getItem(0))
-      val pre = lm.groupBy("w1").agg(sum(col("n_ab")).as("n_w1"))
-      val v = docs
-        .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
-        .agg(countDistinct(col("t")).cast("double").as("__v"))
-      val prob = lm.join(pre, "w1").crossJoin(broadcast(v))
-        .select(col("pair"),
-          ((col("n_ab") + 1.0) / (col("n_w1") + col("__v"))).as("prob"))
-      pairs.join(broadcast(prob), "pair")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_pairs"),
-          round(-avg(log2(col("prob"))), 4).as("cross_entropy"))
-        .orderBy("doc_id")
-    }),
+      // corpus bigram LM (add-one smoothed) — see bigramCe for the model
+      // and its scale shape (LM rides a key shuffle, never a broadcast).
+      bigramCe(t(s, dir, "documents"))
+        .select("doc_id", "n_pairs", "cross_entropy")
+        .orderBy("doc_id")),
     "ccnet_bucket" -> ((s, dir) => {
       // CCNet-style quality bucketing (Wenzek et al., LREC 2020): score
       // every doc under the corpus bigram LM (the perplexity query's
       // model), then cut each language's score distribution into
       // head / middle / tail terciles — the standard crawl-quality
       // stratification before mixing. Tercile assignment is the exact
-      // integer rule rn*3 <= cnt / rn*3 <= 2*cnt over the total order
-      // (cross_entropy, doc_id), deterministic in both engines. The
-      // per-lang row_number is one shuffle+sort, linear; at true corpus
-      // scale CCNet computes the two cut points from a sample (or the
-      // exact distributed selection in ops/Quantiles) and classifies
-      // map-side — same rule, no global sort.
+      // integer rank rule rn*3 <= cnt / rn*3 <= 2*cnt over the total
+      // order (cross_entropy, doc_id) — identical in both engines —
+      // but computed the way CCNet computes it at corpus scale: the
+      // per-language cut points (the rows at ranks ⌊n/3⌋ and ⌊2n/3⌋)
+      // come from Quantiles.exactRankSelect's fully parallel two-pass
+      // distributed selection, then every doc classifies MAP-SIDE with
+      // two composite comparisons against the broadcast cut table
+      // (2 rows per language). rn <= ⌊n/3⌋ ⟺ (ce, doc_id) <= the
+      // rank-⌊n/3⌋ row's key, since (ce, doc_id) is a total order —
+      // bit-identical to the row_number spelling (pinned by
+      // PipelineOpsSpec) with no per-language global sort: the round-11
+      // window form sent each language's entire corpus slice through
+      // ONE reducer.
       val docs = t(s, dir, "documents")
-      val pairs = docs.select(col("doc_id"),
-        explode(TextAnalysis.mergePairs(col("text"))).as("pair"))
-      val lm = pairs.groupBy("pair")
-        .agg(count(lit(1)).cast("double").as("n_ab"))
-        .withColumn("w1", split(col("pair"), " ").getItem(0))
-      val pre = lm.groupBy("w1").agg(sum(col("n_ab")).as("n_w1"))
-      val v = docs
-        .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
-        .agg(countDistinct(col("t")).cast("double").as("__v"))
-      val prob = lm.join(pre, "w1").crossJoin(broadcast(v))
-        .select(col("pair"),
-          ((col("n_ab") + 1.0) / (col("n_w1") + col("__v"))).as("prob"))
-      val ce = pairs.join(broadcast(prob), "pair")
-        .groupBy("doc_id")
-        .agg(round(-avg(log2(col("prob"))), 4).as("cross_entropy"))
+      // built twice (cut-point pass + classify pass) — the winsorize
+      // pattern: recomputing a linear pipeline beats persisting a
+      // corpus-sized intermediate at scale
+      def scored = bigramCe(docs)
+        .select("doc_id", "cross_entropy")
         .join(docs.select("doc_id", "lang"), "doc_id")
-      val w = Window.partitionBy("lang")
-        .orderBy(col("cross_entropy"), col("doc_id"))
-      ce.withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+      val cuts = Quantiles.exactRankSelect(scored, Seq("lang"),
+        Seq("cross_entropy", "doc_id"),
+        n => Seq(("head", n / 3), ("middle", 2 * n / 3)))
+      val cutKey = struct(col("cross_entropy").as("ce"), col("doc_id").as("id"))
+      val cutsWide = cuts.groupBy("lang").agg(
+        max(when(col("rank_name") === "head", cutKey)).as("__c1"),
+        max(when(col("rank_name") === "middle", cutKey)).as("__c2"))
+      scored.join(broadcast(cutsWide), "lang")
         .withColumn("bucket",
-          when(col("rn") * 3 <= col("cnt"), "head")
-            .when(col("rn") * 3 <= col("cnt") * 2, "middle")
+          when(col("__c1").isNotNull && cutKey <= col("__c1"), "head")
+            .when(col("__c2").isNotNull && cutKey <= col("__c2"), "middle")
             .otherwise("tail"))
         .groupBy("lang", "bucket")
         .agg(count(lit(1)).as("n_docs"),
@@ -2201,6 +2213,14 @@ object SparkEntry {
           max("cross_entropy").as("max_ce"))
         .orderBy("lang", "bucket")
     }),
+    "quality_clf" -> ((s, dir) =>
+      // fastText-style linear quality classifier: hashed-bigram features
+      // scored map-side against a broadcast m-row weight table, exact
+      // integer margins — see ops/QualityClf for the model and the
+      // 100 TB plan (model bounded by m, never corpus vocabulary)
+      QualityClf.score(t(s, dir, "documents"), "doc_id", "text",
+        QualityClf.hashWeights(s, 256), m = 256)
+        .orderBy("doc_id")),
     "dsir_scores" -> ((s, dir) => {
       // DSIR importance scoring (Xie et al. 2023): rank every raw doc by
       // how much its hashed-bigram profile resembles the target domain
@@ -4386,23 +4406,29 @@ object SparkEntry {
         |  FROM documents),
         |f AS (SELECT doc_id,
         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+        |    regexp_replace(
+        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      '^.*@', '') AS hostport,
         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-        |    regexp_extract(url, '\?([^#]*)', 1) AS query0
+        |    regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query0
         |  FROM u),
         |g AS (SELECT doc_id, scheme,
-        |    regexp_replace(lower(string_split(hostport, ':')[1]), '^www\.', '') AS host,
-        |    CASE WHEN len(string_split(hostport, ':')) > 1
-        |         THEN string_split(hostport, ':')[2] END AS port,
+        |    CASE WHEN starts_with(hostport, '[')
+        |         THEN lower(regexp_extract(hostport, '^(\[[^\]]*\])', 1))
+        |         ELSE regexp_replace(lower(string_split(hostport, ':')[1]),
+        |                '^www\.', '') END AS host,
+        |    CASE WHEN starts_with(hostport, '[')
+        |         THEN regexp_extract(hostport, '^\[[^\]]*\]:([^:]*)$', 1)
+        |         WHEN len(string_split(hostport, ':')) > 1
+        |         THEN string_split(hostport, ':')[2] ELSE '' END AS port,
         |    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
         |         ELSE regexp_replace(path0, '/+$', '') END AS path,
         |    array_to_string(list_sort(list_filter(string_split(query0, '&'),
-        |      p -> p <> '' AND NOT (starts_with(p, 'utm_') OR
-        |        starts_with(p, 'fbclid=') OR starts_with(p, 'gclid=') OR
-        |        starts_with(p, 'ref=')))), '&') AS canonq
+        |      p -> p <> '' AND NOT (starts_with(string_split(p, '=')[1], 'utm_') OR
+        |        string_split(p, '=')[1] IN ('fbclid', 'gclid', 'ref')))), '&') AS canonq
         |  FROM f)
         |SELECT scheme || '://' || host ||
-        |    (CASE WHEN port IS NOT NULL AND
+        |    (CASE WHEN port <> '' AND
         |          NOT ((scheme = 'http' AND port = '80') OR
         |               (scheme = 'https' AND port = '443'))
         |          THEN ':' || port ELSE '' END) ||
@@ -5129,6 +5155,26 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  min(cross_entropy) AS min_ce, max(cross_entropy) AS max_ce
          |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "quality_clf" ->
+      // same 256-bucket md5 feature hash as Dsir; the weight table is
+      // rebuilt from the same md5 expression as QualityClf.hashWeights;
+      // margins are exact integer sums — no float anywhere
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, ' +'), t -> t <> '') toks
+        |  FROM documents),
+        |pr AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS pair
+        |  FROM tk WHERE len(toks) >= 2),
+        |pb AS (SELECT doc_id,
+        |    (('0x' || substr(md5(pair), 1, 8))::BIGINT % 256) AS b FROM pr),
+        |w AS (SELECT b,
+        |    (('0x' || substr(md5('w:' || b), 1, 8))::BIGINT % 201 - 100) AS w
+        |  FROM (SELECT unnest(range(0, 256)) AS b))
+        |SELECT pb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |  CAST(sum(w.w) AS BIGINT) AS score,
+        |  CASE WHEN sum(w.w) > 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM pb JOIN w USING (b)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dsir_scores" ->
       // same 256-bucket md5 feature hash, add-one smoothing and
       // textually-parallel float formula as Dsir.dsirScores

@@ -305,6 +305,125 @@ object Quantiles {
     } finally { sorted.unpersist(); () }
   }
 
+  /** Exact per-group selection of the rows at given 1-indexed RANKS under
+    * a COMPOSITE lexicographic (orderCols) total order — the cut-point
+    * machinery for rank-rule bucketing (CCNet terciles: "the doc at rank
+    * ⌊n/3⌋ of (cross_entropy, doc_id)"), where [[exactSelect]]'s
+    * single-double interpolated form doesn't apply because the rank rule
+    * tie-breaks on a second column and wants the row's exact values, not
+    * an interpolation.
+    *
+    * Same two-pass distributed-selection shape as [[exactSelect]]:
+    * (1) range-partition on (group, orderCols) + sort WITHIN partitions —
+    * a fully parallel total order, never one sequential partition per
+    * group; (2) per-(partition, group) contiguous-run counts to the
+    * driver (P×G longs, never rows); (3) each wanted rank resolves to
+    * exactly one (partition, local offset) and a positional pick inside
+    * that sorted run. `ranks` maps a group's row count n to the named
+    * 1-indexed ranks wanted; ranks outside [1, n] are skipped (a 2-row
+    * group has an empty first tercile). Output is
+    * (groupCols*, rank_name, orderCols*) — bounded by groups × ranks,
+    * broadcastable back for map-side classification.
+    */
+  def exactRankSelect(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], ranks: Long => Seq[(String, Long)],
+      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val spark = df.sparkSession
+    val p0 = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val gcols = groupCols.map(col)
+    val ocols = orderCols.map(col)
+    val sorted = df
+      .select(struct(gcols: _*).as("__g"), struct(ocols: _*).as("__o"))
+      .repartitionByRange(p0, col("__g"), col("__o"))
+      .sortWithinPartitions("__g", "__o")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-(partition, group) counts — groups are contiguous
+      // runs inside the sorted partition, one streaming fold
+      val counts: Array[(Int, Row, Long)] =
+        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Row, Long)]
+          var cur: Row = null
+          var c = 0L
+          it.foreach { r =>
+            val g = r.getStruct(0)
+            if (cur == null || g != cur) {
+              if (cur != null) buf += ((pid, cur, c))
+              cur = g; c = 0L
+            }
+            c += 1
+          }
+          if (cur != null) buf += ((pid, cur, c))
+          buf.iterator
+        }.collect()
+      val byGroup: Map[Row, Array[(Int, Long)]] = counts.groupBy(_._2)
+        .map { case (g, arr) => g -> arr.sortBy(_._1).map(a => (a._1, a._3)) }
+      // driver-side rank → (partition, within-group local index)
+      val wantedByPid =
+        scala.collection.mutable.Map.empty[Int,
+          scala.collection.mutable.ArrayBuffer[(Row, String, Long)]]
+      byGroup.foreach { case (g, parts) =>
+        val n = parts.map(_._2).sum
+        ranks(n).foreach { case (name, rk) =>
+          if (rk >= 1L && rk <= n) {
+            var rem = rk - 1L // 1-indexed rank → 0-based offset
+            var i = 0
+            while (rem >= parts(i)._2) { rem -= parts(i)._2; i += 1 }
+            wantedByPid.getOrElseUpdate(parts(i)._1,
+              scala.collection.mutable.ArrayBuffer.empty) += ((g, name, rem))
+          }
+        }
+      }
+      val bc = spark.sparkContext.broadcast(
+        wantedByPid.map { case (pid, a) =>
+          pid -> a.toArray.groupBy(_._1).map { case (g, ws) =>
+            g -> ws.map(w => (w._2, w._3)).sortBy(_._2)
+          }
+        }.toMap)
+      // pass 2: positional selection inside each sorted run
+      val found: Array[(Row, String, Row)] =
+        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          bc.value.get(pid) match {
+            case None => Iterator.empty
+            case Some(byG) =>
+              val out =
+                scala.collection.mutable.ArrayBuffer.empty[(Row, String, Row)]
+              var cur: Row = null
+              var idx = 0L
+              var arr: Array[(String, Long)] = null
+              var w = 0
+              it.foreach { r =>
+                val g = r.getStruct(0)
+                if (cur == null || g != cur) {
+                  cur = g; idx = 0L; w = 0
+                  arr = byG.getOrElse(g, null)
+                }
+                if (arr != null) {
+                  // consecutive equal offsets: two rank names may land on
+                  // the same row (⌊n/3⌋ = ⌊2n/3⌋ for tiny n)
+                  while (w < arr.length && arr(w)._2 == idx) {
+                    out += ((g, arr(w)._1, r.getStruct(1))); w += 1
+                  }
+                }
+                idx += 1
+              }
+              out.iterator
+          }
+        }.collect()
+      val outRows = found.map { case (g, name, o) =>
+        Row.fromSeq(g.toSeq ++ (name +: o.toSeq))
+      }
+      val schema = StructType(df.select(gcols: _*).schema.fields ++
+        (StructField("rank_name", StringType) +:
+          df.select(ocols: _*).schema.fields))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(outRows.toSeq, 1), schema)
+    } finally { sorted.unpersist(); () }
+  }
+
   def exactHistogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
     val gcols = groupCols.map(col)

@@ -18,12 +18,19 @@ import org.apache.spark.sql.functions._
   *   - leading `www.` dropped from the host;
   *   - default ports stripped (`:80` for http, `:443` for https); any
   *     other explicit port kept;
-  *   - fragment dropped (never sent to the server);
+  *   - fragment dropped (never sent to the server) — and a `?` INSIDE the
+  *     fragment is fragment text, not a query (`/p#frag?x=1` has no query);
+  *   - userinfo dropped (`user:pass@host` → `host`: credentials are never
+  *     part of the resource identity);
+  *   - bracketed IPv6 authorities (`[2001:db8::1]:8080`) parse the port
+  *     after `]:`, never by splitting the colons inside the literal;
   *   - trailing `/` runs stripped from the path; empty path → `/`;
-  *   - query params with tracking names dropped (`utm_*`, `fbclid`,
-  *     `gclid`, `ref`), the rest SORTED by full `name=value` byte order
-  *     and re-joined (param order is almost never semantic; sorting makes
-  *     equal param SETS compare equal).
+  *   - query params whose NAME (the part before `=`, or the whole token
+  *     when valueless) is a tracking name dropped (`utm_*`, `fbclid`,
+  *     `gclid`, `ref` — `?fbclid` and `?fbclid=x` both strip), the rest
+  *     SORTED by full `name=value` byte order and re-joined (param order
+  *     is almost never semantic; sorting makes equal param SETS compare
+  *     equal).
   *
   * Scale design: canonicalization is pure per-row expression work —
   * regexp field extraction plus an array filter/sort over the ≤dozen
@@ -42,24 +49,42 @@ object UrlNorm {
     */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    val host = regexp_replace(
-      lower(element_at(split(hostport, ":"), 1)), "^www\\.", "")
+    val authority = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // userinfo strips through the LAST '@' — RFC 3986 forbids a bare '@'
+    // in host or port, so everything before one is credentials
+    val hostport = regexp_replace(authority, "^.*@", "")
+    // bracketed IPv6 literal: the host is the [...] chunk verbatim (colons
+    // inside are address text, not a port separator); the port, if any,
+    // follows ']:'. regexp_extract yields '' on no match, so both arms are
+    // total.
+    val bracketed = hostport.startsWith("[")
     val portArr = split(hostport, ":")
     // CaseWhen evaluates lazily — element_at(…, 2) must not run on a
     // port-less host (ANSI mode turns the out-of-bounds into an error)
-    val port = when(size(portArr) > 1, element_at(portArr, 2))
-    val keepPort = (size(portArr) > 1) &&
+    val host = when(bracketed, lower(regexp_extract(hostport, "^(\\[[^\\]]*\\])", 1)))
+      .otherwise(regexp_replace(
+        lower(element_at(portArr, 1)), "^www\\.", ""))
+    val port = when(bracketed, regexp_extract(hostport, "^\\[[^\\]]*\\]:([^:]*)$", 1))
+      .when(size(portArr) > 1, element_at(portArr, 2))
+      .otherwise(lit(""))
+    val keepPort = (port =!= "") &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
     val path0 = regexp_extract(
       url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val pathStripped = regexp_replace(path0, "/+$", "")
     val path = when(pathStripped === "", lit("/")).otherwise(pathStripped)
-    val query0 = regexp_extract(url, "\\?([^#]*)", 1)
-    val kept = filter(split(query0, "&"), p =>
-      (p =!= "") && !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
-        p.startsWith("gclid=") || p.startsWith("ref=")))
+    // anchor to the pre-fragment prefix: a '?' that first appears after
+    // '#' is fragment text, not a query delimiter
+    val query0 = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
+    // tracking match is on the param NAME — before '=' if any, the whole
+    // token when valueless — so '?fbclid' strips like '?fbclid=x' and a
+    // valueless 'utm_x' strips like 'utm_x=1'
+    val kept = filter(split(query0, "&"), p => {
+      val nm = substring_index(p, "=", 1)
+      (p =!= "") && !(nm.startsWith("utm_") ||
+        nm === "fbclid" || nm === "gclid" || nm === "ref")
+    })
     val canonQ = array_join(array_sort(kept), "&")
     concat(scheme, lit("://"), host,
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),

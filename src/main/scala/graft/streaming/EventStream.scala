@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -402,6 +402,23 @@ object EventStream {
     root
   }
 
+  /** State-partition count for a replay: the caller's explicit pin when
+    * > 0, otherwise scaled to rows per micro-batch. The round-10
+    * constant (2) was right at sf0.1 — ~10⁴-row batches, where per-batch
+    * state-store open/commit cost dominates and fewer stores is strictly
+    * faster — but throttled sf10's 5M-row batches (round-11 BASELINE.md
+    * ratio table pinned it as a small-SF knob). The right count is a
+    * function of batch VOLUME: one state partition per ~500k rows per
+    * batch, clamped to [2, session parallelism]. On a real cluster the
+    * same rule holds with cluster cores as the cap.
+    */
+  private def autoStatePartitions(spark: SparkSession, totalRows: Long,
+      batches: Int): Int = {
+    val perBatch = totalRows / math.max(1, batches)
+    math.min(math.max(2L, perBatch / 500000L + 1L),
+      spark.sparkContext.defaultParallelism.toLong).toInt
+  }
+
   /** Stage-or-reuse: returns `(srcDir, lo, width, rowCount)` for the
     * sliced corpus. When `scratchTmp` is None the corpus is cacheable:
     * it lands under [[sliceCacheRoot]] and is memoized in
@@ -474,7 +491,7 @@ object EventStream {
 
   def fileReplay(input: DataFrame, orderCol: String, chunks: Int,
       extras: Seq[DataFrame] = Nil, requireRocksDB: Boolean = false,
-      statePartitions: Int = 2, format: String = "parquet",
+      statePartitions: Int = 0, format: String = "parquet",
       expectLateDropped: Option[(Long, Long)] = Some((0L, 0L)))
       (xform: DataFrame => Dataset[_]): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -525,6 +542,9 @@ object EventStream {
     } else tMark = System.nanoTime()
     val (src, _, _, expectedRows) =
       sliceCache.computeIfAbsent(key, _ => build())
+    val sp =
+      if (statePartitions > 0) statePartitions
+      else autoStatePartitions(spark, expectedRows, chunks + extras.size)
     section("stage")
     val stream = spark.readStream
       .schema(input.schema)
@@ -541,7 +561,7 @@ object EventStream {
     // count is a state-store sizing knob — but the replay would pay 32
     // store commits per batch instead of statePartitions).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    spark.conf.set("spark.sql.shuffle.partitions", sp.toString)
     val q =
       try xform(stream)
         .writeStream.format("parquet")
@@ -799,7 +819,7 @@ object EventStream {
     * are needed to flush results.
     */
   def fileReplay2(a: DataFrame, b: DataFrame, orderCol: String,
-      chunks: Int, statePartitions: Int = 2)
+      chunks: Int, statePartitions: Int = 0)
       (xform: (DataFrame, DataFrame) => Dataset[_]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val spark = a.sparkSession
@@ -839,7 +859,10 @@ object EventStream {
     // Same restore-after-termination discipline as [[fileReplay]]: the
     // first micro-batch's async planning latches the session conf.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val sp =
+      if (statePartitions > 0) statePartitions
+      else autoStatePartitions(spark, expectedRows, chunks)
+    spark.conf.set("spark.sql.shuffle.partitions", sp.toString)
     val q =
       try xform(stream(srcA, a.schema), stream(srcB, b.schema))
         .writeStream.format("parquet")

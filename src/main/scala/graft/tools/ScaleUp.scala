@@ -40,6 +40,78 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
+  /** Size of the shared vocabulary head kept verbatim in every replica
+    * (see the documents rule below). 8 of the driver corpus's ~30-word
+    * vocabulary ≈ 27% of token mass: enough that global vocab-head
+    * queries (token_pmi) stay non-degenerate at any factor, small
+    * enough that no similarity op's threshold is approached by the
+    * shared mass.
+    */
+  val sharedVocabK = 8
+
+  private val alphabet = "abcdefghijklmnopqrstuvwxyz"
+
+  private def permOf(r: Int): String =
+    new scala.util.Random(r.toLong * 1000003L).shuffle(alphabet.toList).mkString
+
+  private def cipherStr(s: String, perm: String): String = s.map { ch =>
+    val i = alphabet.indexOf(ch.toLower)
+    if (i < 0) ch
+    else { val m = perm.charAt(i); if (ch.isUpper) m.toUpper else m }
+  }
+
+  private def invCipherStr(s: String, perm: String): String = s.map { ch =>
+    val i = perm.indexOf(ch.toLower)
+    if (i < 0) ch
+    else { val m = alphabet.charAt(i); if (ch.isUpper) m.toUpper else m }
+  }
+
+  /** The corpus's top-k tokens by count (ties broken by token byte
+    * order) — the head every replica keeps verbatim.
+    */
+  def sharedVocabHead(docs: DataFrame, k: Int): Seq[String] =
+    docs.select(explode(split(col("text"), " +")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(k)
+      .collect().map(_.getString(0)).toSeq
+
+  /** Token-level per-replica cipher that fixes `head` pointwise and is a
+    * BIJECTION on the rest of the token space — so within-replica token
+    * equality is preserved exactly (no two distinct tokens may merge).
+    * The raw letter permutation alone is not enough: for each head token
+    * H there is exactly one preimage cipher⁻¹(H), and ciphering it would
+    * collide with the kept H. Those ≤|head| exception tokens are walked
+    * driver-side through the permutation (cycle-walking: apply the
+    * cipher until the image leaves the head set — the standard
+    * construction of the induced permutation on a set's complement),
+    * and the walked images ride a tiny map literal.
+    */
+  def cipherText(c: Column, r: Int, head: Seq[String]): Column = {
+    val perm = permOf(r)
+    val from = alphabet + alphabet.toUpperCase
+    val to = perm + perm.toUpperCase
+    if (head.isEmpty) return translate(c, from, to)
+    val headSet = head.toSet
+    val exc: Map[String, String] = head.iterator.map { h =>
+      invCipherStr(h, perm)
+    }.filterNot(headSet).map { p =>
+      var img = cipherStr(p, perm)
+      while (headSet(img)) img = cipherStr(img, perm)
+      p -> img
+    }.toMap
+    def mapTok(t: Column): Column = {
+      val base = when(t.isin(head: _*), t).otherwise(translate(t, from, to))
+      if (exc.isEmpty) base
+      else when(t.isin(exc.keys.toSeq: _*),
+        element_at(typedlit(exc), t)).otherwise(base)
+    }
+    // split on the single-space delimiter with -1 (keep empty fields):
+    // runs of spaces survive the round-trip byte-for-byte, so length
+    // and tokenization are both preserved
+    array_join(transform(split(c, " ", -1), mapTok(_)), " ")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 3,
       "usage: ScaleUp <srcDir> <outDir> <factor>")
@@ -118,29 +190,38 @@ object ScaleUp {
       df.withColumn("event_id", bump("event_id", eMax, r))
         .withColumn("user_id", bump("user_id", uMax, r))
     }, "events")
-    // Per-replica letter-permutation cipher: an INJECTIVE char map, so
-    // tokenization boundaries, shingle equality, winnow k-grams and
-    // simhash collisions are preserved EXACTLY within a replica, while
-    // cross-replica token spaces are disjoint. A seeded Fisher–Yates
-    // permutation of the alphabet per replica (not a Caesar shift —
-    // shifts repeat mod 26, so factors > 26 would hand same-cipher
-    // replica pairs right back to the similarity ops) gives 26!
-    // mutually-distinct mappings. A naive append-one-token
-    // perturbation leaves simhash/minhash signatures ~unchanged —
-    // every doc keeps factor−1 cross-replica near-copies and pair
-    // queries grow ×factor² by construction (measured: 64× on
-    // simhash64_pairs at factor 10). Length is preserved, so n_chars
-    // stays valid.
-    def cipher(c: Column, r: Int): Column = {
-      val lower = "abcdefghijklmnopqrstuvwxyz"
-      val perm = new scala.util.Random(r.toLong * 1000003L)
-        .shuffle(lower.toList).mkString
-      translate(c, lower + lower.toUpperCase, perm + perm.toUpperCase)
-    }
+    // Per-replica TOKEN-level permutation cipher with a SHARED VOCAB
+    // HEAD: an injective token map, so tokenization boundaries, shingle
+    // equality and simhash collisions are preserved EXACTLY within a
+    // replica, while the ciphered (non-head) token spaces stay disjoint
+    // across replicas. A seeded Fisher–Yates permutation of the alphabet
+    // per replica (not a Caesar shift — shifts repeat mod 26, so factors
+    // > 26 would hand same-cipher replica pairs right back to the
+    // similarity ops) gives 26! mutually-distinct mappings. A naive
+    // append-one-token perturbation leaves simhash/minhash signatures
+    // ~unchanged — every doc keeps factor−1 cross-replica near-copies
+    // and pair queries grow ×factor² by construction (measured: 64× on
+    // simhash64_pairs at factor 10). Token-level keep preserves each
+    // token's length and the spacing, so n_chars stays valid.
+    //
+    // The shared head (round-11 verdict item 4): a FULLY per-replica
+    // cipher makes replica vocabularies disjoint, so GLOBAL
+    // vocabulary-head queries (token_pmi's top-20-by-df head) degenerate
+    // at large factors — the head splits across replicas and no head
+    // pair ever co-occurs. Keeping the top-[[sharedVocabK]] tokens
+    // verbatim in every replica preserves cross-replica vocabulary
+    // overlap (≈27% of token mass on the driver corpus, whose ~30-word
+    // vocabulary puts nearly ALL mass in the top 32 — sharing more
+    // would hand the similarity ops near-verbatim replicas back).
+    // Cross-replica similarity stays far under every op's threshold:
+    // a w-token shingle survives replication only if ALL w tokens are
+    // head (≈0.27^w), and replica twins' token-SET Jaccard is ≈
+    // |head∩doc| / |union| ≈ 0.2 < the 0.5-0.75 join thresholds.
+    val headTokens = sharedVocabHead(docs, sharedVocabK)
     wr(replicate(docs) { (df, r) =>
       val bumped = df.withColumn("doc_id", bump("doc_id", dMax, r))
       if (r == 0) bumped
-      else bumped.withColumn("text", cipher(col("text"), r))
+      else bumped.withColumn("text", cipherText(col("text"), r, headTokens))
     }, "documents")
     // Per-replica signed rotation of the vector: cyclic shift by
     // r mod dim composed with a seeded ±1 sign flip per dimension.

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -1940,5 +1940,106 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(_.getAs[Long]("n_rows") == 10L))
     assert(out.head.getAs[Long]("min_val") == 1L)
     assert(out.last.getAs[Long]("max_val") == 100L)
+  }
+
+  test("QualityClf.score == the join-free expression spelling; <2-token docs unscored") {
+    import graft.ops.{Dsir, QualityClf}
+    val m = 64
+    val df = docs(1L -> "a b a b", 2L -> "x", 3L -> "p q r", 4L -> "")
+    val got = QualityClf.score(df, "doc_id", "text",
+      QualityClf.hashWeights(spark, m), m)
+    // ref: weight computed inline from the bucket id — no model table,
+    // so a broken join/broadcast in score() can't hide
+    val ref = df.select(col("doc_id"),
+        explode(TextAnalysis.mergePairs(col("text"))).as("pair"))
+      .withColumn("b", Dsir.featureBucket(col("pair"), m))
+      .withColumn("w",
+        conv(substring(md5(concat(lit("w:"), col("b").cast("string"))), 1, 8),
+          16, 10).cast("long") % 201 - 100)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("w").as("score"))
+      .withColumn("label", when(col("score") > 0L, "keep").otherwise("drop"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    val out = got.orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L),
+      "docs with <2 tokens carry no bigram evidence and are not scored")
+    assert(out(0).getAs[Long]("n_feats") == 3L) // "a b","b a","a b" — bag, with multiplicity
+    // the margin is an exact integer: label flips exactly at 0
+    out.foreach { r =>
+      assert((r.getAs[Long]("score") > 0L) == (r.getAs[String]("label") == "keep"))
+    }
+  }
+
+  test("exactRankSelect == row_number rank pick on a composite order") {
+    import spark.implicits._
+    // group sizes 1, 2, and 197 with heavy value ties (v = i % 7) so the
+    // doc-id tie-break does real work; parts=16 forces cross-partition runs
+    val df = ((1 to 197).map(i => ("big", (i % 7).toDouble, i.toLong)) ++
+      Seq(("one", 0.0, 900L), ("two", 1.0, 901L), ("two", 1.0, 902L)))
+      .toDF("g", "v", "id")
+    val got = graft.ops.Quantiles.exactRankSelect(df.repartition(5),
+      Seq("g"), Seq("v", "id"),
+      n => Seq(("r1", n / 3), ("r2", 2 * n / 3), ("last", n),
+        ("over", n + 1)), // out-of-range rank must be skipped, not thrown
+      partitions = 16)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v"), col("id"))
+    val ranked = df.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g")))
+    val ref = Seq("r1" -> ((rn: Column, n: Column) => rn === floor(n / 3)),
+      "r2" -> ((rn: Column, n: Column) => rn === floor(n * 2 / 3)),
+      "last" -> ((rn: Column, n: Column) => rn === n))
+      .map { case (name, pred) =>
+        ranked.filter(pred(col("rn"), col("cnt")) && col("rn") >= 1)
+          .select(col("g"), lit(name).as("rank_name"), col("v"), col("id"))
+      }.reduce(_.unionAll(_))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      s"got:\n${got.orderBy("g", "rank_name").collect().mkString("\n")}\n" +
+        s"ref:\n${ref.orderBy("g", "rank_name").collect().mkString("\n")}")
+  }
+
+  test("ccnet_bucket: cut-point + map-side classify == row_number tercile spelling") {
+    // the registry form (exactRankSelect cut points, broadcast classify)
+    // must be BIT-IDENTICAL to the round-11 per-lang row_number window
+    // rule it replaced — rebuilt here verbatim over the same bigram-LM
+    // cross-entropy — at the driver's sf0.001 fixture
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ccnet_bucket")(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = docs.select(col("doc_id"),
+      explode(TextAnalysis.mergePairs(col("text"))).as("pair"))
+    val lm = pairs.groupBy("pair")
+      .agg(count(lit(1)).cast("double").as("n_ab"))
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+    val pre = lm.groupBy("w1").agg(sum(col("n_ab")).as("n_w1"))
+    val v = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).cast("double").as("__v"))
+    val prob = lm.join(pre, "w1").crossJoin(broadcast(v))
+      .select(col("pair"),
+        ((col("n_ab") + 1.0) / (col("n_w1") + col("__v"))).as("prob"))
+    val ce = pairs.join(broadcast(prob), "pair")
+      .groupBy("doc_id")
+      .agg(round(-avg(log2(col("prob"))), 4).as("cross_entropy"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("cross_entropy"), col("doc_id"))
+    val ref = ce.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("cnt"), "head")
+          .when(col("rn") * 3 <= col("cnt") * 2, "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("cross_entropy").as("min_ce"),
+        max("cross_entropy").as("max_ce"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      s"registry form diverges from the window spelling:\n" +
+        s"got:\n${got.collect().mkString("\n")}\n" +
+        s"ref:\n${ref.orderBy("lang", "bucket").collect().mkString("\n")}")
   }
 }

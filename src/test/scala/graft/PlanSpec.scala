@@ -646,6 +646,48 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"one scan per audited layout:\n$p")
   }
 
+  test("ccnet_bucket: no per-lang global sort; cut table broadcasts; LM not hint-broadcast") {
+    // the round-11 weak form sent each language's entire corpus slice
+    // through one reducer (row_number window) and force-broadcast the
+    // corpus-derived LM. The registry form must classify map-side against
+    // the broadcast 2-rows-per-lang cut table, with no Window anywhere
+    // and the LM score join left to the planner. autoBroadcastJoinThreshold
+    // = -1 isolates EXPLICIT broadcast hints: the only broadcast joins
+    // left are the 1-row vocab scalar (nested-loop) and the cut table.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("ccnet_bucket")
+      assert(!p.contains("Window"),
+        s"per-lang window sort crept back into the classify plan:\n$p")
+      assert("BroadcastHashJoin".r.findAllIn(p).size == 1,
+        s"exactly the cut-table join may broadcast (LM must ride a shuffle):\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"LM score join must be a key shuffle when not auto-broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("perplexity: corpus-derived LM is never hint-broadcast") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("perplexity")
+      assert("BroadcastHashJoin".r.findAllIn(p).size == 0,
+        s"no explicit broadcast hint may force the corpus-growth LM:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"LM score join must be a key shuffle when not auto-broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("quality_clf: m-row model broadcasts; corpus scores map-side, one doc-keyed agg") {
+    val p = plan("quality_clf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the weight table is model-sized (m rows) and must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the corpus must never shuffle before scoring:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      "HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-doc aggregate must be partial (map-side) then final:\n$p")
+  }
+
   test("gap_fill: fill windows run over the bucketed grid, not raw events") {
     // every Window must sit ABOVE the hourly aggregate: the plan's
     // last (deepest) scan feeds a HashAggregate before any Window line

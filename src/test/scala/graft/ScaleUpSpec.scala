@@ -57,26 +57,57 @@ class ScaleUpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ords.join(cust, ords("o_custkey") === cust("c_custkey"), "left_anti").count() == 0)
 
     // documents: the per-replica cipher preserves length (n_chars stays
-    // valid) and leaves NO lettered token shared between a doc and its
-    // replica twin — the property that keeps cross-replica shingle /
-    // simhash / minhash pair mass at zero
+    // valid) and leaves no lettered token shared between a doc and its
+    // replica twin EXCEPT the shared vocabulary head — the head keeps
+    // global vocab-head queries (token_pmi) non-degenerate across
+    // replicas, while the disjoint tail keeps cross-replica shingle /
+    // simhash / minhash pair mass below every op's threshold
+    val head = ScaleUp.sharedVocabHead(rd(src, "documents"),
+      ScaleUp.sharedVocabK)
+    assert(head.size == ScaleUp.sharedVocabK)
     val docs = rd(out, "documents")
     val nDocs = rd(src, "documents").count()
     val base = docs.filter(col("doc_id") < nDocs)
       .select(col("doc_id").as("b_id"), col("text").as("b_text"))
     val rep1 = docs.filter(col("doc_id") >= nDocs && col("doc_id") < 2 * nDocs)
       .select((col("doc_id") - nDocs).as("b_id"), col("text").as("r_text"))
-    val docStats = base.join(rep1, "b_id")
+    val headLit = typedlit(head)
+    val joined = base.join(rep1, "b_id")
+    val docStats = joined
       .select(
         when(length(col("b_text")) === length(col("r_text")), 0L).otherwise(1L)
           .as("bad_len"),
-        expr("""size(filter(
-                  array_intersect(split(b_text, '\\s+'), split(r_text, '\\s+')),
-                  t -> t rlike '[A-Za-z]'))""").as("shared_lettered"))
-      .agg(sum("bad_len").as("bad_len"), max("shared_lettered").as("shared"))
+        size(filter(
+          array_intersect(split(col("b_text"), "\\s+"), split(col("r_text"), "\\s+")),
+          t => (t rlike "[A-Za-z]") && !array_contains(headLit, t)))
+          .as("shared_nonhead"),
+        // the shared-head invariant: every head token occurs in the
+        // replica twin exactly as often as in the base doc (verbatim,
+        // position-preserved keep)
+        when(filter(split(col("b_text"), " ", -1),
+            t => array_contains(headLit, t)) ===
+          filter(split(col("r_text"), " ", -1),
+            t => array_contains(headLit, t)), 0L).otherwise(1L)
+          .as("bad_head"))
+      .agg(sum("bad_len").as("bad_len"), max("shared_nonhead").as("shared"),
+        sum("bad_head").as("bad_head"))
       .head()
     assert(docStats.getLong(0) == 0L, "cipher must preserve text length")
-    assert(docStats.getInt(1) == 0, "replica twins must share no lettered token")
+    assert(docStats.getInt(1) == 0,
+      "replica twins must share no lettered token outside the vocab head")
+    assert(docStats.getLong(2) == 0L,
+      "head tokens must survive replication verbatim and in place")
+    // the head is actually SHARED corpus-wide: the scaled corpus's top-k
+    // by count is the same head (counts ×factor keep it on top)
+    assert(ScaleUp.sharedVocabHead(docs, ScaleUp.sharedVocabK) == head,
+      "scaled corpus must rank the same vocab head")
+    // within-replica token equality is preserved EXACTLY (the cipher is
+    // a bijection on tokens): distinct-token count per doc is unchanged
+    val badDistinct = joined.filter(
+      size(array_distinct(split(col("b_text"), " ", -1))) =!=
+        size(array_distinct(split(col("r_text"), " ", -1)))).count()
+    assert(badDistinct == 0L,
+      "token cipher must be injective — no two tokens may merge")
 
     // embeddings: the per-replica signed rotation is orthogonal — the
     // |element| multiset (and thus the norm and all within-replica

@@ -47,11 +47,44 @@ def main():
             print(f"FAIL unknown query names: {sorted(missing)}")
             sys.exit(1)
         oracle = {k: v for k, v in oracle.items() if k in keep}
+    # Outputs past this row count skip the pandas frame compare (a 600M-row
+    # winsorize dump at sf100 would not fit a sortable frame) and compare
+    # as DuckDB-native multiset aggregates instead: identical row count +
+    # sum/min/max/avg of hash(row) over name-sorted columns. Same multiset
+    # of rows ⟺ equal aggregates (up to 64-bit hash collisions); both
+    # engines' values are bit-exact by the oracle discipline, so hashing
+    # them is sound. Default threshold keeps every small-SF gate on the
+    # exact pandas path.
+    hash_threshold = int(os.environ.get("GRAFT_HASH_THRESHOLD", "5000000"))
+
+    def multiset_sig(rel_sql):
+        cols = [r[0] for r in con.sql(f"DESCRIBE {rel_sql}").fetchall()]
+        hcols = ", ".join(f'"{c}"' for c in sorted(cols))
+        return sorted(cols), con.sql(
+            f"SELECT count(*), sum(hash({hcols})), min(hash({hcols})), "
+            f"max(hash({hcols})), avg(hash({hcols})) FROM ({rel_sql})"
+        ).fetchone()
+
     failed = []
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.sql(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            dump_sql = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            n_dump = con.sql(
+                f"SELECT count(*) FROM ({dump_sql})").fetchone()[0]
+            if n_dump > hash_threshold:
+                gc, gsig = multiset_sig(dump_sql)
+                wc, wsig = multiset_sig(sql)
+                if gc != wc:
+                    print(f"FAIL {name}: columns {gc} != {wc}")
+                    failed.append(name)
+                elif gsig != wsig:
+                    print(f"FAIL {name}: multiset hash differs "
+                          f"(spark {gsig} vs duck {wsig})")
+                    failed.append(name)
+                else:
+                    print(f"OK   {name}: {n_dump} rows (multiset-hash)")
+                continue
+            got = con.sql(dump_sql).df()
             want = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {e}")

@@ -8,7 +8,11 @@ embed_neardup / decontam_embed route to tools/embed_oracle.py (their
 DuckDB spellings are inherently all-pairs; the sidecar is the bounded
 exact oracle — see that file's docstring).
 
-Usage: python3 tools/check_chunked.py <sfDir> <verifyOutDir> [chunk=12]
+Usage: python3 tools/check_chunked.py <sfDir> <verifyOutDir> [chunk=12] [names]
+[names]: optional comma-separated subset (or @file with one name per
+line) — the partial-regeneration gates (e.g. re-gating only the
+documents-derived queries after a fixture change) and the time-capped
+sf100 gate compare exactly the queries that were dumped.
 """
 import json
 import subprocess
@@ -21,6 +25,15 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 12
     names = sorted(json.load(open(f"{out_dir}/oracle_sql.json")))
+    if len(sys.argv) > 4:
+        want = (set(l.strip() for l in open(sys.argv[4][1:]) if l.strip())
+                if sys.argv[4].startswith("@")
+                else set(sys.argv[4].split(",")))
+        missing = want - set(names)
+        if missing:
+            print(f"unknown query names: {sorted(missing)}")
+            sys.exit(2)
+        names = [n for n in names if n in want]
     duck = [n for n in names if n not in SIDE_CAR]
     failed = []
     for i in range(0, len(duck), chunk):
