@@ -105,9 +105,13 @@ object Bench {
     // sees one steady-state sample. Costs ~5 s of untimed wall clock;
     // removes the ~1.7 s/query artifact from the headline.
     val rewarm = Set("pagerank", "textrank")
-    val passes = (1 to 3).map { p =>
+    // Pass count knob for the LARGE-SF benches only (sf100's heavy subset
+    // runs min-of-2 to fit the wall clock); the driver sets nothing and
+    // gets the standard min-of-3 protocol.
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val passes = (1 to nPasses).map { p =>
       queries.map { case (name, fn) =>
-        if (p == 3 && rewarm(name)) {
+        if (p == nPasses && rewarm(name)) {
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case NonFatal(_) => () }
         }

@@ -11,6 +11,12 @@ object Verify {
     // Bench); the driver sets nothing and gets the full dump.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Output partition count for each dump (default 1 — the driver's
+    // sf0.01 contract). The large-SF gates set e.g. 16: a 600M-row
+    // winsorize dump through coalesce(1) funnels the entire write into
+    // one thread; tools/check.py reads the dump with a *.parquet glob
+    // and compares multisets, so the file count is free to vary.
+    val outParts = sys.env.getOrElse("SPARK_GRAFT_OUT_PARTS", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,7 +28,7 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try fn(spark, sfDir).coalesce(outParts).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
