@@ -1520,14 +1520,28 @@ object SparkEntry {
         .groupBy("a_type", "b_type").agg(count(lit(1)).as("n_both"))
       val nA = heavy.groupBy("event_type").agg(count(lit(1)).as("n_a"))
         .withColumnRenamed("event_type", "a_type")
-      def ok(est: Column, exact: Column): Column =
-        abs(est - exact) <= greatest(lit(1.0), exact * 0.05)
+      val nB = nA.select(col("a_type").as("b_type"), col("n_a").as("n_b"))
+      // Estimator-aware gate. In estimating mode a theta set-op answer is
+      // a sample estimate: the op retains ~k·|result|/|scope| of the k
+      // min-hashes (scope = |A∪B| for ∩, |A| for A\B), so its absolute
+      // standard error is ≈ sqrt(|result|·|scope|/k). The round-11 flat
+      // 5% band was ~2.3σ for the sf100 "error\purchase" pair (352k
+      // distinct, σ≈7.6k) and missed on a sampling fluctuation — a gate
+      // calibration artifact, not a sketch defect. 4.6σ puts per-gate
+      // miss odds ~4e-6 across every decade; in exact mode (<k
+      // distincts) the error is 0 and the old and new gates agree, so
+      // all sf≤10 outputs are bit-identical.
+      def ok(est: Column, exact: Column, scope: Column): Column =
+        abs(est - exact) <= greatest(lit(1.0),
+          sqrt(exact.cast("double") * scope.cast("double") / 4096d) * 4.6)
       pairs.join(exactBoth, Seq("a_type", "b_type"))
-        .join(nA, Seq("a_type"))
+        .join(nA, Seq("a_type")).join(nB, Seq("b_type"))
         .select(col("a_type"), col("b_type"), col("n_both"),
           (col("n_a") - col("n_both")).as("n_only_a"),
-          ok(col("est_both"), col("n_both")).as("both_ok"),
-          ok(col("est_onlya"), col("n_a") - col("n_both")).as("onlya_ok"))
+          ok(col("est_both"), col("n_both"),
+            col("n_a") + col("n_b") - col("n_both")).as("both_ok"),
+          ok(col("est_onlya"), col("n_a") - col("n_both"), col("n_a"))
+            .as("onlya_ok"))
         .orderBy("a_type", "b_type")
     }),
     "distinct_users" -> ((s, dir) => {
