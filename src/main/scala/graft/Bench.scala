@@ -108,7 +108,16 @@ object Bench {
     // Pass count knob for the LARGE-SF benches only (sf100's heavy subset
     // runs min-of-2 to fit the wall clock); the driver sets nothing and
     // gets the standard min-of-3 protocol.
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val nPasses = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3")
+      val n = try raw.toInt catch {
+        case _: NumberFormatException =>
+          sys.error(s"SPARK_GRAFT_PASSES must be an integer, got '$raw'")
+      }
+      require(n >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $n " +
+        "(0 passes would silently report every query as -1/failed)")
+      n
+    }
     val passes = (1 to nPasses).map { p =>
       queries.map { case (name, fn) =>
         if (p == nPasses && rewarm(name)) {

@@ -22,6 +22,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Deterministic 1/8 md5-stratum of `documents` — the decade-evidence
+    * input for the exact pair surfaces whose full-corpus exchanges
+    * exceed the sandbox scratch disk at sf100. md5 of the stringified
+    * key evaluates identically in Spark and DuckDB and is independent
+    * of the fixture's replica arithmetic, so the stratum is a sound
+    * uniform subsample at every SF.
+    */
+  private def stratDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 8 === 0)
+
   // --- derived old/new snapshots for the diff operators -------------------
   // Two overlapping subsets of `orders`, with a price perturbation on one
   // side, so keyDiff produces all four statuses and venn all three regions.
@@ -1522,26 +1534,32 @@ object SparkEntry {
         .withColumnRenamed("event_type", "a_type")
       val nB = nA.select(col("a_type").as("b_type"), col("n_a").as("n_b"))
       // Estimator-aware gate. In estimating mode a theta set-op answer is
-      // a sample estimate: the op retains ~k·|result|/|scope| of the k
-      // min-hashes (scope = |A∪B| for ∩, |A| for A\B), so its absolute
-      // standard error is ≈ sqrt(|result|·|scope|/k). The round-11 flat
-      // 5% band was ~2.3σ for the sf100 "error\purchase" pair (352k
+      // a sample estimate: the op samples at θ = min(θ_A, θ_B) ≈
+      // k/max(|A|,|B|) and retains ~|result|·θ of the k min-hashes, so
+      // its absolute standard error is ≈ sqrt(|result|·scope/k) with
+      // scope = |A∪B| for ∩ and max(|A|,|B|) for A\B (the intersection
+      // result additionally passes through the union's θ). The round-11
+      // flat 5% band was ~2.3σ for the sf100 "error\purchase" pair (352k
       // distinct, σ≈7.6k) and missed on a sampling fluctuation — a gate
-      // calibration artifact, not a sketch defect. 4.6σ puts per-gate
-      // miss odds ~4e-6 across every decade; in exact mode (<k
-      // distincts) the error is 0 and the old and new gates agree, so
-      // all sf≤10 outputs are bit-identical.
+      // calibration artifact, not a sketch defect; and the first A\B
+      // band used scope=|A|, which under-covers by sqrt(|A|/|B|) when
+      // |B|>|A| (round-12 ADVICE). 4.6σ puts per-gate miss odds ~4e-6
+      // across every decade; in exact mode (<k distincts) the error is 0
+      // and the old and new gates agree, so all sf≤10 outputs are
+      // bit-identical. k is derived from the sketch's own lgK so a
+      // future lgK change re-calibrates the band automatically.
+      val k = DistinctSketch.DefaultK.toDouble
       def ok(est: Column, exact: Column, scope: Column): Column =
         abs(est - exact) <= greatest(lit(1.0),
-          sqrt(exact.cast("double") * scope.cast("double") / 4096d) * 4.6)
+          sqrt(exact.cast("double") * scope.cast("double") / k) * 4.6)
       pairs.join(exactBoth, Seq("a_type", "b_type"))
         .join(nA, Seq("a_type")).join(nB, Seq("b_type"))
         .select(col("a_type"), col("b_type"), col("n_both"),
           (col("n_a") - col("n_both")).as("n_only_a"),
           ok(col("est_both"), col("n_both"),
             col("n_a") + col("n_b") - col("n_both")).as("both_ok"),
-          ok(col("est_onlya"), col("n_a") - col("n_both"), col("n_a"))
-            .as("onlya_ok"))
+          ok(col("est_onlya"), col("n_a") - col("n_both"),
+            greatest(col("n_a"), col("n_b"))).as("onlya_ok"))
         .orderBy("a_type", "b_type")
     }),
     "distinct_users" -> ((s, dir) => {
@@ -1657,6 +1675,27 @@ object SparkEntry {
         .orderBy("doc_id")),
     "simhash64_pairs" -> ((s, dir) =>
       Dedup.simhash64Pairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("a_id", "b_id")),
+    // Hash-stratified variants of the three EXACT pair surfaces: the
+    // sf100 decade-evidence path. The full-corpus spellings exceed the
+    // sandbox's scratch disk at sf100 (3.4:1 scratch:data — BASELINE.md
+    // round-12; linear and green at sf10), so the decade gate runs the
+    // same operator over a deterministic 1/8 md5(doc_id) stratum —
+    // ~625k sf100 docs, MORE than the full sf10 corpus and carrying
+    // sf100's replica-correlated vocabulary-head distribution (the
+    // shape that inflates the exchanges). md5 on the stringified key is
+    // engine-agnostic (identical in Spark and DuckDB) and independent
+    // of ScaleUp's replica arithmetic, so the stratum decorrelates from
+    // fixture structure (TESTDATA.md). Oracles re-spell the same
+    // stratum predicate in the docs CTE.
+    "ppjoin_pairs_strat" -> ((s, dir) =>
+      Dedup.ppjoinPairs(stratDocs(s, dir), "doc_id", "text")
+        .orderBy("a_id", "b_id")),
+    "ngram_jaccard_strat" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(stratDocs(s, dir), "doc_id", "text")
+        .orderBy("a_id", "b_id")),
+    "simhash64_pairs_strat" -> ((s, dir) =>
+      Dedup.simhash64Pairs(stratDocs(s, dir), "doc_id", "text")
         .orderBy("a_id", "b_id")),
     // --- LLM-pipeline: text analysis --------------------------------------
     "text_norm" -> ((s, dir) => {
@@ -2832,6 +2871,83 @@ object SparkEntry {
     """toks AS (SELECT doc_id, text,
       |  list_filter(regexp_split_to_array(text, ' +'), t -> t <> '') toks
       |  FROM documents)""".stripMargin
+  /** toksCte over the 1/8 md5(doc_id) stratum — see [[stratDocs]]. */
+  private val stratToksCte =
+    """toks AS (SELECT doc_id, text,
+      |  list_filter(regexp_split_to_array(text, ' +'), t -> t <> '') toks
+      |  FROM documents
+      |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |        % 8 = 0)""".stripMargin
+
+  /** simhash64_pairs oracle, parameterized on the docs/toks CTE so the
+    * full-corpus and md5-stratified gates share one spelling.
+    */
+  private def simhash64PairsOracle(toks: String): String =
+    s"""WITH $toks,
+       |h AS (SELECT doc_id, list_transform(toks, t -> md5(t)) hs FROM toks),
+       |bb AS (SELECT doc_id, list_transform(range(0, 64), j ->
+       |  CASE WHEN list_sum(list_transform(hs, h ->
+       |    CASE WHEN ((strpos('0123456789abcdef', substr(h, (j//2)+1, 1)) - 1)
+       |        >> (j%2)) & 1 = 1
+       |    THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) bits FROM h),
+       |s AS (SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(0,63), j ->
+       |    bits[j+1] * (CAST(1 AS BIGINT) << j))) AS BIGINT)
+       |  + CASE WHEN bits[64] = 1 THEN -9223372036854775808
+       |         ELSE CAST(0 AS BIGINT) END AS sh
+       |FROM bb),
+       |banded AS (SELECT doc_id, sh, unnest(range(0,4)) band FROM s),
+       |bv AS (SELECT doc_id, sh, band,
+       |  (sh >> CAST(band*16 AS INTEGER)) & 65535 AS v FROM banded),
+       |cand AS (SELECT a.doc_id a_id, b.doc_id b_id,
+       |    min(bit_count(CAST(xor(a.sh, b.sh) AS BIT))) hamming
+       |  FROM bv a JOIN bv b ON a.band = b.band AND a.v = b.v
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, CAST(hamming AS INTEGER) AS hamming FROM cand
+       |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
+
+  /** ngram_jaccard oracle, parameterized like [[simhash64PairsOracle]]. */
+  private def ngramJaccardOracle(toks: String): String =
+    s"""WITH $toks, $shinglesCte,
+       |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+       |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000),
+       |pruned AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
+       |sz AS (SELECT doc_id, count(*) n FROM ex GROUP BY 1),
+       |shared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+       |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 4) AS jaccard
+       |FROM shared JOIN sz x ON a_id = x.doc_id JOIN sz y ON b_id = y.doc_id
+       |WHERE round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 4) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** ppjoin_pairs oracle, parameterized like [[simhash64PairsOracle]]. */
+  private def ppjoinPairsOracle(toks: String): String =
+    s"""WITH $toks, $shinglesCte,
+       |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
+       |f AS (SELECT s, count(*) fc FROM ex GROUP BY s),
+       |r AS (SELECT doc_id, s,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY fc, s) p,
+       |    count(*) OVER (PARTITION BY doc_id) n
+       |  FROM ex JOIN f USING (s)),
+       |pre AS (SELECT doc_id, s, n FROM r WHERE p <= n // 2 + 1),
+       |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+       |  FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    AND b.n <= 2*a.n AND a.n <= 2*b.n),
+       |fs AS (SELECT doc_id, shingles, len(shingles) n FROM sh),
+       |j AS (SELECT a_id, b_id,
+       |    len(list_intersect(x.shingles, y.shingles)) c,
+       |    x.n xn, y.n yn
+       |  FROM cand JOIN fs x ON a_id = x.doc_id
+       |    JOIN fs y ON b_id = y.doc_id)
+       |SELECT a_id, b_id,
+       |  round(CAST(c AS DOUBLE) / CAST(xn + yn - c AS DOUBLE), 4) AS jaccard
+       |FROM j
+       |WHERE round(CAST(c AS DOUBLE) / CAST(xn + yn - c AS DOUBLE), 4) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+
   private val shinglesCte =
     """sh AS (SELECT doc_id,
       |  CASE WHEN len(toks) >= 3
@@ -4184,30 +4300,8 @@ object SparkEntry {
          |  + CASE WHEN bits[64] = 1 THEN -9223372036854775808
          |         ELSE CAST(0 AS BIGINT) END AS simhash
          |FROM bb ORDER BY doc_id""".stripMargin,
-    "simhash64_pairs" ->
-      s"""WITH $toksCte,
-         |h AS (SELECT doc_id, list_transform(toks, t -> md5(t)) hs FROM toks),
-         |bb AS (SELECT doc_id, list_transform(range(0, 64), j ->
-         |  CASE WHEN list_sum(list_transform(hs, h ->
-         |    CASE WHEN ((strpos('0123456789abcdef', substr(h, (j//2)+1, 1)) - 1)
-         |        >> (j%2)) & 1 = 1
-         |    THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) bits FROM h),
-         |s AS (SELECT doc_id,
-         |  CAST(list_sum(list_transform(range(0,63), j ->
-         |    bits[j+1] * (CAST(1 AS BIGINT) << j))) AS BIGINT)
-         |  + CASE WHEN bits[64] = 1 THEN -9223372036854775808
-         |         ELSE CAST(0 AS BIGINT) END AS sh
-         |FROM bb),
-         |banded AS (SELECT doc_id, sh, unnest(range(0,4)) band FROM s),
-         |bv AS (SELECT doc_id, sh, band,
-         |  (sh >> CAST(band*16 AS INTEGER)) & 65535 AS v FROM banded),
-         |cand AS (SELECT a.doc_id a_id, b.doc_id b_id,
-         |    min(bit_count(CAST(xor(a.sh, b.sh) AS BIT))) hamming
-         |  FROM bv a JOIN bv b ON a.band = b.band AND a.v = b.v
-         |    AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT a_id, b_id, CAST(hamming AS INTEGER) AS hamming FROM cand
-         |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
+    "simhash64_pairs" -> simhash64PairsOracle(toksCte),
+    "simhash64_pairs_strat" -> simhash64PairsOracle(stratToksCte),
     "simhash_pairs" ->
       s"""WITH $toksCte,
          |h AS (SELECT doc_id, list_transform(toks, t -> md5(t)) hs FROM toks),
@@ -4225,20 +4319,8 @@ object SparkEntry {
          |    ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id
          |  GROUP BY 1, 2)
          |WHERE hamming <= 0 ORDER BY a_id, b_id""".stripMargin,
-    "ngram_jaccard" ->
-      s"""WITH $toksCte, $shinglesCte,
-         |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
-         |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000),
-         |pruned AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
-         |sz AS (SELECT doc_id, count(*) n FROM ex GROUP BY 1),
-         |shared AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
-         |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT a_id, b_id,
-         |  round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 4) AS jaccard
-         |FROM shared JOIN sz x ON a_id = x.doc_id JOIN sz y ON b_id = y.doc_id
-         |WHERE round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 4) >= 0.5
-         |ORDER BY a_id, b_id""".stripMargin,
+    "ngram_jaccard" -> ngramJaccardOracle(toksCte),
+    "ngram_jaccard_strat" -> ngramJaccardOracle(stratToksCte),
     "snm_pairs" ->
       """WITH k AS (SELECT doc_id,
         |  substr(trim(regexp_replace(regexp_replace(lower(text),
@@ -4250,44 +4332,24 @@ object SparkEntry {
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id
         |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4
         |ORDER BY a_id, b_id""".stripMargin,
-    "ppjoin_pairs" ->
-      // Independent PPJoin spelling with the PROVABLY LOSSLESS bounds
-      // (so the oracle stays sf10-feasible — the earlier all-pairs
-      // shingle join was quadratic-infeasible at 500k docs):
-      //  - prefix theorem: under ANY global shingle total order, two
-      //    sets with |A∩B| >= ceil(t/(1+t)·(|A|+|B|)) share an element
-      //    within each one's first n − ceil(t·n) + 1 elements; for
-      //    t = 1/2 that prefix length is exactly n//2 + 1 (integer).
-      //  - length filter: J >= 1/2 forces max(|A|,|B|) <= 2·min (exact
-      //    integers, no float eps anywhere).
-      // The SQL uses its own order (frequency, then shingle string —
-      // NOT the Spark side's xxhash64-fingerprint order), then exact
-      // set intersection on the candidates only. Rounding headroom: at
-      // union size u the largest sub-threshold Jaccard is 1/2 − 1/(2u),
-      // which rounds to >= 0.5 only past u = 10^4 — two orders above
-      // any document's shingle count in this corpus.
-      s"""WITH $toksCte, $shinglesCte,
-         |ex AS (SELECT doc_id, unnest(shingles) s FROM sh),
-         |f AS (SELECT s, count(*) fc FROM ex GROUP BY s),
-         |r AS (SELECT doc_id, s,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY fc, s) p,
-         |    count(*) OVER (PARTITION BY doc_id) n
-         |  FROM ex JOIN f USING (s)),
-         |pre AS (SELECT doc_id, s, n FROM r WHERE p <= n // 2 + 1),
-         |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
-         |  FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
-         |    AND b.n <= 2*a.n AND a.n <= 2*b.n),
-         |fs AS (SELECT doc_id, shingles, len(shingles) n FROM sh),
-         |j AS (SELECT a_id, b_id,
-         |    len(list_intersect(x.shingles, y.shingles)) c,
-         |    x.n xn, y.n yn
-         |  FROM cand JOIN fs x ON a_id = x.doc_id
-         |    JOIN fs y ON b_id = y.doc_id)
-         |SELECT a_id, b_id,
-         |  round(CAST(c AS DOUBLE) / CAST(xn + yn - c AS DOUBLE), 4) AS jaccard
-         |FROM j
-         |WHERE round(CAST(c AS DOUBLE) / CAST(xn + yn - c AS DOUBLE), 4) >= 0.5
-         |ORDER BY a_id, b_id""".stripMargin,
+    // Independent PPJoin spelling with the PROVABLY LOSSLESS bounds
+    // (so the oracle stays sf10-feasible — the earlier all-pairs
+    // shingle join was quadratic-infeasible at 500k docs):
+    //  - prefix theorem: under ANY global shingle total order, two
+    //    sets with |A∩B| >= ceil(t/(1+t)·(|A|+|B|)) share an element
+    //    within each one's first n − ceil(t·n) + 1 elements; for
+    //    t = 1/2 that prefix length is exactly n//2 + 1 (integer).
+    //  - length filter: J >= 1/2 forces max(|A|,|B|) <= 2·min (exact
+    //    integers, no float eps anywhere).
+    // The SQL uses its own order (frequency, then shingle string —
+    // NOT the Spark side's xxhash64-fingerprint order), then exact
+    // set intersection on the candidates only. Rounding headroom: at
+    // union size u the largest sub-threshold Jaccard is 1/2 − 1/(2u),
+    // which rounds to >= 0.5 only past u = 10^4 — two orders above
+    // any document's shingle count in this corpus. Spelled in
+    // [[ppjoinPairsOracle]], shared with the md5-stratified gate.
+    "ppjoin_pairs" -> ppjoinPairsOracle(toksCte),
+    "ppjoin_pairs_strat" -> ppjoinPairsOracle(stratToksCte),
     "lang_id" -> {
       val scores = TextAnalysis.langMarkers.map { case (l, m) =>
         l -> s"len(list_intersect(list_distinct(toks), [${m.map("'" + _ + "'").mkString(", ")}]))"

@@ -31,18 +31,39 @@ object Report {
     df.limit(limit).collect().foreach(r => println(s"$color  $r$Reset"))
   }
 
+  private def bucketPrecounted(name: String, color: String, df: DataFrame,
+      n: Long, limit: Int): Unit = {
+    println(s"$color== $name: $n rows (showing up to $limit)$Reset")
+    df.limit(limit).collect().foreach(r => println(s"$color  $r$Reset"))
+  }
+
   /** All four buckets, reference order and colors — green added, red
     * removed, yellow changed, plain (white) unchanged
     * (`/root/reference/src/index.js:143-153`).
+    *
+    * Cost discipline (100 TB posture): the diff join runs ONCE. The
+    * input is localCheckpointed (severs the join lineage so no bucket
+    * dump replays it), all five bucket/summary counts come from the one
+    * `summary()` aggregate over the checkpoint, and each bucket dump is
+    * a limit-guarded scan of the checkpointed rows — ≤5 jobs total
+    * (1 checkpoint + 1 summary + ≤4 dumps) vs the naive 9 full re-joins.
     */
   def printKeyDiff(d: DataFrame, limit: Int = 20): Unit = {
+    val dc = d.localCheckpoint()
+    val counts = KeyDiff.summary(dc).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val s = col(KeyDiff.StatusCol)
-    bucket("added", Green, d.filter(s === "added"), limit)
-    bucket("removed", Red, d.filter(s === "removed"), limit)
-    bucket("changed", Yellow, d.filter(s === "changed"), limit)
-    bucket("unchanged", Reset, d.filter(s === "unchanged"), limit)
-    KeyDiff.summary(d).collect().foreach { r =>
-      println(s"${r.getString(0)}: ${r.getLong(1)} rows")
+    bucketPrecounted("added", Green, dc.filter(s === "added"),
+      counts.getOrElse("added", 0L), limit)
+    bucketPrecounted("removed", Red, dc.filter(s === "removed"),
+      counts.getOrElse("removed", 0L), limit)
+    bucketPrecounted("changed", Yellow, dc.filter(s === "changed"),
+      counts.getOrElse("changed", 0L), limit)
+    bucketPrecounted("unchanged", Reset, dc.filter(s === "unchanged"),
+      counts.getOrElse("unchanged", 0L), limit)
+    // same lines the summary() pass used to print: status-sorted
+    counts.toSeq.sortBy(_._1).foreach { case (st, n) =>
+      println(s"$st: $n rows")
     }
   }
 }

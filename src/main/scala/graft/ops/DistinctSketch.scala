@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object DistinctSketch {
 
+  /** Default theta nominal-entries exponent; k = 2^lgK is the retained
+    * min-hash budget every estimator-error band must divide by. Gates
+    * that calibrate σ = sqrt(result·scope/k) derive k from here so a
+    * future lgK change can't silently miscalibrate them.
+    */
+  val DefaultLgK: Int = 12
+
+  /** k for the default sketches: the divisor in σ = sqrt(result·scope/k). */
+  val DefaultK: Int = 1 << DefaultLgK
+
   /** Per-group HLL sketch of `valueCol` (binary column, storable). */
   def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
     df.groupBy(groupCols.map(col): _*)
@@ -49,14 +59,14 @@ object DistinctSketch {
 
   /** Per-group theta sketch of `valueCol` (binary column, storable). */
   def thetaSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      lgK: Int = 12): DataFrame =
+      lgK: Int = DefaultLgK): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(bridge.column(ThetaSketchAgg(
         bridge.expression(col(valueCol)), lgK).toAggregateExpression())
         .as("sketch"))
 
   /** Aggregate: union of stored theta images. */
-  def thetaUnion(sketch: Column, lgK: Int = 12): Column =
+  def thetaUnion(sketch: Column, lgK: Int = DefaultLgK): Column =
     bridge.column(ThetaUnionAgg(bridge.expression(sketch), lgK)
       .toAggregateExpression())
 

@@ -239,9 +239,38 @@ class CoreDiffSpec extends AnyFunSuite {
     val neu = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "v")
     val d = KeyDiff.diff(old, neu, Seq("id"))
     val out = new java.io.ByteArrayOutputStream()
-    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
-      graft.cli.Report.printKeyDiff(d)
+    // The report must execute the diff JOIN exactly once (the
+    // localCheckpoint materialization); the summary and the four bucket
+    // dumps must run over the checkpointed rows, whose plans carry no
+    // join. The naive shape re-ran the full-outer join 9×. Job counts
+    // are AQE-noisy, so count SQL executions whose physical plan
+    // contains a join instead.
+    val joinExecs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+            if s.physicalPlanDescription.contains("Join") =>
+          joinExecs.incrementAndGet()
+        case _ => ()
+      }
     }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+        graft.cli.Report.printKeyDiff(d)
+      }
+      // listener delivery is async; poll until the counter is stable so a
+      // straggler execution can't slip past the upper-bound assert
+      var prev = -1
+      var spins = 0
+      while (joinExecs.get() != prev && spins < 40) {
+        prev = joinExecs.get(); spins += 1; Thread.sleep(50)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(joinExecs.get() <= 1,
+      s"printKeyDiff executed the diff join ${joinExecs.get()} times; " +
+        "the report must materialize once and reuse")
     val text = out.toString("UTF-8")
     // the reference prints added/removed/updated/unchanged, in that order
     // (/root/reference/src/index.js:143-153)
@@ -250,6 +279,9 @@ class CoreDiffSpec extends AnyFunSuite {
     assert(text.indexOf("== added") < text.indexOf("== removed"))
     assert(text.indexOf("== removed") < text.indexOf("== changed"))
     assert(text.indexOf("== changed") < text.indexOf("== unchanged"))
+    // summary lines (one per present status, status-sorted) still print
+    for (b <- Seq("added", "changed", "removed", "unchanged"))
+      assert(text.contains(s"$b: 1 rows"), s"missing summary line $b")
   }
 
   test("schemaDiff: pure required<->optional flip is nullability_changed, not unchanged") {

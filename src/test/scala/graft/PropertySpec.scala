@@ -441,4 +441,107 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == want, s"seed $seed: ${got.toSet -- want.toSet}")
     }
   }
+
+  // --- positionalDupKeys compat mode (reference merge loop,
+  // /root/reference/src/index.js:183-220) over GENERATED dup-key
+  // multisets — previously pinned by example tests only (round-12
+  // verdict item 7). Three properties: (a) i-th/i-th pairing vs an
+  // independent driver-side model, (b) added/removed swap under
+  // argument flip, (c) partition-count invariance.
+
+  private val dupRowGen: Gen[(Long, String, Option[Int])] = for {
+    id <- Gen.chooseNum(0L, 7L) // tiny key domain → dup keys guaranteed
+    s <- Gen.oneOf("x", "y", "z")
+    v <- Gen.option(Gen.chooseNum(0, 3))
+  } yield (id, s, v)
+
+  private val dupTableGen: Gen[List[(Long, String, Option[Int])]] =
+    Gen.listOf(dupRowGen) // duplicates allowed, unlike tableGen
+
+  /** Each row with Spark's OWN string form of its payload struct — the
+    * exact ordering key the compat mode's occurrence window uses
+    * (`KeyDiff.scala` keyed(): orderBy(payload.cast("string"))). Using
+    * Spark's cast (not a hand-rolled format) keeps the model honest.
+    */
+  private def annotated(rows: List[(Long, String, Option[Int])])
+      : List[(Long, String)] = {
+    import spark.implicits._
+    rows.toDF("id", "s", "v")
+      .select(col("id"),
+        struct(col("id"), col("s"), col("v")).cast("string").as("str"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList
+  }
+
+  /** Diff result as a canonical multiset of
+    * (key, status, old-payload-string, new-payload-string). */
+  private def diffRows(o: DataFrame, n: DataFrame)
+      : Map[(String, String, Option[String], Option[String]), Int] =
+    KeyDiff.diff(o, n, Seq("id"),
+        graft.core.DiffConfig(positionalDupKeys = true))
+      .select(col("id"), col(KeyDiff.StatusCol),
+        col("old").cast("string"), col("new").cast("string"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3))))
+      .groupBy(identity).view.mapValues(_.length).toMap
+
+  test("property: positionalDupKeys pairs i-th old with i-th new (model check)") {
+    for (seed <- 1L to 8L) {
+      val oldRows = sample(dupTableGen, seed)
+      val newRows = sample(dupTableGen, seed + 100)
+      // independent model: per key, sort each side's payloads by Spark's
+      // string form, zip positionally; equal string ⟺ equal payload for
+      // these (long, string, int) fields, extras classify added/removed
+      val oByKey = annotated(oldRows).groupBy(_._1)
+      val nByKey = annotated(newRows).groupBy(_._1)
+      val want = (oByKey.keySet ++ nByKey.keySet).toSeq.flatMap { k =>
+        val os = oByKey.getOrElse(k, Nil).map(_._2).sorted
+        val ns = nByKey.getOrElse(k, Nil).map(_._2).sorted
+        val m = math.min(os.size, ns.size)
+        val paired = (0 until m).map { i =>
+          val st = if (os(i) == ns(i)) "unchanged" else "changed"
+          (k.toString, st, Option(os(i)), Option(ns(i)))
+        }
+        val extraOld = os.drop(m).map(p => (k.toString, "removed", Option(p), None))
+        val extraNew = ns.drop(m).map(p => (k.toString, "added", None, Option(p)))
+        paired ++ extraOld ++ extraNew
+      }.groupBy(identity).view.mapValues(_.length).toMap
+      val got = diffRows(toDupDf(oldRows), toDupDf(newRows))
+      assert(got == want,
+        s"seed $seed:\n extra=${got.toSet -- want.toSet}\n missing=${want.toSet -- got.toSet}")
+    }
+  }
+
+  test("property: positionalDupKeys added/removed swap under argument flip") {
+    for (seed <- 11L to 16L) {
+      val a = toDupDf(sample(dupTableGen, seed))
+      val b = toDupDf(sample(dupTableGen, seed + 200))
+      val fwd = diffRows(a, b)
+      val rev = diffRows(b, a)
+      // per-key payload ordering is side-independent, so the flip maps
+      // every row (st, old, new) → (swap(st), new, old) exactly
+      def swap(st: String) = st match {
+        case "added" => "removed"; case "removed" => "added"; case s => s
+      }
+      val flipped = rev.map { case ((k, st, o, n), c) => ((k, swap(st), n, o), c) }
+      assert(fwd == flipped,
+        s"seed $seed:\n extra=${fwd.toSet -- flipped.toSet}\n missing=${flipped.toSet -- fwd.toSet}")
+    }
+  }
+
+  test("property: positionalDupKeys result is partition-count invariant") {
+    for (seed <- 21L to 25L) {
+      val oldRows = sample(dupTableGen, seed)
+      val newRows = sample(dupTableGen, seed + 300)
+      val base = diffRows(toDupDf(oldRows), toDupDf(newRows))
+      val reparted = diffRows(
+        toDupDf(oldRows).repartition(7), toDupDf(newRows).repartition(3))
+      assert(base == reparted, s"seed $seed: pairing depends on partitioning")
+    }
+  }
+
+  private def toDupDf(rows: List[(Long, String, Option[Int])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "s", "v")
+  }
 }

@@ -22,6 +22,31 @@ class RegistryMetaSpec extends AnyFunSuite {
     assert(onlyO.isEmpty, s"oracle SQL without query: $onlyO")
   }
 
+  test("PLANS.md carries a plan (or a listed exclusion) for every query") {
+    // Round-12 verdict: PLANS.md drifted silently (quality_clf missing,
+    // ccnet_bucket pre-reshape) because nothing asserted coverage. The
+    // committed audit artifact must have one `## <name>` section per
+    // registry key — except PlanDump's own exclusion list, which must
+    // also appear verbatim in the file's Excluded section.
+    val src = Source.fromFile("PLANS.md", "UTF-8")
+    val text = try src.mkString finally src.close()
+    val sections = """(?m)^## ([\w]+)""".r
+      .findAllMatchIn(text).map(_.group(1)).toSet
+    val excluded = PlanDump.excluded.keySet
+    val missing = SparkEntry.queries.keySet -- sections -- excluded
+    assert(missing.isEmpty,
+      s"queries with no PLANS.md section and no exclusion: $missing — " +
+        "regenerate with `sbt \"runMain graft.PlanDump\"`")
+    excluded.foreach { n =>
+      assert(text.contains(s"- `$n` —"),
+        s"PlanDump.excluded('$n') not listed in PLANS.md's Excluded section")
+    }
+    val stale = (sections -- SparkEntry.queries.keySet)
+      .filterNot(_ == "Excluded")
+    assert(stale.isEmpty,
+      s"PLANS.md sections for queries no longer in the registry: $stale")
+  }
+
   test("SURVEY.md's latest 'Registry: N queries' marker matches the code") {
     val src = Source.fromFile("SURVEY.md", "UTF-8")
     val text = try src.mkString finally src.close()

@@ -32,6 +32,14 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     import os
+    # Resource caps so a large-SF oracle run can share the box with a
+    # concurrent Spark dump (and can't OOM it): unset = DuckDB defaults.
+    if os.environ.get("GRAFT_DUCK_THREADS"):
+        con.sql(f"SET threads={int(os.environ['GRAFT_DUCK_THREADS'])}")
+    if os.environ.get("GRAFT_DUCK_MEM"):
+        con.sql(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
+    if os.environ.get("GRAFT_DUCK_TMP"):
+        con.sql(f"SET temp_directory='{os.environ['GRAFT_DUCK_TMP']}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # driver testdata: single parquet file; ScaleUp output: a
