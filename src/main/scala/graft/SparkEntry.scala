@@ -2505,15 +2505,23 @@ object SparkEntry {
     }),
     "distinct_stream" -> ((s, dir) => {
       // the windowed distinct-user HLL sketch as a REAL stream. The
-      // gate: BOTH the streamed and the batch estimate sit within 5% of
-      // the exact count for every (hour, type) window — the hll_users
-      // bound, provable TRUE. (Stream ≡ batch EXACT equality holds only
-      // while the sketch stays in its sparse regime: once cardinality
-      // promotes it to dense HLL, a union of partial sketches and a
-      // one-shot aggregation can legitimately land on slightly
-      // different estimates — measured at sf1, 48/3600 windows. The
-      // sparse-regime equality is pinned in StreamingSpec; the
-      // scale-stable claim is the error bound.)
+      // gate: BOTH the streamed and the batch estimate sit within an
+      // ESTIMATOR-AWARE band of the exact count for every (hour, type)
+      // window — 4.6 standard errors of the HLL's own RSE
+      // (1.04/sqrt(2^lgK) ≈ 1.6% at lgK=12, band ≈ 7.5%), the same
+      // discipline as theta_overlap's round-12 fix. A flat 5% is only
+      // ~3.1 sigma, and at sf100 the 3600 dense-regime cells produced
+      // exactly the expected tail: 2 cells at 5.0-5.3% error (measured;
+      // the salted-id control showed the same tail, so no structural
+      // bias from ScaleUp's replica arithmetic) — a gate-calibration
+      // artifact, not a sketch defect. P(miss) at 4.6 sigma ≈ 2e-6/cell
+      // keeps the provable-TRUE oracle sound at any SF. (Stream ≡ batch
+      // EXACT equality holds only while the sketch stays in its sparse
+      // regime: once cardinality promotes it to dense HLL, a union of
+      // partial sketches and a one-shot aggregation can legitimately
+      // land on slightly different estimates — measured at sf1, 48/3600
+      // windows. The sparse-regime equality is pinned in StreamingSpec;
+      // the scale-stable claim is the error band.)
       import s.implicits._
       val ev = t(s, dir, "events").select(col("ts"), col("user_id"),
         col("event_type"), EventTime.ms(col("ts")).as("ts_ms"))
@@ -2526,18 +2534,19 @@ object SparkEntry {
           EventStream.distinctUsersStream(df.drop("ts_ms")))
         .filter(col("event_type") =!= "__sentinel")
         .withColumnRenamed("approx_users", "streamed_est")
+      val band = graft.ops.DistinctSketch.HllBand46
       val batch = t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"),
           col("event_type"))
-        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
-          .as("batch_est"),
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"),
+            graft.ops.DistinctSketch.DefaultLgK)).as("batch_est"),
           countDistinct(col("user_id")).as("n_exact"))
       streamed.join(batch, Seq("hour", "event_type"))
         .select(col("hour"), col("event_type"), col("n_exact"),
           (abs(col("streamed_est") - col("n_exact")) <=
-            col("n_exact") * 0.05).as("stream_rel_err_le_5pct"),
+            col("n_exact") * band).as("stream_in_hll_band"),
           (abs(col("batch_est") - col("n_exact")) <=
-            col("n_exact") * 0.05).as("batch_rel_err_le_5pct"))
+            col("n_exact") * band).as("batch_in_hll_band"))
         .orderBy("hour", "event_type")
     }),
     "avro_stream" -> ((s, dir) => {
@@ -4768,10 +4777,13 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     "distinct_stream" ->
       // gates are provable TRUE: both the streamed and the batch HLL
-      // estimate sit within the 5% bound of the exact count at any SF
+      // estimate sit within 4.6 standard errors of the sketch's own RSE
+      // (≈7.5% at lgK=12) of the exact count at any SF — P(miss) ≈
+      // 2e-6/cell, vs the old flat 5% (~3.1σ) which legitimately lost
+      // 2/3600 dense cells at sf100
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
-        |  TRUE AS stream_rel_err_le_5pct, TRUE AS batch_rel_err_le_5pct
+        |  TRUE AS stream_in_hll_band, TRUE AS batch_in_hll_band
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "avro_stream" ->
       // identical claim to hourly_stream, through the Avro source

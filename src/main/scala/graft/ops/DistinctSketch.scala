@@ -35,6 +35,20 @@ object DistinctSketch {
   /** k for the default sketches: the divisor in σ = sqrt(result·scope/k). */
   val DefaultK: Int = 1 << DefaultLgK
 
+  /** HLL relative standard error at lgConfigK = [[DefaultLgK]]:
+    * 1.04/sqrt(2^lgK) ≈ 1.6%. The divisor derives from the same shared
+    * constant as the theta gates so a future lgK change re-calibrates
+    * every HLL error band with it.
+    */
+  val HllRse: Double = 1.04 / math.sqrt(DefaultK.toDouble)
+
+  /** 4.6-sigma HLL relative error band (≈ 7.5% at lgK=12): P(miss) ≈
+    * 2e-6 per cell, so a provable-TRUE within-band oracle stays sound
+    * across thousands of dense-regime cells at any SF — the same 4.6σ
+    * discipline as theta_overlap's estimator-aware gate (round 12).
+    */
+  val HllBand46: Double = 4.6 * HllRse
+
   /** Per-group HLL sketch of `valueCol` (binary column, storable). */
   def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
     df.groupBy(groupCols.map(col): _*)

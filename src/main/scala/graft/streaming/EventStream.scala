@@ -104,7 +104,11 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+      // explicit lgK from the shared constant: the distinct_stream
+      // gate's 4.6σ band (DistinctSketch.HllBand46) divides by this
+      // sketch's 2^lgK, so the two must not drift apart
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"),
+          graft.ops.DistinctSketch.DefaultLgK))
         .as("approx_users"))
       .select(col("w.start").as("hour"), col("event_type"),
         col("approx_users"))

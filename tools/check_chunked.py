@@ -15,10 +15,19 @@ documents-derived queries after a fixture change) and the time-capped
 sf100 gate compare exactly the queries that were dumped.
 """
 import json
+import os
 import subprocess
 import sys
 
 SIDE_CAR = {"embed_neardup", "decontam_embed"}
+# Pre-tokenized LM-family sidecar (tools/lm_oracle.py): opt-in via
+# GRAFT_LM_SIDECAR=1 — the committed CTEs re-tokenize all of
+# `documents` per query, which is fine at the driver's sf0.01 but
+# capped the round-12 sf100 tally at the oracle side (one 4-query
+# chunk >35 min). Selfcheck the sidecar (--selfcheck) before trusting
+# a large-SF verdict.
+LM_SIDECAR = {"bigram_lm", "perplexity", "ccnet_bucket", "quality_clf",
+              "dsir_scores"}
 
 
 def main():
@@ -34,7 +43,9 @@ def main():
             print(f"unknown query names: {sorted(missing)}")
             sys.exit(2)
         names = [n for n in names if n in want]
-    duck = [n for n in names if n not in SIDE_CAR]
+    lm_route = (set(n for n in names if n in LM_SIDECAR)
+                if os.environ.get("GRAFT_LM_SIDECAR") == "1" else set())
+    duck = [n for n in names if n not in SIDE_CAR and n not in lm_route]
     failed = []
     for i in range(0, len(duck), chunk):
         part = duck[i:i + chunk]
@@ -45,6 +56,17 @@ def main():
         if r.returncode != 0:
             failed += [l.split()[1].rstrip(":") for l in r.stdout.splitlines()
                        if l.startswith("FAIL")]
+            if r.stderr:
+                sys.stdout.write(r.stderr[-2000:])
+    if lm_route:
+        r = subprocess.run(
+            [sys.executable, "tools/lm_oracle.py", sf_dir, out_dir,
+             ",".join(sorted(lm_route))],
+            capture_output=True, text=True)
+        sys.stdout.write(r.stdout)
+        if r.returncode != 0:
+            failed += [l.split()[1].rstrip(":") for l in r.stdout.splitlines()
+                       if l.startswith("FAIL")] or ["lm_sidecar"]
             if r.stderr:
                 sys.stdout.write(r.stderr[-2000:])
     if any(n in SIDE_CAR for n in names):
