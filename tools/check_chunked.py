@@ -28,6 +28,14 @@ SIDE_CAR = {"embed_neardup", "decontam_embed"}
 # a large-SF verdict.
 LM_SIDECAR = {"bigram_lm", "perplexity", "ccnet_bucket", "quality_clf",
               "dsir_scores"}
+# Pre-materialized MinHash-family sidecar (tools/minhash_oracle.py):
+# opt-in via GRAFT_MINHASH_SIDECAR=1 — the committed CTEs recompute the
+# 8-permutation signature pass over all of `documents` per query (and
+# two of them are intractable as written at sf100: the recursive
+# closure CTE and incr_neardup's all-pairs >=6-of-8 join). Selfcheck
+# (--selfcheck) before trusting a large-SF verdict.
+MINHASH_SIDECAR = {"minhash_sig", "lsh_pairs", "dedup_clusters",
+                   "corpus_clean_cc", "incr_neardup"}
 
 
 def main():
@@ -45,7 +53,10 @@ def main():
         names = [n for n in names if n in want]
     lm_route = (set(n for n in names if n in LM_SIDECAR)
                 if os.environ.get("GRAFT_LM_SIDECAR") == "1" else set())
-    duck = [n for n in names if n not in SIDE_CAR and n not in lm_route]
+    mh_route = (set(n for n in names if n in MINHASH_SIDECAR)
+                if os.environ.get("GRAFT_MINHASH_SIDECAR") == "1" else set())
+    duck = [n for n in names if n not in SIDE_CAR
+            and n not in lm_route and n not in mh_route]
     failed = []
     for i in range(0, len(duck), chunk):
         part = duck[i:i + chunk]
@@ -56,6 +67,17 @@ def main():
         if r.returncode != 0:
             failed += [l.split()[1].rstrip(":") for l in r.stdout.splitlines()
                        if l.startswith("FAIL")]
+            if r.stderr:
+                sys.stdout.write(r.stderr[-2000:])
+    if mh_route:
+        r = subprocess.run(
+            [sys.executable, "tools/minhash_oracle.py", sf_dir, out_dir,
+             ",".join(sorted(mh_route))],
+            capture_output=True, text=True)
+        sys.stdout.write(r.stdout)
+        if r.returncode != 0:
+            failed += [l.split()[1].rstrip(":") for l in r.stdout.splitlines()
+                       if l.startswith("FAIL")] or ["minhash_sidecar"]
             if r.stderr:
                 sys.stdout.write(r.stderr[-2000:])
     if lm_route:
