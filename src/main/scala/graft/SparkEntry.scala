@@ -488,10 +488,18 @@ object SparkEntry {
           col("l_quantity") >= 1 && col("l_quantity") <= 30) ||
         (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
           col("l_quantity") >= 10 && col("l_quantity") <= 40)
+      // exact long ten-thousandths sum (revenueL4): the double sum
+      // drifted a cent at sf100's ~5.5e11 total — same stratum as
+      // bloom_join, found by the wave-4 gate
       t(s, dir, "lineitem")
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .filter(cond)
-        .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n"))
+        .agg(sum(revenueL4).as("__r4"), max(abs(revenueL4)).as("__ma"),
+          count(lit(1)).as("n"))
+        .select(
+          (l4ToCents(l4Guarded(col("__r4"), col("__ma"), col("n")))
+            .cast("double") / 100.0).as("revenue"),
+          col("n"))
     }),
     "q8_share" -> ((s, dir) => {
       // national-market-share shape (TPC-H Q8 on the available columns):
@@ -802,10 +810,18 @@ object SparkEntry {
       val urgent = t(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
         .select("o_orderkey")
+      // revenue summed as exact long ten-thousandths (revenueL4): the
+      // double sum drifted past the cent at sf100's ~2.0e12 per-flag
+      // totals — the cube_sales/q1_agg stratum, found by the wave-4 gate
       BloomJoin.join(t(s, dir, "lineitem"), urgent,
           "l_orderkey", "o_orderkey", expectedKeys = 20000L)
         .groupBy("l_returnflag")
-        .agg(round(sum(revenue), 2).as("rev"), count(lit(1)).as("n_items"))
+        .agg(sum(revenueL4).as("__r4"), max(abs(revenueL4)).as("__ma"),
+          count(lit(1)).as("n_items"))
+        .select(col("l_returnflag"),
+          (l4ToCents(l4Guarded(col("__r4"), col("__ma"), col("n_items")))
+            .cast("double") / 100.0).as("rev"),
+          col("n_items"))
         .orderBy("l_returnflag")
     }),
     "semi_anti" -> ((s, dir) => {
@@ -3724,7 +3740,10 @@ object SparkEntry {
         |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l.l_shipdate < TIMESTAMP '1997-03-01'""".stripMargin,
     "q19_disjunct" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      // exact 4-decimal revenue summed as DECIMAL (cube_sales
+      // discipline) — cent-stable at sf100's ~5.5e11 total
+      """SELECT CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount),
+        |    4) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -3765,8 +3784,12 @@ object SparkEntry {
         |    AS BIGINT) AS rn
         |FROM events WHERE user_id < 50 ORDER BY user_id, rn""".stripMargin,
     "bloom_join" ->
+      // exact 4-decimal per-row revenue summed as DECIMAL (the
+      // cube_sales discipline): order-free, engine-identical at sf100's
+      // ~2.0e12 per-flag totals
       """SELECT l_returnflag,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+        |  CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS rev,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
