@@ -3,6 +3,7 @@ package graft.cli
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.DiffConfig
 import graft.ops.{KeyDiff, VennDiff}
 
 /** Shared session + colorized report printing (reference O15/O16,
@@ -66,6 +67,41 @@ object Report {
       println(s"$st: $n rows")
     }
   }
+
+  /** Venn report — removed/added/intersection buckets, reference order
+    * (`/root/reference/src/index.js:53-63`, label swap at :60-61 fixed).
+    *
+    * Cost discipline (100 TB posture): the single-shuffle
+    * `VennDiff.counted` union+aggregate runs ONCE (localCheckpoint severs
+    * its lineage), all three bucket counts come from one aggregate over
+    * the checkpoint, and each bucket dump re-expands row multiplicities
+    * (capped at `limit`) from the checkpointed counted rows — ≤5 jobs
+    * total vs the old shape's 6 full set-op executions (each of the three
+    * exceptAll/intersectAll plans ran twice: count + dump).
+    */
+  def printVennDiff(oldDf: DataFrame, newDf: DataFrame,
+      cfg: DiffConfig = DiffConfig(), limit: Int = 20): Unit = {
+    val c = VennDiff.counted(oldDf, newDf, cfg).localCheckpoint()
+    val rowCols = c.columns.filterNot(
+      Set("old_count", "new_count", "removed", "added", "common")).toSeq
+    val t = c.agg(
+      coalesce(sum("removed"), lit(0L)).as("r"),
+      coalesce(sum("added"), lit(0L)).as("a"),
+      coalesce(sum("common"), lit(0L)).as("c")).collect()(0)
+    def dump(name: String, color: String, cnt: String, total: Long): Unit = {
+      // exceptAll/intersectAll emit each distinct row `cnt` times; rebuild
+      // that multiset view from the counted rows, capping the expansion at
+      // `limit` so the dump stays bounded regardless of multiplicity.
+      val rows = c.filter(col(cnt) > 0)
+        .withColumn("__dup",
+          explode(sequence(lit(1L), least(col(cnt), lit(limit.toLong)))))
+        .select(rowCols.map(col).toIndexedSeq: _*)
+      bucketPrecounted(name, color, rows, total, limit)
+    }
+    dump("removed (old ∖ new)", Red, "removed", t.getAs[Long]("r"))
+    dump("added (new ∖ old)", Green, "added", t.getAs[Long]("a"))
+    dump("intersection", Reset, "common", t.getAs[Long]("c"))
+  }
 }
 
 /** `key_diff <oldFile> <newFile> <comma,separated,key>` — arg-compatible
@@ -98,9 +134,7 @@ object VennDiffApp {
     spark.sparkContext.setLogLevel("WARN")
     val o = spark.read.format("avro").load(oldFile)
     val n = spark.read.format("avro").load(newFile)
-    Report.bucket("removed (old ∖ new)", "[31m", VennDiff.removed(o, n))
-    Report.bucket("added (new ∖ old)", "[32m", VennDiff.added(o, n))
-    Report.bucket("intersection", "[0m", VennDiff.intersection(o, n))
+    Report.printVennDiff(o, n)
     spark.stop()
   }
 }

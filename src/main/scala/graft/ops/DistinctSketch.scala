@@ -42,10 +42,13 @@ object DistinctSketch {
     */
   val HllRse: Double = 1.04 / math.sqrt(DefaultK.toDouble)
 
-  /** 4.6-sigma HLL relative error band (≈ 7.5% at lgK=12): P(miss) ≈
-    * 2e-6 per cell, so a provable-TRUE within-band oracle stays sound
-    * across thousands of dense-regime cells at any SF — the same 4.6σ
-    * discipline as theta_overlap's estimator-aware gate (round 12).
+  /** 4.6-sigma HLL relative error band (≈ 7.5% at lgK=12). The gate is
+    * TWO-SIDED (|est − exact| ≤ band), so the Gaussian tail is
+    * 2·Φ(−4.6) ≈ 4e-6 per cell — ≈ 1.5% per-run false-fail odds over a
+    * 3600-dense-cell gate, which is the accepted rate: a provable-TRUE
+    * within-band oracle stays sound across thousands of dense-regime
+    * cells at any SF — the same 4.6σ discipline as theta_overlap's
+    * estimator-aware gate (round 12).
     */
   val HllBand46: Double = 4.6 * HllRse
 

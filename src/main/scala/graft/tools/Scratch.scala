@@ -28,8 +28,14 @@ object Scratch {
       .show(false)
     batch.orderBy(col("rel_err").desc).show(10, false)
     // is the bias replica-structure-dependent? compare est on raw ids vs
-    // a salted bijection of the same ids (xor-fold breaks arithmetic
-    // structure without changing cardinality)
+    // a salted remap of the same ids: multiplication by the Knuth
+    // constant mod the largest sub-2^63 prime breaks the ids' arithmetic
+    // structure, and is injective (so cardinality-preserving) only while
+    // user_id * 2654435761 stays below the modulus, i.e. user_id <
+    // ~3.47e9 — true for every SF this diagnostic targets
+    val maxId = ev.agg(max("user_id")).collect()(0).getLong(0)
+    require(maxId < 9223372036854775783L / 2654435761L,
+      s"salt not injective: max user_id $maxId overflows the mod-prime map")
     val salted = ev.withColumn("user_id",
       expr("CAST(user_id * 2654435761 % 9223372036854775783 AS BIGINT)"))
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))

@@ -308,4 +308,56 @@ class CoreDiffSpec extends AnyFunSuite {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracleSql without queries entry: $unknown")
   }
+
+  test("printVennDiff: one counted() execution, buckets + multiplicities match the set-ops") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (3L, "c"), (3L, "c")).toDF("id", "v")
+    val neu = Seq((1L, "a"), (4L, "d")).toDF("id", "v")
+    // expected from the individual set-ops (the old 6-execution shape)
+    assert(VennDiff.removed(old, neu).count() == 2L)   // (3,c) x2
+    assert(VennDiff.added(old, neu).count() == 1L)     // (4,d)
+    assert(VennDiff.intersection(old, neu).count() == 1L) // (1,a)
+    val out = new java.io.ByteArrayOutputStream()
+    // The report must execute the union+aggregate counted() plan exactly
+    // once (the localCheckpoint materialization); the summary aggregate
+    // and the three bucket dumps run over the checkpointed rows, whose
+    // plans carry no Union. The old shape ran 6 full set-op executions
+    // (and Catalyst rewrites exceptAll/intersectAll via Union too, so
+    // Union-bearing executions is the right counter for both shapes).
+    val unionExecs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+            if s.physicalPlanDescription.contains("Union") =>
+          unionExecs.incrementAndGet()
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+        graft.cli.Report.printVennDiff(old, neu)
+      }
+      var prev = -1
+      var spins = 0
+      while (unionExecs.get() != prev && spins < 40) {
+        prev = unionExecs.get(); spins += 1; Thread.sleep(50)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(unionExecs.get() <= 1,
+      s"printVennDiff executed the counted union ${unionExecs.get()} times; " +
+        "the report must materialize once and reuse")
+    val text = out.toString("UTF-8")
+    assert(text.contains("== removed (old \u2216 new): 2 rows"), text)
+    assert(text.contains("== added (new \u2216 old): 1 rows"), text)
+    assert(text.contains("== intersection: 1 rows"), text)
+    // reference order: removed, then added, then intersection
+    assert(text.indexOf("== removed") < text.indexOf("== added"))
+    assert(text.indexOf("== added") < text.indexOf("== intersection"))
+    // multiplicity re-expansion: the duplicated (3,c) row prints twice
+    assert(text.linesIterator.count(_.contains("[3,c]")) == 2, text)
+    assert(text.linesIterator.count(_.contains("[4,d]")) == 1, text)
+    assert(text.linesIterator.count(_.contains("[1,a]")) == 1, text)
+  }
 }

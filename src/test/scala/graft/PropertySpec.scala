@@ -544,4 +544,58 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     rows.toDF("id", "s", "v")
   }
+
+  // --- strat-surface invariant (round-13 verdict item 7) -----------------
+  // The three sf100 decade-evidence queries `X_strat` must be EXACTLY
+  // `X(documents restricted to the committed md5 1/8 stratum)` — the
+  // engine-side predicate re-spelled here verbatim. If a future edit to
+  // SparkEntry.stratDocs changes the stratum (modulus, digest, digit
+  // count), engine and oracle silently diverge; this pins the spelling.
+  test("property: X_strat(documents) == X(documents.filter(md5 1/8 stratum))") {
+    import spark.implicits._
+    // Corpus with guaranteed near-dup pairs inside the stratum: 240 docs,
+    // text drawn from 5 pool sentences (id mod 5), so the ~30 stratum
+    // docs carry many identical-text pairs (jaccard 1.0 passes every
+    // threshold); a per-doc suffix on a third of docs adds near-dups.
+    val pool = Vector(
+      "the quick brown fox jumps over the lazy dog near the quiet river bank today",
+      "training data pipelines deduplicate documents with minhash signatures and band buckets",
+      "spark shuffles are the dominant cost at one hundred terabytes of input data",
+      "a prefix filter prunes candidate pairs before the exact jaccard verification step",
+      "language identification uses character n gram profiles over normalized text windows")
+    val docs = (0L until 240L).map { id =>
+      val base = pool((id % 5).toInt)
+      val text = if (id % 3 == 0) base + s" tail${id % 7}" else base
+      (id, text)
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("strat_prop").toString
+    try {
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // the committed stratum predicate, re-spelled (pin target)
+      val strat = docs.filter(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 8 === 0)
+      val nStrat = strat.count()
+      assert(nStrat > 10, s"degenerate stratum: $nStrat docs")
+      val expected = Map(
+        "ppjoin_pairs_strat" ->
+          Dedup.ppjoinPairs(strat, "doc_id", "text"),
+        "ngram_jaccard_strat" ->
+          Dedup.ngramJaccardPairs(strat, "doc_id", "text"),
+        "simhash64_pairs_strat" ->
+          Dedup.simhash64Pairs(strat, "doc_id", "text"))
+      for ((name, exp) <- expected) {
+        val got = SparkEntry.queries(name)(spark, dir)
+          .collect().map(_.toString).sorted.toSeq
+        val want = exp.collect().map(_.toString).sorted.toSeq
+        assert(want.nonEmpty, s"$name: vacuous corpus (no pairs in stratum)")
+        assert(got == want,
+          s"$name diverged from the re-spelled stratum: " +
+            s"got ${got.size} rows, want ${want.size}")
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }

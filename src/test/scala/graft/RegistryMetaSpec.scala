@@ -47,6 +47,45 @@ class RegistryMetaSpec extends AnyFunSuite {
       s"PLANS.md sections for queries no longer in the registry: $stale")
   }
 
+  test("every query has large-SF gate placement (a wave list) or a named exclusion") {
+    // Round-13 verdict item 5: the round-12 drift mode was queries that
+    // shipped, passed sf0.01, and were never placed in any large-SF wave
+    // ("dumped-but-ungated"). Pin: every registry name must appear in at
+    // least one committed wave/gate list (tools/gates/*.txt) or in
+    // tools/gates/exclusions.txt with a non-empty reason.
+    import java.io.File
+    val gateDir = new File("tools/gates")
+    val listFiles = gateDir.listFiles()
+      .filter(f => f.getName.endsWith(".txt") && f.getName != "exclusions.txt")
+    assert(listFiles.nonEmpty, "no gate lists under tools/gates")
+    val listed = listFiles.flatMap { f =>
+      val src = Source.fromFile(f, "UTF-8")
+      try src.getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toList
+      finally src.close()
+    }.toSet
+    val exclSrc = Source.fromFile("tools/gates/exclusions.txt", "UTF-8")
+    val exclLines = try exclSrc.getLines().toList finally exclSrc.close()
+    val excluded = exclLines
+      .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#"))
+      .map { l =>
+        val parts = l.split("\\|", 2)
+        assert(parts.length == 2 && parts(1).trim.nonEmpty,
+          s"exclusions.txt line without a reason: $l")
+        parts(0).trim
+      }.toSet
+    val q = SparkEntry.queries.keySet
+    val unplaced = q -- listed -- excluded
+    assert(unplaced.isEmpty,
+      s"queries in no wave list and not excluded-with-reason: $unplaced — " +
+        "add to a tools/gates/*.txt wave or tools/gates/exclusions.txt")
+    val staleExcl = excluded -- q
+    assert(staleExcl.isEmpty,
+      s"exclusions.txt names not in the registry: $staleExcl")
+    val doubly = excluded & listed
+    assert(doubly.isEmpty,
+      s"names both excluded and wave-listed (pick one): $doubly")
+  }
+
   test("SURVEY.md's latest 'Registry: N queries' marker matches the code") {
     val src = Source.fromFile("SURVEY.md", "UTF-8")
     val text = try src.mkString finally src.close()

@@ -36,6 +36,12 @@ LM_SIDECAR = {"bigram_lm", "perplexity", "ccnet_bucket", "quality_clf",
 # (--selfcheck) before trusting a large-SF verdict.
 MINHASH_SIDECAR = {"minhash_sig", "lsh_pairs", "dedup_clusters",
                    "corpus_clean_cc", "incr_neardup"}
+# Disk-backed span-family sidecar (tools/span_oracle.py): opt-in via
+# GRAFT_SPAN_SIDECAR=1 — the committed span_dedup CTE OOMed DuckDB at
+# a 64 GB cap at sf100 (BASELINE.md round-13); the sidecar stages the
+# span/coverage algebra through file-backed tables. Selfchecked like
+# the others below.
+SPAN_SIDECAR = {"span_dedup", "dup_spans"}
 
 
 def main():
@@ -55,8 +61,42 @@ def main():
                 if os.environ.get("GRAFT_LM_SIDECAR") == "1" else set())
     mh_route = (set(n for n in names if n in MINHASH_SIDECAR)
                 if os.environ.get("GRAFT_MINHASH_SIDECAR") == "1" else set())
+    span_route = (set(n for n in names if n in SPAN_SIDECAR)
+                  if os.environ.get("GRAFT_SPAN_SIDECAR") == "1" else set())
+    # Sidecar coupling (round-13 ADVICE): a sidecar substitutes a
+    # re-spelled oracle for the committed SQL, so before trusting it,
+    # auto-selfcheck each active sidecar at a small SF against THIS
+    # dump's committed oracle_sql.json. Opt out (e.g. no small SF on the
+    # host) with GRAFT_SIDECAR_SELFCHECK=0 — the notice still prints.
+    selfcheck_sf = os.environ.get("GRAFT_SIDECAR_SELFCHECK_SF",
+                                  "/root/testdata/sf0.01")
+    for route, tool in ((mh_route, "minhash_oracle.py"),
+                        (lm_route, "lm_oracle.py"),
+                        (span_route, "span_oracle.py")):
+        if not route:
+            continue
+        print(f"NOTICE: sidecar oracle active ({tool}) for "
+              f"{sorted(route)} — re-spelled SQL, not the committed "
+              f"oracle_sql.json spellings")
+        if os.environ.get("GRAFT_SIDECAR_SELFCHECK", "1") != "1":
+            print(f"NOTICE: {tool} selfcheck SKIPPED "
+                  f"(GRAFT_SIDECAR_SELFCHECK=0)")
+            continue
+        r = subprocess.run(
+            [sys.executable, f"tools/{tool}", "--selfcheck", selfcheck_sf,
+             f"{out_dir}/oracle_sql.json"],
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            sys.stdout.write(r.stdout)
+            sys.stdout.write(r.stderr[-2000:] if r.stderr else "")
+            print(f"ABORT: {tool} selfcheck failed at {selfcheck_sf} — "
+                  f"sidecar verdicts would be untrusted")
+            sys.exit(2)
+        print(f"NOTICE: {tool} selfcheck OK at {selfcheck_sf} "
+              f"(vs this dump's committed oracle_sql.json)")
     duck = [n for n in names if n not in SIDE_CAR
-            and n not in lm_route and n not in mh_route]
+            and n not in lm_route and n not in mh_route
+            and n not in span_route]
     failed = []
     for i in range(0, len(duck), chunk):
         part = duck[i:i + chunk]
@@ -89,6 +129,17 @@ def main():
         if r.returncode != 0:
             failed += [l.split()[1].rstrip(":") for l in r.stdout.splitlines()
                        if l.startswith("FAIL")] or ["lm_sidecar"]
+            if r.stderr:
+                sys.stdout.write(r.stderr[-2000:])
+    if span_route:
+        r = subprocess.run(
+            [sys.executable, "tools/span_oracle.py", sf_dir, out_dir,
+             ",".join(sorted(span_route))],
+            capture_output=True, text=True)
+        sys.stdout.write(r.stdout)
+        if r.returncode != 0:
+            failed += [l.split()[1].rstrip(":") for l in r.stdout.splitlines()
+                       if l.startswith("FAIL")] or ["span_sidecar"]
             if r.stderr:
                 sys.stdout.write(r.stderr[-2000:])
     if any(n in SIDE_CAR for n in names):

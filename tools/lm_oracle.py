@@ -193,17 +193,23 @@ def multiset_sig(con, rel_sql):
         f"max(hash({hcols})), avg(hash({hcols})) FROM ({rel_sql})").fetchone()
 
 
-def selfcheck(sf_dir):
-    """Run committed oracle vs rewritten spelling at a small SF."""
+def selfcheck(sf_dir, oracle_path=None):
+    """Run committed oracle vs rewritten spelling at a small SF.
+    `oracle_path` may be an oracle_sql.json file or a dump dir holding
+    one (preferred); the /tmp candidates are a convenience fallback."""
     oracle = {}
-    # the committed SQL ships in any verify dump's oracle_sql.json; take
-    # the freshest one available
-    for cand in ["/tmp/verify_strat", "/tmp/verify_out", "/tmp/verify_sf100"]:
-        p = f"{cand}/oracle_sql.json"
-        if os.path.exists(p):
+    cands = []
+    if oracle_path:
+        cands = [oracle_path, f"{oracle_path}/oracle_sql.json"]
+    cands += [f"{c}/oracle_sql.json"
+              for c in ["/tmp/verify_strat", "/tmp/verify_out",
+                        "/tmp/verify_sf100"]]
+    for p in cands:
+        if os.path.isfile(p):
             oracle = json.load(open(p))
             break
-    assert oracle, "no oracle_sql.json found for selfcheck"
+    assert oracle, ("no oracle_sql.json found for selfcheck — pass its "
+                    "path: --selfcheck <sfDir> <oracle_sql.json|dumpDir>")
     con = connect(sf_dir)
     con.sql(PR_MAT)
     v = con.sql(VTOT).fetchone()[0]
@@ -222,7 +228,7 @@ def selfcheck(sf_dir):
 
 def main():
     if sys.argv[1] == "--selfcheck":
-        selfcheck(sys.argv[2])
+        selfcheck(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
         return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     names = sorted(REWRITTEN) if len(sys.argv) < 4 else sys.argv[3].split(",")

@@ -185,10 +185,17 @@ def load_components(con, src):
 
 
 def comp_table(con, comp, name):
-    con.sql(f"CREATE OR REPLACE TEMP TABLE {name} (id BIGINT, comp BIGINT)")
-    if comp:
-        con.executemany(f"INSERT INTO {name} VALUES (?, ?)",
-                        list(comp.items()))
+    # Bulk path: register the label map as a pandas frame and CTAS from
+    # it — a single vectorized insert instead of row-by-row executemany
+    # (at sf100 component sizes the executemany round-trips dominated).
+    import pandas as pd
+    df = pd.DataFrame(list(comp.items()) or None,
+                      columns=["id", "comp"]).astype("int64")
+    con.register(f"__{name}_src", df)
+    con.sql(f"CREATE OR REPLACE TEMP TABLE {name} AS "
+            f"SELECT CAST(id AS BIGINT) id, CAST(comp AS BIGINT) comp "
+            f"FROM __{name}_src")
+    con.unregister(f"__{name}_src")
 
 
 def result_sql(con, name):
@@ -259,17 +266,28 @@ def result_sql(con, name):
     raise AssertionError(f"not a minhash-family query: {name}")
 
 
-def committed_oracle():
-    for cand in ["/tmp/verify_strat", "/tmp/verify_out", "/tmp/verify_sf100"]:
-        p = f"{cand}/oracle_sql.json"
-        if os.path.exists(p):
+def committed_oracle(explicit=None):
+    """Load the committed oracle_sql.json. `explicit` may be the json
+    file itself or a dump dir containing it (preferred — the /tmp
+    candidates are a convenience fallback for the usual dump spots)."""
+    cands = []
+    if explicit:
+        cands = [explicit, f"{explicit}/oracle_sql.json"]
+    cands += [f"{c}/oracle_sql.json"
+              for c in ["/tmp/verify_strat", "/tmp/verify_out",
+                        "/tmp/verify_sf100"]]
+    for p in cands:
+        if os.path.isfile(p):
             return json.load(open(p))
+    if explicit:
+        raise SystemExit(f"selfcheck: no oracle_sql.json at {explicit}")
     return {}
 
 
-def selfcheck(sf_dir):
-    oracle = committed_oracle()
-    assert oracle, "no oracle_sql.json found for selfcheck"
+def selfcheck(sf_dir, oracle_path=None):
+    oracle = committed_oracle(oracle_path)
+    assert oracle, ("no oracle_sql.json found for selfcheck — pass its "
+                    "path: --selfcheck <sfDir> <oracle_sql.json|dumpDir>")
     con = connect(sf_dir)
     con.sql(SIGS_MAT)
     con.sql(META_MAT)
@@ -288,7 +306,7 @@ def selfcheck(sf_dir):
 
 def main():
     if sys.argv[1] == "--selfcheck":
-        selfcheck(sys.argv[2])
+        selfcheck(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
         return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     names = NAMES if len(sys.argv) < 4 else sys.argv[3].split(",")
