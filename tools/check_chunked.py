@@ -35,7 +35,8 @@ LM_SIDECAR = {"bigram_lm", "perplexity", "ccnet_bucket", "quality_clf",
 # closure CTE and incr_neardup's all-pairs >=6-of-8 join). Selfcheck
 # (--selfcheck) before trusting a large-SF verdict.
 MINHASH_SIDECAR = {"minhash_sig", "lsh_pairs", "dedup_clusters",
-                   "corpus_clean_cc", "incr_neardup"}
+                   "corpus_clean_cc", "incr_neardup", "contrastive",
+                   "corpus_clean", "group_sketch"}
 # Disk-backed span-family sidecar (tools/span_oracle.py): opt-in via
 # GRAFT_SPAN_SIDECAR=1 — the committed span_dedup CTE OOMed DuckDB at
 # a 64 GB cap at sf100 (BASELINE.md round-13); the sidecar stages the

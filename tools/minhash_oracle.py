@@ -51,7 +51,7 @@ import sys
 import duckdb
 
 NAMES = ["minhash_sig", "lsh_pairs", "dedup_clusters", "corpus_clean_cc",
-         "incr_neardup"]
+         "incr_neardup", "contrastive", "corpus_clean", "group_sketch"]
 
 # One signature pass over `documents` — the shared CTE chain verbatim
 # from the committed oracles (toks -> sh -> sigs). A doc's signature
@@ -263,6 +263,46 @@ def result_sql(con, name):
             NOT (s.doc_id IN (SELECT a FROM inc_bc)
                  OR s.doc_id IN (SELECT b FROM inc_bb)) AS survives
           FROM inc_b s ORDER BY doc_id"""
+    if name == "contrastive":
+        # lsh_pairs at est >= 0.5 + the committed deterministic negative
+        # sampling arithmetic, over the one materialized sigs pass.
+        pairs = PAIRS.format(bands=BANDS.format(src="sigs"))
+        return f"""WITH pr AS ({pairs}),
+          p AS (SELECT a_id AS anchor, b_id AS positive FROM pr
+                WHERE est_jaccard >= 0.5),
+          mx AS (SELECT max(doc_id) AS m FROM doc_meta),
+          t AS (SELECT anchor, positive,
+            CASE WHEN (anchor*7919+13) % (m+1) <> anchor
+                  AND (anchor*7919+13) % (m+1) <> positive
+                 THEN (anchor*7919+13) % (m+1)
+                 WHEN (anchor*7919+14) % (m+1) <> anchor
+                  AND (anchor*7919+14) % (m+1) <> positive
+                 THEN (anchor*7919+14) % (m+1)
+                 ELSE (anchor*7919+15) % (m+1) END AS negative
+            FROM p CROSS JOIN mx)
+          SELECT anchor, positive, negative FROM t
+          WHERE negative IN (SELECT doc_id FROM doc_meta)
+          ORDER BY anchor, positive"""
+    if name == "corpus_clean":
+        # Same len-filter + exact-dup keep universe as corpus_clean_cc
+        # (cc_k), but survivors drop every DIRECT est>=0.75 b_id instead
+        # of component losers.
+        con.sql("""CREATE OR REPLACE TEMP TABLE ccd_k AS
+          SELECT m.* FROM doc_meta m JOIN (
+            SELECT min(doc_id) doc_id FROM doc_meta
+            WHERE n_toks >= 20 GROUP BY text_md5) keep USING (doc_id)
+          WHERE m.n_toks >= 20""")
+        con.sql("""CREATE OR REPLACE TEMP TABLE ccd_sigs AS
+          SELECT s.doc_id, s.sig FROM sigs s JOIN ccd_k USING (doc_id)""")
+        pairs = PAIRS.format(bands=BANDS.format(src="ccd_sigs"))
+        return (f"SELECT doc_id, lang, source, n_chars FROM ccd_k "
+                f"WHERE doc_id NOT IN (SELECT DISTINCT b_id FROM ({pairs}) "
+                f"WHERE est_jaccard >= 0.75) ORDER BY doc_id")
+    if name == "group_sketch":
+        mins = ", ".join(f"min(sig[{i}])" for i in range(1, 9))
+        return (f"SELECT d.lang, array_to_string([{mins}], ',') AS sketch "
+                f"FROM sigs s JOIN doc_meta d USING (doc_id) "
+                f"GROUP BY d.lang ORDER BY d.lang")
     raise AssertionError(f"not a minhash-family query: {name}")
 
 
