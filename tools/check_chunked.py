@@ -36,7 +36,7 @@ LM_SIDECAR = {"bigram_lm", "perplexity", "ccnet_bucket", "quality_clf",
 # (--selfcheck) before trusting a large-SF verdict.
 MINHASH_SIDECAR = {"minhash_sig", "lsh_pairs", "dedup_clusters",
                    "corpus_clean_cc", "incr_neardup", "contrastive",
-                   "corpus_clean", "group_sketch"}
+                   "corpus_clean", "group_sketch", "simhash_pairs"}
 # Disk-backed span-family sidecar (tools/span_oracle.py): opt-in via
 # GRAFT_SPAN_SIDECAR=1 — the committed span_dedup CTE OOMed DuckDB at
 # a 64 GB cap at sf100 (BASELINE.md round-13); the sidecar stages the

@@ -51,7 +51,12 @@ import sys
 import duckdb
 
 NAMES = ["minhash_sig", "lsh_pairs", "dedup_clusters", "corpus_clean_cc",
-         "incr_neardup", "contrastive", "corpus_clean", "group_sketch"]
+         "incr_neardup", "contrastive", "corpus_clean", "group_sketch",
+         "simhash_pairs"]
+# Names whose algebra reads the materialized MinHash signature table;
+# simhash_pairs instead needs only the (much cheaper) 16-bit SimHash
+# table, so a simhash_pairs-only invocation skips the signature pass.
+SIG_NAMES = set(NAMES) - {"simhash_pairs"}
 
 # One signature pass over `documents` — the shared CTE chain verbatim
 # from the committed oracles (toks -> sh -> sigs). A doc's signature
@@ -298,6 +303,31 @@ def result_sql(con, name):
         return (f"SELECT doc_id, lang, source, n_chars FROM ccd_k "
                 f"WHERE doc_id NOT IN (SELECT DISTINCT b_id FROM ({pairs}) "
                 f"WHERE est_jaccard >= 0.75) ORDER BY doc_id")
+    if name == "simhash_pairs":
+        # The committed oracle filters its band-join to `hamming <= 0`,
+        # i.e. IDENTICAL 16-bit sketches. For equal sketches the band
+        # join matches on BOTH 8-bit bands and the GROUP BY collapses
+        # them to one row with min-xor 0 — so the whole
+        # band/group/min/filter pipeline degenerates EXACTLY to the
+        # equal-sh self-join below (each qualifying pair once, hamming
+        # 0; no aggregation state, so nothing to spill — the committed
+        # spelling's 738M-group hash aggregate exceeded the sandbox
+        # disk at sf100). s16 is the committed simhash16 CTE verbatim.
+        con.sql("""CREATE OR REPLACE TEMP TABLE s16 AS
+          WITH toks AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, ' +'), t -> t <> '')
+              toks FROM documents),
+          h AS (SELECT doc_id, list_transform(toks, t -> md5(t)) hs
+            FROM toks)
+          SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), j ->
+            CASE WHEN list_sum(list_transform(hs, h ->
+                CASE WHEN substr(h, j+1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+            THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) sh
+          FROM h""")
+        return ("SELECT a.doc_id AS a_id, c.doc_id AS b_id, "
+                "CAST(0 AS INTEGER) AS hamming "
+                "FROM s16 a JOIN s16 c ON a.sh = c.sh "
+                "AND a.doc_id < c.doc_id ORDER BY a_id, b_id")
     if name == "group_sketch":
         mins = ", ".join(f"min(sig[{i}])" for i in range(1, 9))
         return (f"SELECT d.lang, array_to_string([{mins}], ',') AS sketch "
@@ -332,7 +362,7 @@ def selfcheck(sf_dir, oracle_path=None):
     con.sql(SIGS_MAT)
     con.sql(META_MAT)
     bad = 0
-    for name in NAMES:
+    for name in NAMES:  # small SF: always materialize, check everything
         got = canon(con.sql(result_sql(con, name)).df())
         want = canon(con.sql(oracle[name]).df())
         err = frames_equal(got, want)
@@ -354,8 +384,11 @@ def main():
     assert not unknown, f"not a minhash-family query: {sorted(unknown)}"
     thresh = int(os.environ.get("GRAFT_HASH_THRESHOLD", "5000000"))
     con = connect(sf_dir)
-    con.sql(SIGS_MAT)
-    con.sql(META_MAT)
+    # The signature pass is the ~40-min-at-sf100 cost; skip it when the
+    # requested subset doesn't read it (e.g. a simhash_pairs-only gate).
+    if any(n in SIG_NAMES for n in names):
+        con.sql(SIGS_MAT)
+        con.sql(META_MAT)
     failed = []
     for name in names:
         dump = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
