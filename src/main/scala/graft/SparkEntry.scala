@@ -34,6 +34,20 @@ object SparkEntry {
       conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 8 === 0)
 
+  /** Deterministic 1/64 md5-stratum of `embeddings` — the decade-evidence
+    * input for the two deliberately-exact quadratic validators
+    * (`embed_neardup`, `decontam_embed`), whose full-corpus C(n,2) cost
+    * is infeasible at sf100 by contract (tools/gates/exclusions.txt).
+    * 1/64 of sf100's 2M vectors ≈ 31k → ~5·10⁸ exact dot products, which
+    * the blocked kernel and the numpy sidecar both clear. Same soundness
+    * argument as [[stratDocs]]: md5 of the stringified key is
+    * engine-agnostic and independent of ScaleUp's replica arithmetic.
+    */
+  private def stratEmb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(
+      conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 64 === 0)
+
   // --- derived old/new snapshots for the diff operators -------------------
   // Two overlapping subsets of `orders`, with a price perturbation on one
   // side, so keyDiff produces all four statuses and venn all three regions.
@@ -1880,6 +1894,24 @@ object SparkEntry {
       Similarity.nearDupPairsBlocked(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.35)
         .orderBy("a_id", "b_id")),
+    // Hash-stratified twins of the two deliberately-exact quadratic
+    // validators: the sf100 decade-evidence path (same pattern as the
+    // `*_strat` pair trio). The operator is IDENTICAL — only the input
+    // shrinks to the committed 1/64 md5(vec_id) stratum, and the
+    // PropertySpec invariant pins X_strat ≡ X(filter stratum) so the
+    // engine and oracle spellings can't silently diverge.
+    "embed_neardup_strat" -> ((s, dir) =>
+      Similarity.nearDupPairsBlocked(stratEmb(s, dir), "vec_id",
+        "embedding", threshold = 0.35)
+        .orderBy("a_id", "b_id")),
+    "decontam_embed_strat" -> ((s, dir) => {
+      val emb = stratEmb(s, dir)
+      Decontam.embedOverlap(
+        emb.filter(col("vec_id") % 37 =!= 0),
+        emb.filter(col("vec_id") % 37 === 0),
+        "vec_id", "embedding", threshold = 0.30)
+        .orderBy("vec_id")
+    }),
     // --- LLM-pipeline: multimodal binary columns (stub decode) ------------
     "media_meta" -> ((s, dir) =>
       Multimodal.extractFeatures(
@@ -2530,8 +2562,10 @@ object SparkEntry {
       // exactly the expected tail: 2 cells at 5.0-5.3% error (measured;
       // the salted-id control showed the same tail, so no structural
       // bias from ScaleUp's replica arithmetic) — a gate-calibration
-      // artifact, not a sketch defect. P(miss) at 4.6 sigma ≈ 2e-6/cell
-      // keeps the provable-TRUE oracle sound at any SF. (Stream ≡ batch
+      // artifact, not a sketch defect. The gate is two-sided, so
+      // P(miss) at 4.6 sigma = 2·Φ(−4.6) ≈ 4e-6/cell (≈ 1.5%/run over
+      // 3600 dense cells — DistinctSketch.HllBand46), which keeps the
+      // provable-TRUE oracle sound at any SF. (Stream ≡ batch
       // EXACT equality holds only while the sketch stays in its sparse
       // regime: once cardinality promotes it to dense HLL, a union of
       // partial sketches and a one-shot aggregation can legitimately
@@ -2903,6 +2937,58 @@ object SparkEntry {
       |  FROM documents
       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
       |        % 8 = 0)""".stripMargin
+
+  /** Normalized-embeddings CTE for the exact-cosine oracles,
+    * parameterized on a WHERE clause so the full-corpus and 1/64
+    * md5(vec_id)-stratified gates share one spelling — see [[stratEmb]].
+    */
+  private def embCte(where: String): String =
+    s"""e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
+       |  sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) nrm
+       |  FROM embeddings$where)""".stripMargin
+
+  /** The committed 1/64 md5(vec_id) stratum predicate, DuckDB spelling. */
+  private val stratEmbWhere =
+    """
+      |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+      |        % 64 = 0""".stripMargin
+
+  /** embed_neardup oracle over a parameterized embeddings CTE. */
+  private def embedNeardupOracle(where: String): String =
+    s"""WITH ${embCte(where)}
+       |SELECT a.vec_id a_id, b.vec_id b_id,
+       |  round(list_sum(list_transform(range(1, len(a.v)+1),
+       |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) cos
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE round(list_sum(list_transform(range(1, len(a.v)+1),
+       |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.35
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** decontam_embed oracle over a parameterized embeddings CTE.
+    * max-cosine tie breaks toward the smallest eval id on BOTH sides
+    * (Spark max_by(eval_id, (cos, -eval_id)) ≡ ORDER BY cos DESC,
+    * eval_id with row_number = 1).
+    */
+  private def decontamEmbedOracle(where: String): String =
+    s"""WITH ${embCte(where)},
+       |c AS (SELECT * FROM e WHERE vec_id % 37 <> 0),
+       |q AS (SELECT * FROM e WHERE vec_id % 37 = 0),
+       |p AS (SELECT c.vec_id, q.vec_id eval_id,
+       |    round(list_sum(list_transform(range(1, len(c.v)+1),
+       |      i -> c.v[i] * q.v[i])) / (c.nrm * q.nrm), 4) cos
+       |  FROM c, q),
+       |hits AS (SELECT * FROM p WHERE cos >= 0.30),
+       |r AS (SELECT vec_id, eval_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, eval_id) rn,
+       |    max(cos) OVER (PARTITION BY vec_id) max_cos,
+       |    count(*) OVER (PARTITION BY vec_id) n_eval_hits
+       |  FROM hits)
+       |SELECT vec_id, eval_id, max_cos,
+       |  CAST(n_eval_hits AS BIGINT) AS n_eval_hits
+       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   /** simhash64_pairs oracle, parameterized on the docs/toks CTE so the
     * full-corpus and md5-stratified gates share one spelling.

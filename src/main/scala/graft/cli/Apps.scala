@@ -82,8 +82,7 @@ object Report {
   def printVennDiff(oldDf: DataFrame, newDf: DataFrame,
       cfg: DiffConfig = DiffConfig(), limit: Int = 20): Unit = {
     val c = VennDiff.counted(oldDf, newDf, cfg).localCheckpoint()
-    val rowCols = c.columns.filterNot(
-      Set("old_count", "new_count", "removed", "added", "common")).toSeq
+    val rowCols = c.columns.filterNot(VennDiff.ReservedCols).toSeq
     val t = c.agg(
       coalesce(sum("removed"), lit(0L)).as("r"),
       coalesce(sum("added"), lit(0L)).as("a"),

@@ -524,11 +524,27 @@ object Dedup {
     * chain a–b, b–c labels all three `a` even though (a,c) was never a
     * candidate pair.
     *
-    * Algorithm: iterative min-label propagation — labels flow across
-    * edges, `groupBy(id).min(comp)` per round — which is the standard
-    * DataFrame-native connected components (each round = one broadcast-or
-    * -shuffle join + one aggregate; rounds needed = graph diameter, and
-    * near-dup graphs are shallow clusters, so 3–5 rounds in practice).
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * LOGARITHMIC-round DataFrame-native connected components. Each round
+    * rewires the edge set toward a star forest rooted at each
+    * component's minimum id:
+    *   - large-star: at every node `u`, connect each LARGER neighbor
+    *     `v > u` to `m = min(Γ(u) ∪ {u})` — one groupBy-min + one join;
+    *   - small-star: edges are oriented large→small, so at every node
+    *     `u`, connect `u` and all its smaller neighbors to their common
+    *     minimum — one groupBy-min + one join.
+    * Both steps preserve connectivity and never raise a node's minimum
+    * reachable id, and the alternation converges in O(log d) rounds on a
+    * diameter-`d` graph — vs d rounds for the one-hop min-label
+    * propagation this replaced (the round-14 measured scale-killer: a
+    * 100 TB near-dup graph's chain length grows with corpus size, so an
+    * O(d)-round closure's wall clock grows superlinearly while this one
+    * grows as log d; ComponentsSpec pins the round count on generated
+    * chains). Convergence is an explicit star-forest test (every source
+    * node has exactly one target and no target is itself a source), two
+    * `limit(1)` probe jobs per round over the shrinking edge set.
+    *
     * Lineage is truncated each round — without that the plan doubles
     * per iteration and Catalyst analysis time, not the data, becomes the
     * bottleneck. `checkpointDir` picks the truncation mechanism:
@@ -536,50 +552,80 @@ object Dedup {
     * executor loss mid-iteration kills the job, acceptable only on
     * local/test runs); set ⇒ reliable `checkpoint` to that directory
     * (HDFS/object store on a cluster), which survives executor loss and
-    * is the production arrangement. Convergence detection is
-    * folded INTO the label aggregate: labels only ever decrease, so
-    * carrying each node's previous label through the same `min`
-    * aggregation (tagged rows) makes "did anything change" a filter over
-    * the already-checkpointed result — no separate old-vs-new join job
-    * per round.
+    * is the production arrangement.
     *
     * Output: (`idCol`, `comp`) for every node that appears in some pair;
     * docs in no pair are their own singleton component by definition and
-    * are omitted (join back with a coalesce default when needed).
+    * are omitted (join back with a coalesce default when needed). The
+    * labeling (minimum id per component) is IDENTICAL to the previous
+    * min-label-propagation form, so every oracle built on it stays valid.
     */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame =
+    componentsWithRounds(pairs, aCol, bCol, maxIter, checkpointDir)._1
+
+  /** [[components]] plus the round count it took — exposed for the
+    * logarithmic-convergence spec (ComponentsSpec pins rounds ≤
+    * ⌈log₂ diameter⌉ + c on generated chain graphs).
+    */
+  private[graft] def componentsWithRounds(pairs: DataFrame, aCol: String,
+      bCol: String, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     // Reliable checkpoint requires a dir on the context; setting it is
     // idempotent (creates the directory, updates the path).
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = truncate(
-      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct())
-    var labels = edges.select(col("src").as(aCol)).distinct()
-      .withColumn("comp", col(aCol))
-    var converged = false
+    // Every endpoint, kept aside so self-pairs / nodes whose edges all
+    // collapse still appear in the output labeled as themselves.
+    val nodes = truncate(
+      fwd.select(col("src")).union(fwd.select(col("dst").as("src"))).distinct())
+    // Oriented distinct edges hi→lo; self-loops carry no connectivity.
+    var edges = truncate(
+      fwd.filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("hi"),
+          least(col("src"), col("dst")).as("lo"))
+        .distinct())
+    // Star forest ⇔ converged: every hi maps to exactly one lo, and no
+    // lo is itself a hi (every edge points straight at a component root).
+    def isStarForest(e: DataFrame): Boolean =
+      e.groupBy("hi").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).isEmpty &&
+        e.select(col("lo").as("hi")).join(e, Seq("hi"), "left_semi")
+          .limit(1).isEmpty
+    var converged = isStarForest(edges)
     var i = 0
     while (!converged && i < maxIter) {
-      // __own tags the node's current label; min(when(__own)) recovers it
-      // after the aggregate so the convergence probe needs no extra join.
-      val viaEdge = edges.join(labels.withColumnRenamed(aCol, "src"), "src")
-        .select(col("dst").as(aCol), col("comp"), lit(false).as("__own"))
-      val next = truncate(
-        labels.withColumn("__own", lit(true))
-          .union(viaEdge)
-          .groupBy(aCol).agg(
-            min("comp").as("comp"),
-            min(when(col("__own"), col("comp"))).as("__old")))
-      val changed = next.filter(col("comp") < col("__old")).limit(1).count()
-      labels = next.select(col(aCol), col("comp"))
-      converged = changed == 0L
+      // large-star: for each node u, attach larger neighbors to
+      // m = min(Γ(u) ∪ {u}). Emitted (v, m) always has v > u ≥ m, so the
+      // hi→lo orientation is preserved and no self-loops appear.
+      val und = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val lsMin = und.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = und.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // small-star: attach each node and all its smaller neighbors to
+      // their common minimum (edges already point large→small).
+      val ssMin = ls.groupBy("hi").agg(min("lo").as("m"))
+      val ss = ls.join(ssMin, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(ssMin.select(col("hi"), col("m").as("lo")))
+        .distinct()
+      edges = truncate(ss)
       i += 1
+      converged = isStarForest(edges)
     }
     require(converged, s"components did not converge in $maxIter rounds " +
-      "(graph diameter exceeds maxIter; raise it)")
-    labels
+      "(star-forest fixpoint not reached; rounds grow as log(diameter), " +
+      "so raise maxIter only for a genuinely pathological graph)")
+    val labels = nodes
+      .join(edges.withColumnRenamed("hi", "src"), Seq("src"), "left")
+      .select(col("src").as(aCol), coalesce(col("lo"), col("src")).as("comp"))
+    (labels, i)
   }
 
   /** [[cleanCorpus]] with TRANSITIVE near-dup removal: one survivor per

@@ -45,21 +45,36 @@ object VennDiff {
     * except/except/intersect), with map-side partial counts — the plan that
     * survives 100 TB.
     */
+  /** Output metadata columns [[counted]] appends — reserved: an input
+    * whose data columns intersect this set would be silently shadowed
+    * by `withColumn` (and its rows dropped from report dumps), so
+    * [[counted]] fails fast instead of producing a wrong answer on
+    * arbitrary avro inputs. The internal union tags are `__vd_`-prefixed
+    * for the same reason.
+    */
+  val ReservedCols: Set[String] =
+    Set("old_count", "new_count", "removed", "added", "common",
+      "__vd_o", "__vd_n")
+
   def counted(oldDf: DataFrame, newDf: DataFrame,
       cfg: DiffConfig = DiffConfig()): DataFrame = {
     val o = prep(oldDf, cfg)
     val n = prep(newDf, cfg)
     require(o.columns.sameElements(n.columns),
       s"old/new schemas differ: ${o.columns.toSeq} vs ${n.columns.toSeq}")
+    val clash = o.columns.filter(ReservedCols)
+    require(clash.isEmpty,
+      s"input columns ${clash.toSeq} collide with vennDiff count columns " +
+        s"$ReservedCols; rename or project them away (DiffConfig.keep/ignore)")
     val cols = o.columns.toSeq
 
     def tagged(df: DataFrame, oTag: Int, nTag: Int): DataFrame =
       df.select((cols.map(df.col) ++ Seq(
-        lit(oTag.toLong).as("__o"), lit(nTag.toLong).as("__n"))).toIndexedSeq: _*)
+        lit(oTag.toLong).as("__vd_o"), lit(nTag.toLong).as("__vd_n"))).toIndexedSeq: _*)
 
     tagged(o, 1, 0).unionAll(tagged(n, 0, 1))
       .groupBy(cols.map(col).toIndexedSeq: _*)
-      .agg(sum("__o").as("old_count"), sum("__n").as("new_count"))
+      .agg(sum("__vd_o").as("old_count"), sum("__vd_n").as("new_count"))
       .withColumn("removed", greatest(col("old_count") - col("new_count"), lit(0L)))
       .withColumn("added", greatest(col("new_count") - col("old_count"), lit(0L)))
       .withColumn("common", least(col("old_count"), col("new_count")))

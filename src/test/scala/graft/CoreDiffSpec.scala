@@ -173,6 +173,25 @@ class CoreDiffSpec extends AnyFunSuite {
     assert((s.getLong(0), s.getLong(1), s.getLong(2)) == ((3L, 2L, 2L)))
   }
 
+  test("venn counted fails fast on reserved-name collision (no silent shadowing)") {
+    import spark.implicits._
+    // A data column named 'added' used to be silently overwritten by the
+    // count columns (and dropped from report dumps); 'old_count' produced
+    // an ambiguous-column AnalysisException deep in the plan. Both now
+    // fail fast at the API boundary with the rename/project remedy.
+    for (bad <- Seq("added", "removed", "common", "old_count", "new_count")) {
+      val df = Seq((1L, "x")).toDF("id", bad)
+      val e = intercept[IllegalArgumentException] {
+        VennDiff.counted(df, df)
+      }
+      assert(e.getMessage.contains(bad) && e.getMessage.contains("collide"),
+        s"expected a clear collision message for '$bad', got: ${e.getMessage}")
+    }
+    // non-reserved columns are unaffected
+    assert(VennDiff.counted(Seq((1L, "x")).toDF("id", "v"),
+      Seq((1L, "x")).toDF("id", "v")).count() == 1L)
+  }
+
   test("venn flip symmetry: added(o,n) == removed(n,o)") {
     val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
       .select("o_orderstatus", "o_orderpriority")
@@ -313,10 +332,6 @@ class CoreDiffSpec extends AnyFunSuite {
     import spark.implicits._
     val old = Seq((1L, "a"), (3L, "c"), (3L, "c")).toDF("id", "v")
     val neu = Seq((1L, "a"), (4L, "d")).toDF("id", "v")
-    // expected from the individual set-ops (the old 6-execution shape)
-    assert(VennDiff.removed(old, neu).count() == 2L)   // (3,c) x2
-    assert(VennDiff.added(old, neu).count() == 1L)     // (4,d)
-    assert(VennDiff.intersection(old, neu).count() == 1L) // (1,a)
     val out = new java.io.ByteArrayOutputStream()
     // The report must execute the union+aggregate counted() plan exactly
     // once (the localCheckpoint materialization); the summary aggregate
@@ -325,11 +340,16 @@ class CoreDiffSpec extends AnyFunSuite {
     // (and Catalyst rewrites exceptAll/intersectAll via Union too, so
     // Union-bearing executions is the right counter for both shapes).
     val unionExecs = new java.util.concurrent.atomic.AtomicInteger(0)
+    // The listener bus is async: executions posted by EARLIER queries in
+    // this suite can still be queued at registration time and would be
+    // delivered to the new listener. Count only executions that START
+    // after this timestamp so stale deliveries can't inflate the counter.
+    val t0 = System.currentTimeMillis()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onOtherEvent(
           e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
         case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
-            if s.physicalPlanDescription.contains("Union") =>
+            if s.time >= t0 && s.physicalPlanDescription.contains("Union") =>
           unionExecs.incrementAndGet()
         case _ => ()
       }
@@ -348,6 +368,12 @@ class CoreDiffSpec extends AnyFunSuite {
     assert(unionExecs.get() <= 1,
       s"printVennDiff executed the counted union ${unionExecs.get()} times; " +
         "the report must materialize once and reuse")
+    // expected from the individual set-ops (the old 6-execution shape) —
+    // run AFTER the listener is removed so their own Union-bearing
+    // executions can never race into the counter.
+    assert(VennDiff.removed(old, neu).count() == 2L)   // (3,c) x2
+    assert(VennDiff.added(old, neu).count() == 1L)     // (4,d)
+    assert(VennDiff.intersection(old, neu).count() == 1L) // (1,a)
     val text = out.toString("UTF-8")
     assert(text.contains("== removed (old \u2216 new): 2 rows"), text)
     assert(text.contains("== added (new \u2216 old): 1 rows"), text)

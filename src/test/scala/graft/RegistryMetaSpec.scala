@@ -55,9 +55,13 @@ class RegistryMetaSpec extends AnyFunSuite {
     // tools/gates/exclusions.txt with a non-empty reason.
     import java.io.File
     val gateDir = new File("tools/gates")
+    // Only CORRECTNESS wave lists count as placement (sf100_wave*.txt by
+    // convention) — bench subset lists (bench_*.txt) and perf re-gate
+    // lists share the directory but timing a query is not gating it
+    // (round-14 ADVICE).
     val listFiles = gateDir.listFiles()
-      .filter(f => f.getName.endsWith(".txt") && f.getName != "exclusions.txt")
-    assert(listFiles.nonEmpty, "no gate lists under tools/gates")
+      .filter(f => f.getName.startsWith("sf100_wave") && f.getName.endsWith(".txt"))
+    assert(listFiles.nonEmpty, "no correctness wave lists under tools/gates")
     val listed = listFiles.flatMap { f =>
       val src = Source.fromFile(f, "UTF-8")
       try src.getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toList

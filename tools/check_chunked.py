@@ -83,10 +83,21 @@ def main():
             print(f"NOTICE: {tool} selfcheck SKIPPED "
                   f"(GRAFT_SIDECAR_SELFCHECK=0)")
             continue
-        r = subprocess.run(
-            [sys.executable, f"tools/{tool}", "--selfcheck", selfcheck_sf,
-             f"{out_dir}/oracle_sql.json"],
-            capture_output=True, text=True)
+        if not os.path.isdir(selfcheck_sf):
+            print(f"ABORT: {tool} selfcheck SF missing: {selfcheck_sf} — "
+                  f"set GRAFT_SIDECAR_SELFCHECK_SF to a small-SF dir on "
+                  f"this host, or GRAFT_SIDECAR_SELFCHECK=0 to opt out")
+            sys.exit(2)
+        try:
+            r = subprocess.run(
+                [sys.executable, f"tools/{tool}", "--selfcheck", selfcheck_sf,
+                 f"{out_dir}/oracle_sql.json"],
+                capture_output=True, text=True,
+                timeout=int(os.environ.get("GRAFT_SELFCHECK_TIMEOUT", "1800")))
+        except subprocess.TimeoutExpired:
+            print(f"ABORT: {tool} selfcheck timed out at {selfcheck_sf} — "
+                  f"sidecar verdicts would be untrusted")
+            sys.exit(2)
         if r.returncode != 0:
             sys.stdout.write(r.stdout)
             sys.stdout.write(r.stderr[-2000:] if r.stderr else "")
