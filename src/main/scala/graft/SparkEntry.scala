@@ -48,6 +48,36 @@ object SparkEntry {
       conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 64 === 0)
 
+  /** Deterministic synthetic image payload for the phash_dedup gate
+    * (576 ASCII chars = 72 grid cells × 8 identical bytes): base
+    * pattern from group p = doc_id/4, one-cell perturbation from
+    * member m = doc_id%4 — so the 4 docs of a group pair at Hamming
+    * ≤ 2 and distinct groups never pair, at every SF. Cell values are
+    * md5-mixed per (p, k) — a LINEAR map of p (the first cut used
+    * `(p·131) % 64`, whose period-64 pattern repeats made cross-group
+    * Hamming-0 pairs grow quadratically with corpus size — measured
+    * 6606 instead of 750 pairs at 500 docs. md5 makes the base
+    * patterns effectively unique per group, and evaluates identically
+    * in Spark and DuckDB (the stratum-predicate precedent). Values
+    * stay in 32..119 (single-byte UTF-8), so DuckDB's codepoint
+    * arithmetic rebuilds the identical byte stream.
+    */
+  private def phashPayload(docId: Column): Column = {
+    val p = shiftright(docId, 2)
+    val m = docId % 4
+    array_join(
+      transform(sequence(lit(0), lit(71)), k =>
+        call_function("repeat",
+          call_function("char",
+            lit(32) +
+              pmod(conv(substring(md5(concat_ws("_",
+                p.cast("string"), k.cast("string"))), 1, 4), 16, 10)
+                .cast("long"), lit(64)) +
+              when(k === 5, m * 8).otherwise(lit(0))),
+          lit(8))),
+      "")
+  }
+
   // --- derived old/new snapshots for the diff operators -------------------
   // Two overlapping subsets of `orders`, with a price perturbation on one
   // side, so keyDiff produces all four statuses and venn all three regions.
@@ -1924,6 +1954,29 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx"), col("frame_len"),
           md5(col("frame")).as("frame_md5"))
         .orderBy("doc_id", "frame_idx")),
+    // Perceptual-hash image dedup (LAION-style). phash64 hashes the real
+    // text-byte payload (per-row gate at every SF); phash_dedup runs the
+    // banded Hamming join over PLANTED synthetic image payloads (the
+    // redact_pii / html_extract fixture pattern): the corpus carries no
+    // byte-level near-identical texts below sf1, so the fixture derives
+    // a deterministic 576-byte "image" from doc_id — 72 blocks of 8
+    // identical ASCII bytes, groups of 4 consecutive ids share a base
+    // pattern, each member perturbs one grid cell — guaranteeing
+    // within-group pairs at Hamming ≤ 2 and cross-group non-pairs at
+    // every SF, in pure integer arithmetic the DuckDB oracle rebuilds
+    // byte-for-byte.
+    "phash64" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.dhash64(col("text").cast("binary")).as("phash"))
+        .orderBy("doc_id")),
+    "phash_dedup" -> ((s, dir) =>
+      Dedup.hamming64Pairs(
+        t(s, dir, "documents").select(col("doc_id"),
+          Multimodal.dhash64(phashPayload(col("doc_id")).cast("binary"))
+            .as("phash")),
+        "doc_id", "phash", maxHamming = 3)
+        .orderBy("a_id", "b_id")),
     "bpe_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -3903,31 +3956,8 @@ object SparkEntry {
          |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
          |FROM tr JOIN ev ON tr.s = ev.s
          |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
-    "decontam_embed" ->
-      // max-cosine tie breaks toward the smallest eval id on BOTH sides
-      // (Spark max_by(eval_id, (cos, -eval_id)) ≡ ORDER BY cos DESC,
-      // eval_id with row_number = 1)
-      """WITH e AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
-        |  sqrt(list_sum(list_transform(embedding,
-        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) nrm
-        |  FROM embeddings),
-        |c AS (SELECT * FROM e WHERE vec_id % 37 <> 0),
-        |q AS (SELECT * FROM e WHERE vec_id % 37 = 0),
-        |p AS (SELECT c.vec_id, q.vec_id eval_id,
-        |    round(list_sum(list_transform(range(1, len(c.v)+1),
-        |      i -> c.v[i] * q.v[i])) / (c.nrm * q.nrm), 4) cos
-        |  FROM c, q),
-        |hits AS (SELECT * FROM p WHERE cos >= 0.30),
-        |r AS (SELECT vec_id, eval_id, cos,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cos DESC, eval_id) rn,
-        |    max(cos) OVER (PARTITION BY vec_id) max_cos,
-        |    count(*) OVER (PARTITION BY vec_id) n_eval_hits
-        |  FROM hits)
-        |SELECT vec_id, eval_id, max_cos,
-        |  CAST(n_eval_hits AS BIGINT) AS n_eval_hits
-        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "decontam_embed" -> decontamEmbedOracle(""),
+    "decontam_embed_strat" -> decontamEmbedOracle(stratEmbWhere),
     "assoc_rules" ->
       // exact counts end-to-end; each score is one IEEE division (or
       // one product each side for lift) over exact integers
@@ -4681,19 +4711,8 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, neighbor_id) rn FROM p)
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
-    "embed_neardup" ->
-      """WITH e AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
-        |  sqrt(list_sum(list_transform(embedding,
-        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) nrm
-        |  FROM embeddings)
-        |SELECT a.vec_id a_id, b.vec_id b_id,
-        |  round(list_sum(list_transform(range(1, len(a.v)+1),
-        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE round(list_sum(list_transform(range(1, len(a.v)+1),
-        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.35
-        |ORDER BY a_id, b_id""".stripMargin,
+    "embed_neardup" -> embedNeardupOracle(""),
+    "embed_neardup_strat" -> embedNeardupOracle(stratEmbWhere),
     // Oracle recomputes the stub decode from the source text: payload is
     // the UTF-8 bytes of `text` (ASCII corpus), so byte_sum = Σ unicode(c).
     "media_meta" ->
@@ -4717,6 +4736,60 @@ object SparkEntry {
         |    AS frame_len,
         |  md5(substr(text, CAST(fi*256+1 AS INTEGER), 256)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // dHash over the real text payload: codepoint windows (ASCII corpus
+    // => byte == codepoint, the media_meta convention), integer
+    // cross-multiplied mean compare — no float ever exists to round.
+    "phash64" ->
+      """WITH cs AS (SELECT doc_id,
+        |  list_transform(regexp_extract_all(text, '.'), c -> unicode(c)) cs,
+        |  CAST(length(text) AS BIGINT) L FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_transform(range(0, 72), k ->
+        |    CAST(COALESCE(list_sum(cs[(k*L)//72 + 1 : ((k+1)*L)//72]), 0)
+        |      AS BIGINT)) sums,
+        |  list_transform(range(0, 72), k -> ((k+1)*L)//72 - (k*L)//72) cnts
+        |  FROM cs),
+        |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |    CASE WHEN sums[(b//8)*9 + (b%8) + 1] * cnts[(b//8)*9 + (b%8) + 2]
+        |            > sums[(b//8)*9 + (b%8) + 2] * cnts[(b//8)*9 + (b%8) + 1]
+        |      THEN 1 ELSE 0 END) bits FROM g)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0,63), j ->
+        |    bits[j+1] * (CAST(1 AS BIGINT) << j))) AS BIGINT)
+        |  + CASE WHEN bits[64] = 1 THEN -9223372036854775808
+        |         ELSE CAST(0 AS BIGINT) END AS phash
+        |FROM bits ORDER BY doc_id""".stripMargin,
+    // Planted-payload pair surface: each 8-byte block is one grid cell,
+    // so the oracle shortcuts the box filter to vals[k] (equal counts
+    // cancel in the cross-multiplied compare) — an independent spelling
+    // of the same hash; banding re-spelled as in simhash64PairsOracle.
+    "phash_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS p, doc_id % 4 AS m
+        |  FROM documents),
+        |v AS (SELECT doc_id, list_transform(range(0, 72), k ->
+        |    32 + ('0x' || substr(md5(p::VARCHAR || '_' || k::VARCHAR),
+        |                         1, 4))::BIGINT % 64
+        |      + CASE WHEN k = 5 THEN m*8 ELSE 0 END)
+        |  vals FROM d),
+        |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
+        |    CASE WHEN vals[(b//8)*9 + (b%8) + 1] > vals[(b//8)*9 + (b%8) + 2]
+        |      THEN 1 ELSE 0 END) bits FROM v),
+        |s AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0,63), j ->
+        |    bits[j+1] * (CAST(1 AS BIGINT) << j))) AS BIGINT)
+        |  + CASE WHEN bits[64] = 1 THEN -9223372036854775808
+        |         ELSE CAST(0 AS BIGINT) END AS sh
+        |  FROM bits),
+        |banded AS (SELECT doc_id, sh, unnest(range(0,4)) band FROM s),
+        |bv AS (SELECT doc_id, sh, band,
+        |  (sh >> CAST(band*16 AS INTEGER)) & 65535 AS v FROM banded),
+        |cand AS (SELECT a.doc_id a_id, b.doc_id b_id,
+        |    min(bit_count(CAST(xor(a.sh, b.sh) AS BIT))) hamming
+        |  FROM bv a JOIN bv b ON a.band = b.band AND a.v = b.v
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(hamming AS INTEGER) AS hamming FROM cand
+        |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
     "repetition" ->
       s"""WITH $toksCte,
          |b AS (SELECT doc_id, toks,

@@ -411,13 +411,26 @@ object Dedup {
     * to a handful of saturated buckets.
     */
   def simhash64Pairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hamming64Pairs(
+      df.select(col(idCol), simhash64(col(textCol)).as("__sh64")),
+      idCol, "__sh64", maxHamming)
+
+  /** Banded Hamming-≤k candidate pairs over an ALREADY-COMPUTED 64-bit
+    * sketch column — [[simhash64Pairs]]' band machinery factored out so
+    * every 64-bit content sketch (simhash, perceptual image dHash —
+    * [[Multimodal.dhash64]]) reuses the identical lossless-recall plan:
+    * 4×16-bit bands guarantee recall for Hamming ≤ 3 by pigeonhole, the
+    * shuffle key is (band, bandValue) — band buckets, never all-pairs.
+    */
+  def hamming64Pairs(sketches: DataFrame, idCol: String, shCol: String,
       maxHamming: Int = 3): DataFrame = {
     val bands = 4
     require(maxHamming <= bands - 1,
       s"4x16-bit banding only guarantees recall for Hamming <= ${bands - 1}")
     // same CollapseProject barrier as simhashPairs: one sketch evaluation
     // below the exchange, reused by both join sides
-    val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val sh = sketches.select(col(idCol).as("id"), col(shCol).as("sh"))
       .repartition(col("id"))
     val bandStructs = (0 until bands).map(b => struct(
       lit(b).as("band"),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{graft => bridge}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
@@ -211,4 +212,23 @@ object Multimodal {
           java.util.Arrays.copyOfRange(r.payload, from, until))
       }
     }
+
+  // ====== Perceptual-hash image dedup (LAION-style) =====================
+
+  /** 64-bit dHash of an opaque payload via the deterministic stub
+    * decode (byte-stream box filter into the 8×9 grid) — the
+    * oracle-gated spelling; see [[graft.functions.DHash64]]. Pure
+    * projection (map-side at any scale); near-dup pairs downstream via
+    * [[Dedup.hamming64Pairs]] — band buckets, never all-pairs.
+    */
+  def dhash64(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bridge.column(graft.functions.DHash64(bridge.expression(payload)))
+
+  /** 64-bit dHash of a REAL image payload (javax.imageio decode, 8×9
+    * grayscale box-downsample, same bit rule); null for payloads that
+    * don't decode — flagged rows, never task failures. Spec-pinned on
+    * synthesized PNGs (DuckDB can't decode images, so no SQL oracle).
+    */
+  def dhashImage64(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bridge.column(graft.functions.DHashImage64(bridge.expression(payload)))
 }

@@ -150,6 +150,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"jaccard estimate leaked into the aggregate:\n$p")
   }
 
+  test("phash_dedup: dHash computed once below a reused exchange, band-bucketed join") {
+    val p = planNoAqe("phash_dedup")
+    // same contract as the simhash64 band machinery it reuses: one sketch
+    // evaluation below the repartition barrier, both self-join sides read
+    // it back via ReusedExchange, and the join is the (band, v) equi-join
+    // — never all-pairs.
+    assert(p.contains("ReusedExchange"), s"self-join sides must reuse one exchange:\n$p")
+    assert("graft_dhash64".r.findAllIn(p).size == 1,
+      s"dHash must be evaluated exactly once, not inlined per consumer:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join must be an equi-join:\n$p")
+  }
+
   test("winnow_overlap: one fingerprint exchange feeds freq filter and both join sides") {
     val p = planNoAqe("winnow_overlap")
     assert(p.contains("ReusedExchange"), s"fingerprint exchange must be reused:\n$p")

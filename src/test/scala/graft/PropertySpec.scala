@@ -598,4 +598,65 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  // Same pin for the 1/64 md5(vec_id) embedding stratum behind the two
+  // quadratic-validator twins (round-14 verdict item 2). The synthetic
+  // corpus PLANTS a dense cluster inside the stratum (plus eval-slice
+  // members, vec_id % 37 == 0) so both comparisons are non-vacuous even
+  // though the driver fixtures are too sparse below sf1.
+  test("property: embed X_strat(embeddings) == X(embeddings.filter(md5 1/64 stratum))") {
+    import spark.implicits._
+    import graft.ops.{Decontam, Similarity}
+    def inStrat(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 64 == 0
+    }
+    val n = 4096L
+    val stratIds = (0L until n).filter(inStrat)
+    assert(stratIds.size > 30, s"degenerate stratum: ${stratIds.size}")
+    assert(stratIds.exists(_ % 37 == 0),
+      "fixture must contain an in-stratum eval vector (vec_id % 37 == 0)")
+    val rows = (0L until n).map { id =>
+      val v: Seq[Float] =
+        if (inStrat(id))
+          // dense cluster: pairwise cosine ≈ 1 clears both thresholds
+          (0 until 8).map(k => 1.0f + 0.001f * (((id + k) % 13).toFloat))
+        else
+          // scattered: deterministic pseudo-noise, mostly below threshold
+          (0 until 8).map(k => (((id * 31 + k * 17) % 97).toFloat - 48f) / 10f)
+      (id, v, (id % 3).toInt)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("strat_emb_prop").toString
+    try {
+      df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // the committed stratum predicate, re-spelled (pin target)
+      val strat = df.filter(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 64 === 0)
+      val expected = Map(
+        "embed_neardup_strat" ->
+          Similarity.nearDupPairsBlocked(strat, "vec_id", "embedding",
+            threshold = 0.35),
+        "decontam_embed_strat" ->
+          Decontam.embedOverlap(
+            strat.filter(col("vec_id") % 37 =!= 0),
+            strat.filter(col("vec_id") % 37 === 0),
+            "vec_id", "embedding", threshold = 0.30))
+      for ((name, exp) <- expected) {
+        val got = SparkEntry.queries(name)(spark, dir)
+          .collect().map(_.toString).sorted.toSeq
+        val want = exp.collect().map(_.toString).sorted.toSeq
+        assert(want.nonEmpty, s"$name: vacuous fixture (no in-stratum hits)")
+        assert(got == want,
+          s"$name diverged from the re-spelled stratum: " +
+            s"got ${got.size} rows, want ${want.size}")
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }

@@ -13,6 +13,58 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class RegistryMetaSpec extends AnyFunSuite {
 
+  test("gate provenance: every sf100-gated name's code hash is fresh") {
+    // Round-14 verdict item 3: the sf100 evidence spans several rounds
+    // and nothing asserted a name's engine code hadn't changed since its
+    // gate ran. tools/gates/provenance.json records, per gated name, the
+    // md5 of its SparkEntry query+oracle blocks and of the ops files the
+    // blocks reference; this test recomputes both from the CURRENT tree
+    // (via the same graft.tools.GateProvenance code the generator uses)
+    // and fails on any drift — the fix is to re-gate the name at sf100
+    // (or pin output-identity with a differential spec and spot re-gate
+    // the family), then `runMain graft.tools.GateProvenance refresh
+    // <name>... --note <adjudication>`.
+    import graft.tools.GateProvenance
+    val entries = GateProvenance.load()
+    assert(entries.nonEmpty,
+      s"${GateProvenance.ManifestPath} missing/empty — run " +
+        "`sbt \"runMain graft.tools.GateProvenance init\"`")
+    val listed = GateProvenance.waveLists()
+      .flatMap { case (w, ns) => ns.map(_ -> w) }
+    val source = {
+      val s = Source.fromFile("src/main/scala/graft/SparkEntry.scala", "UTF-8")
+      try s.mkString finally s.close()
+    }
+    val index = GateProvenance.objectIndex()
+    val allBlocks = GateProvenance.blocks(source, SparkEntry.queries.keySet)
+    val problems = listed.toSeq.sorted.flatMap { case (n, w) =>
+      entries.get(n) match {
+        case None => Some(s"$n: gated in $w but has no provenance entry")
+        case Some(e) =>
+          val fresh =
+            GateProvenance.compute(n, w, e.sha, e.note, allBlocks, index)
+          if (fresh.blockMd5 != e.blockMd5)
+            Some(s"$n: SparkEntry query/oracle block changed since its " +
+              s"gate at ${e.sha.take(9)}")
+          else {
+            val changed = (fresh.deps.keySet ++ e.deps.keySet)
+              .filter(p => fresh.deps.get(p) != e.deps.get(p))
+            if (changed.nonEmpty)
+              Some(s"$n: engine sources changed since its gate at " +
+                s"${e.sha.take(9)}: ${changed.mkString(", ")}")
+            else None
+          }
+      }
+    }
+    assert(problems.isEmpty,
+      "sf100 gate evidence is STALE for:\n  " + problems.mkString("\n  ") +
+        "\nre-gate at sf100 (or differential-pin + spot re-gate) and " +
+        "refresh provenance")
+    val orphans = entries.keySet -- listed.keySet
+    assert(orphans.isEmpty,
+      s"provenance entries for names no longer wave-listed: $orphans")
+  }
+
   test("queries and oracleSql carry identical key sets") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet

@@ -664,6 +664,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats(3L).n_bytes == 12L)
   }
 
+  test("multimodal: perceptual dHash — real PNG decode, brightness invariance, banded pairs") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // grayscale test pattern with a per-pixel luma function
+    def png(luma: (Int, Int) => Int, w: Int = 90, h: Int = 80): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = luma(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val pattern = (x: Int, y: Int) => ((x * 7 + y * 13) % 97) * 2 // 0..192
+    val media = Seq(
+      (1L, png(pattern)),
+      // uniform +10 brightness, no clipping: every cell mean shifts by
+      // exactly +10, so all neighbor comparisons — and the dHash — are
+      // IDENTICAL (the perceptual contract)
+      (2L, png((x, y) => pattern(x, y) + 10)),
+      // structurally different pattern
+      (3L, png((x, y) => ((x * 29 + y * 3) % 89) * 2)),
+      (4L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val hashed = media.select(col("doc_id"),
+      graft.ops.Multimodal.dhashImage64(col("payload")).as("ph"))
+    val h = hashed.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(h(4L).isEmpty, "undecodable payload must hash to null, not fail")
+    assert(h(1L) == h(2L),
+      s"uniform brightness shift must not change the dHash: ${h(1L)} vs ${h(2L)}")
+    val cross = java.lang.Long.bitCount(h(1L).get ^ h(3L).get)
+    assert(cross > 5, s"structurally different images too close: Hamming $cross")
+    // the banded pair machinery composes over the image hash
+    val pairs = Dedup.hamming64Pairs(
+        hashed.filter(col("ph").isNotNull), "doc_id", "ph", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0)), s"expected only the (1,2) pair: $pairs")
+  }
+
   test("multimodal: real WAV bytes decode to true audio metadata via javax.sound") {
     import spark.implicits._
     def wav(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {

@@ -19,7 +19,8 @@ import os
 import subprocess
 import sys
 
-SIDE_CAR = {"embed_neardup", "decontam_embed"}
+SIDE_CAR = {"embed_neardup", "decontam_embed",
+            "embed_neardup_strat", "decontam_embed_strat"}
 # Pre-tokenized LM-family sidecar (tools/lm_oracle.py): opt-in via
 # GRAFT_LM_SIDECAR=1 — the committed CTEs re-tokenize all of
 # `documents` per query, which is fine at the driver's sf0.01 but

@@ -91,32 +91,38 @@ def check(name, got_rows, want_rows):
     return False
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    ids, V32, norms = load(sf_dir)
-    con = duckdb.connect()
-    ok = True
+def strat_mask(ids):
+    """The committed 1/64 md5(vec_id) stratum (SparkEntry.stratEmb /
+    the stratEmbWhere DuckDB spelling), recomputed independently."""
+    import hashlib
+    return np.array([
+        int(hashlib.md5(str(int(v)).encode()).hexdigest()[:8], 16) % 64 == 0
+        for v in ids], dtype=bool)
 
-    # --- embed_neardup: all pairs cos >= 0.35, a_id < b_id ---------------
+
+def check_neardup(name, con, out_dir, ids, V32, norms, scope):
+    # all pairs within `scope` with cos >= 0.35, a_id < b_id
     t = 0.35
     pairs = {}
-    for i, j in candidates(V32, norms, np.ones(len(ids), bool),
-                           np.ones(len(ids), bool), t - 1e-4):
+    for i, j in candidates(V32, norms, scope, scope, t - 1e-4):
         if ids[i] < ids[j]:
             cos = spark_round4(exact_cos(V32[i], V32[j], norms[i], norms[j]))
             if cos >= t:
                 pairs[(int(ids[i]), int(ids[j]))] = cos
     want = [(a, b, c) for (a, b), c in pairs.items()]
     got = con.execute(
-        f"SELECT a_id, b_id, cos FROM read_parquet('{out_dir}/embed_neardup/*.parquet')"
+        f"SELECT a_id, b_id, cos FROM read_parquet('{out_dir}/{name}/*.parquet')"
     ).fetchall()
-    ok &= check("embed_neardup", got, want)
+    return check(name, got, want)
 
-    # --- decontam_embed: corpus vs every-37th eval slice, cos >= 0.30 ----
+
+def check_decontam(name, con, out_dir, ids, V32, norms, scope):
+    # corpus vs every-37th eval slice within `scope`, cos >= 0.30
     t = 0.30
     is_eval = (ids % 37 == 0)
     best = {}   # corpus vec_id -> (max_cos, eval_id, n_hits)
-    for i, j in candidates(V32, norms, ~is_eval, is_eval, t - 1e-4):
+    for i, j in candidates(V32, norms, scope & ~is_eval, scope & is_eval,
+                           t - 1e-4):
         cos = spark_round4(exact_cos(V32[i], V32[j], norms[i], norms[j]))
         if cos >= t:
             vid, eid = int(ids[i]), int(ids[j])
@@ -132,9 +138,36 @@ def main():
     want = [(vid, me, mc, n) for vid, (mc, me, n) in best.items()]
     got = con.execute(
         "SELECT vec_id, eval_id, max_cos, n_eval_hits "
-        f"FROM read_parquet('{out_dir}/decontam_embed/*.parquet')").fetchall()
-    ok &= check("decontam_embed", got, want)
+        f"FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()
+    return check(name, got, want)
 
+
+def main():
+    import os
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    ids, V32, norms = load(sf_dir)
+    con = duckdb.connect()
+    everything = np.ones(len(ids), bool)
+    strat = None  # computed lazily: md5 over 2M ids costs a few seconds
+    checkers = {
+        "embed_neardup": (check_neardup, False),
+        "embed_neardup_strat": (check_neardup, True),
+        "decontam_embed": (check_decontam, False),
+        "decontam_embed_strat": (check_decontam, True),
+    }
+    ok, ran = True, 0
+    for name, (fn, stratified) in checkers.items():
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            continue
+        if stratified and strat is None:
+            strat = strat_mask(ids)
+        ok &= fn(name, con, out_dir, ids, V32, norms,
+                 strat if stratified else everything)
+        ran += 1
+    if ran == 0:
+        print(f"FAIL embed_oracle: no known dumps under {out_dir} "
+              "(expected embed_neardup[_strat] / decontam_embed[_strat])")
+        ok = False
     sys.exit(0 if ok else 1)
 
 
