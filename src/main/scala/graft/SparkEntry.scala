@@ -129,6 +129,28 @@ object SparkEntry {
     * is small. At web scale prune the LM head first — same shape.
     */
   private def bigramCe(docs: DataFrame): DataFrame = {
+    // Pair-keyed barrier (the ngramJaccardPairs posture): the exploded
+    // pair stream is consumed TWICE — the LM count aggregate and the
+    // per-doc score join, both keyed by `pair` — and without a
+    // materialization boundary each consumer re-ran the corpus-scale
+    // explode (2 Generate subtrees in the round-15 final plan, 0
+    // ReusedExchange). Hash-partitioning BY THE PAIR lets ReuseExchange
+    // evaluate the explode once and runs the LM groupBy shuffle-free on
+    // the same exchange. count(doc_id) (not count(*)) keeps `doc_id`
+    // referenced below this consumer's exchange so its pruned schema —
+    // and therefore its exchange — matches the score join's and
+    // ReuseExchange unifies them (doc_id is the table's non-null key,
+    // so the count is identical).
+    // Deliberately NO pair-keyed barrier here (tried in round 15,
+    // reverted on measurement): a repartition(pair) barrier lets the LM
+    // aggregate and the score join share one exchange, but the exchange
+    // moves the RAW corpus pair stream (long strings), and measured at
+    // sf0.1 that shuffle costs more than re-running the codegen'd
+    // explode on a second scan (perplexity 1.19 s → 1.57 s with the
+    // barrier, ccnet_bucket 2.04 s → 2.5+ s). Recompute-over-move is
+    // the right trade for cheap map-side expressions; contrast
+    // ngramJaccardPairs, whose re-derived subtree (shingle explode +
+    // distinct) is far more expensive than its exchange.
     val pairs = docs.select(col("doc_id"),
       explode(TextAnalysis.mergePairs(col("text"))).as("pair"))
     val lm = pairs.groupBy("pair")

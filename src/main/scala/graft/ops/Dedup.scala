@@ -589,11 +589,18 @@ object Dedup {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // Materialize the PAIR LIST once: the caller's upstream (an LSH
+    // band join, an FS scoring pass, …) is the expensive part, and both
+    // `nodes` and `edges` below consume it — two separate checkpoints
+    // re-ran that whole upstream twice (measured 2× ~1.7 s of a 5.3 s
+    // closure at sf0.1; guide §1.2 "don't compute things twice").
+    val fwd = truncate(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     // Every endpoint, kept aside so self-pairs / nodes whose edges all
-    // collapse still appear in the output labeled as themselves.
-    val nodes = truncate(
-      fwd.select(col("src")).union(fwd.select(col("dst").as("src"))).distinct())
+    // collapse still appear in the output labeled as themselves. Derived
+    // from the materialized pair list — cheap to recompute at the final
+    // label join, so no checkpoint of its own.
+    val nodes =
+      fwd.select(col("src")).union(fwd.select(col("dst").as("src"))).distinct()
     // Oriented distinct edges hi→lo; self-loops carry no connectivity.
     var edges = truncate(
       fwd.filter(col("src") =!= col("dst"))
@@ -602,11 +609,15 @@ object Dedup {
         .distinct())
     // Star forest ⇔ converged: every hi maps to exactly one lo, and no
     // lo is itself a hi (every edge points straight at a component root).
+    // ONE aggregate job over the (tiny, checkpointed) edge set — the
+    // two-probe spelling (groupBy-count probe + semi-join probe) paid
+    // two job round-trips per round for the same answer.
     def isStarForest(e: DataFrame): Boolean =
-      e.groupBy("hi").agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).limit(1).isEmpty &&
-        e.select(col("lo").as("hi")).join(e, Seq("hi"), "left_semi")
-          .limit(1).isEmpty
+      e.select(col("hi").as("n"), lit(1L).as("h"), lit(0L).as("l"))
+        .union(e.select(col("lo").as("n"), lit(0L).as("h"), lit(1L).as("l")))
+        .groupBy("n").agg(sum(col("h")).as("nh"), sum(col("l")).as("nl"))
+        .filter(col("nh") > 1L || (col("nh") >= 1L && col("nl") >= 1L))
+        .limit(1).isEmpty
     var converged = isStarForest(edges)
     var i = 0
     while (!converged && i < maxIter) {
@@ -962,6 +973,18 @@ object Dedup {
     */
   private def nonFirstSpanOccurrences(base: DataFrame, idCol: String,
       spanLen: Int): DataFrame = {
+    // Span-keyed barrier (the ngramJaccardPairs posture): the exploded
+    // span stream is consumed TWICE — first-ownership aggregate and the
+    // join back — both keyed by `__span`; without a boundary each
+    // consumer re-ran the tokenize + explode + concat_ws pipeline (2
+    // Generate subtrees in the round-15 final plan, 0 ReusedExchange).
+    // One hash exchange on the span makes the groupBy shuffle-free and
+    // lets both join sides reuse it. The join already shuffled raw
+    // occurrences by span, so this adds NO new skew surface — it only
+    // moves the aggregate onto the exchange the join pays for anyway
+    // (a hot boilerplate span's rows were always co-located at the
+    // join; the mergeable-aggregate note below still holds for the
+    // post-exchange partial+final fold).
     val spans = base
       .where(size(col("__toks")) >= spanLen)
       .select(col(idCol),
@@ -970,6 +993,7 @@ object Dedup {
       .select(col(idCol), col("__i"),
         concat_ws(" ", slice(col("__toks"), col("__i") + 1, lit(spanLen)))
           .as("__span"))
+      .repartition(col("__span"))
     val firsts = spans.groupBy("__span")
       .agg(min(struct(col(idCol), col("__i"))).as("__first"),
         count(lit(1)).as("__cnt"))

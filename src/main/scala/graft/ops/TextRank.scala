@@ -41,12 +41,18 @@ object TextRank {
       .union(dir.select(col("b").as("a"), col("a").as("b"), col("w")))
       .groupBy("a", "b").agg(sum(col("w")).as("w"))
     val outW = edges.groupBy(col("a")).agg(sum(col("w")).as("__wout"))
-    // NOT cached: the ten iteration joins reference an identical frac
-    // subtree, which exchange reuse / the AQE stage cache deduplicates —
-    // and a cache inside a library op would leak executor memory past
-    // the call
+    // Materialized ONCE (localCheckpoint — the Dedup.components lineage
+    // precedent): the ten iteration joins all reference this subtree, and
+    // while AQE's stage cache deduplicates the shuffles at runtime, the
+    // un-truncated lineage made every bench pass re-analyze/re-plan a
+    // 200+-exchange tree and JIT ~10× the codegen units (the round-10
+    // "iterative queries read ~2× steady state in-suite" artifact was
+    // largest here). The relation is vocabulary-bounded (≤ V² edges
+    // regardless of corpus size — see the scale note above), so pinning
+    // it is O(vocab), never O(corpus), at any SF.
     val frac = edges.join(outW, "a")
       .select(col("a"), col("b"), (col("w") / col("__wout")).as("frac"))
+      .localCheckpoint()
     var pr = frac.select(col("a").as("token")).distinct()
       .withColumn("pr", lit(1.0))
     // Teleport constant via exact DECIMAL subtraction: `1.0 - 0.85` in
