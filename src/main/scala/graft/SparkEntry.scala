@@ -22,6 +22,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** `documents` with the small-input round-robin spread
+    * ([[Tables.spreadSmall]] — the guide-§2.5 unsplittable-input
+    * remedy): the test corpus is a single-rowgroup file, so every
+    * scan-rooted stage runs ONE task and the CPU-heavy text kernels
+    * serialize on it. Opt-IN per query, not blanket on the loader:
+    * measured at sf0.1, the spread pays for itself when ≥ ~0.5 s of
+    * kernel CPU sits below the first exchange (winnow 1.44→0.55 s,
+    * redact_pii 1.16→0.62 s, minhash_sig 1.10→0.64 s, ppjoin
+    * 4.37→3.55 s) and LOSES on queries whose kernels are light or
+    * whose operators re-derive the scan under several of their own
+    * barriers — the extra AQE stage per subtree costs more than the
+    * parallelism buys (lang_id 0.48→0.65 s, lsh_pairs 1.06→1.49 s,
+    * corpus_clean 1.36→1.84 s). Entries below pick whichever side
+    * their measurement favored.
+    */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.spreadSmall(s, s"$dir/documents.parquet",
+      t(s, dir, "documents"))
+
   /** Deterministic 1/8 md5-stratum of `documents` — the decade-evidence
     * input for the exact pair surfaces whose full-corpus exchanges
     * exceed the sandbox scratch disk at sf100. md5 of the stringified
@@ -1678,7 +1697,7 @@ object SparkEntry {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("fingerprint")),
     "minhash_sig" -> ((s, dir) =>
-      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.minhashSignatures(docsSpread(s, dir), "doc_id", "text")
         .select(col("doc_id"), concat_ws(",", col("sig")).as("sig"))
         .orderBy("doc_id")),
     "lsh_pairs" -> ((s, dir) =>
@@ -1705,7 +1724,7 @@ object SparkEntry {
       // EXACT Jaccard>=0.5 pairs via prefix filtering — the oracle is
       // the UNCAPPED all-pairs shingle join, so a green hash proves the
       // prefix+length filters dropped no true pair on this corpus
-      Dedup.ppjoinPairs(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.ppjoinPairs(docsSpread(s, dir), "doc_id", "text")
         .orderBy("a_id", "b_id")),
     "group_sketch" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
@@ -1789,7 +1808,7 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "winnow" -> ((s, dir) =>
-      t(s, dir, "documents")
+      docsSpread(s, dir)
         .select(col("doc_id"),
           TextAnalysis.winnow(col("text")).as("fps"))
         .select(col("doc_id"),
@@ -1797,7 +1816,7 @@ object SparkEntry {
           md5(concat_ws(",", col("fps"))).as("fp_digest"))
         .orderBy("doc_id")),
     "winnow_overlap" -> ((s, dir) =>
-      Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.winnowOverlapPairs(docsSpread(s, dir), "doc_id", "text")
         .orderBy("a_id", "b_id")),
     "lang_id" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -1813,7 +1832,7 @@ object SparkEntry {
         .select(col("doc_id") +: TextAnalysis.qualityColumns(col("text")): _*)
         .orderBy("doc_id")),
     "fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents")
+      docsSpread(s, dir)
         .select(col("doc_id") +: TextAnalysis.fingerprintColumns(col("text")): _*)
         .orderBy("doc_id")),
     "html_extract" -> ((s, dir) =>
@@ -1826,7 +1845,7 @@ object SparkEntry {
       // native extractor; the oracle rebuilds the same bytes and
       // extracts with regexp/string ops. Map-only at any scale.
       TextExtract.extract(
-        TextExtract.syntheticHtml(t(s, dir, "documents"), "doc_id", "text"),
+        TextExtract.syntheticHtml(docsSpread(s, dir), "doc_id", "text"),
         "html")
         .orderBy("doc_id")),
     "url_norm" -> ((s, dir) =>
@@ -1890,7 +1909,7 @@ object SparkEntry {
         lit("@mail.example.com or https://ex.example.org/d/"),
         col("doc_id").cast("string"),
         lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
-      t(s, dir, "documents")
+      docsSpread(s, dir)
         .select(col("doc_id").as("doc_id"), aug.as("text"))
         .select(col("doc_id") +: TextAnalysis.piiCounts(col("text")) :+
           md5(TextAnalysis.redactPii(col("text"))).as("red_md5"): _*)
@@ -1994,7 +2013,7 @@ object SparkEntry {
         .orderBy("doc_id")),
     "phash_dedup" -> ((s, dir) =>
       Dedup.hamming64Pairs(
-        t(s, dir, "documents").select(col("doc_id"),
+        docsSpread(s, dir).select(col("doc_id"),
           Multimodal.dhash64(phashPayload(col("doc_id")).cast("binary"))
             .as("phash")),
         "doc_id", "phash", maxHamming = 3)
@@ -2394,7 +2413,7 @@ object SparkEntry {
       // scored map-side against a broadcast m-row weight table, exact
       // integer margins — see ops/QualityClf for the model and the
       // 100 TB plan (model bounded by m, never corpus vocabulary)
-      QualityClf.score(t(s, dir, "documents"), "doc_id", "text",
+      QualityClf.score(docsSpread(s, dir), "doc_id", "text",
         QualityClf.hashWeights(s, 256), m = 256)
         .orderBy("doc_id")),
     "dsir_scores" -> ((s, dir) => {

@@ -826,6 +826,16 @@ object Dedup {
     val hsets = docs.select(col("id"),
       array_sort(array_distinct(transform(col("set"), s => xxhash64(s))))
         .as("hs"))
+    // Every explicit repartition in this operator PINS the partition
+    // count (the editJoin posture): the exchanges here carry few BYTES
+    // (8-byte fingerprints) but feed CPU-heavy stages (rank window,
+    // Σfreq² candidate join, array_intersect verification), and AQE —
+    // which coalesces by input bytes — collapsed them to 4 partitions
+    // at sf0.1/local[32], serializing ~4.6 s of stage CPU onto 4 tasks
+    // (round-15 stage profile). The pinned count is the session
+    // shuffle parallelism, so it scales with the cluster, not a local
+    // constant.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     // Fingerprint-keyed barrier, same posture as [[ngramJaccardPairs]]:
     // the exploded relation feeds the frequency count AND the prefix
     // join; one exchange hash-partitioned by `h` lets ReuseExchange
@@ -836,7 +846,7 @@ object Dedup {
     // aggregate next to the rank.
     val sh = hsets.select(col("id"), size(col("hs")).as("n_sh"),
         explode(col("hs")).as("h"))
-      .repartition(col("h"))
+      .repartition(parts, col("h"))
     // The `when` is vacuous (n_sh is a non-null size ≥ 0) but keeps BOTH
     // non-key columns referenced in this consumer, so its pruned schema
     // — and therefore its exchange — matches the prefix join's and
@@ -844,11 +854,20 @@ object Dedup {
     val freq = sh.groupBy("h")
       .agg(count(when(col("n_sh") >= 0, col("id"))).as("f"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    // The pinned id-repartition satisfies the window's required
+    // distribution at full parallelism (its ENSURE_REQUIREMENTS
+    // exchange was one of the two AQE-coalesced 4-task stages); the
+    // pinned h-repartition after the prefix filter gives the candidate
+    // self-join ONE reused, full-width exchange for both sides instead
+    // of a runtime broadcast of the whole prefix relation probed on 4
+    // tasks.
     val prefix = sh.join(freq, "h")
+      .repartition(parts, col("id"))
       .select(col("id"), col("h"), col("n_sh").cast("long").as("n_sh"),
         row_number().over(byDoc.orderBy(col("f"), col("h"))).as("p"))
       .filter(col("p") <=
         col("n_sh") - ceil(col("n_sh") * lit(minJaccard) - eps).cast("long") + 1L)
+      .repartition(parts, col("h"))
     // Candidate join with BOTH classic prunes applied per collision row:
     //   - length filter: J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|);
     //   - positional filter: a collision at ranks (pa, pb) bounds the
@@ -870,7 +889,12 @@ object Dedup {
         least(col("a_n"), col("b_n")).cast("double") >=
           greatest(col("a_n"), col("b_n")) * lit(minJaccard) - eps &&
         posUb.cast("double") >= oReq)
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id")
+      // pinned-count dedup (repartition + dropDuplicates, the editJoin
+      // spelling): the downstream array_intersect verification rides
+      // this exchange's parallelism, and AQE would coalesce the small
+      // pair bytes onto a handful of tasks
+      .repartition(parts, col("a_id"), col("b_id")).dropDuplicates()
     cand
       .join(hsets.select(col("id").as("a_id"), col("hs").as("a_hs")), "a_id")
       .join(hsets.select(col("id").as("b_id"), col("hs").as("b_hs")), "b_id")

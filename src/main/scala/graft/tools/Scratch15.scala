@@ -52,6 +52,28 @@ object Scratch15 {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           time(q) { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         }
+      case "stages" =>
+        // per-stage wall/cpu breakdown for ONE query
+        val q = sys.env.getOrElse("SCRATCH_QUERIES", "ppjoin_pairs").split(",").head
+        val fn = graft.SparkEntry.queries(q)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val stages = new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, String, Int)]
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+            stages.synchronized {
+              stages += ((si.stageId, wall, si.taskMetrics.executorRunTime,
+                si.name.take(80), si.numTasks))
+            }
+          }
+        })
+        time(q) { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        Thread.sleep(800)
+        stages.sortBy(-_._2).take(25).foreach { case (id, w, cpu, n, t) =>
+          println(f"[stage] id=$id%-4d wall=${w}%5d ms cpu=${cpu}%6d ms tasks=$t%-3d $n")
+        }
       case "final" =>
         // AQE-final executed plan + per-query time for named queries
         val names = sys.env.getOrElse("SCRATCH_QUERIES", "edit_pairs").split(",").toSeq
