@@ -372,6 +372,12 @@ object SparkEntry {
       // (round-5 advice)
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_avro_e2e_" + dir.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      // Deliberately NOT spread (tried in round 15, reverted on
+      // measurement): spreading the write inputs parallelizes the two
+      // single-task avro encodes but produces 32 tiny container files
+      // whose per-file open/footer cost on the read-back side exceeds
+      // the encode saving at this size (1.89 s -> 2.55 s at sf0.1) —
+      // guide §6 "small files hurt twice".
       ordersOld(s, dir).write.format("avro").mode("overwrite")
         .save(s"$tmp/old")
       ordersNew(s, dir).write.format("avro").mode("overwrite")
@@ -1790,7 +1796,13 @@ object SparkEntry {
     // fixture structure (TESTDATA.md). Oracles re-spell the same
     // stratum predicate in the docs CTE.
     "ppjoin_pairs_strat" -> ((s, dir) =>
-      Dedup.ppjoinPairs(stratDocs(s, dir), "doc_id", "text")
+      // pinParallelism=false: the 1/8 stratum is deliberately small at
+      // the test SFs, and the full-width pinned exchanges that rescue
+      // the corpus-scale run serialize to pure task-dispatch overhead
+      // here (0.78 s -> 1.64 s at sf0.1 when pinned) — AQE sizes the
+      // slice's stages correctly
+      Dedup.ppjoinPairs(stratDocs(s, dir), "doc_id", "text",
+          pinParallelism = false)
         .orderBy("a_id", "b_id")),
     "ngram_jaccard_strat" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(stratDocs(s, dir), "doc_id", "text")

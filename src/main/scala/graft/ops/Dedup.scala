@@ -807,8 +807,17 @@ object Dedup {
     * length, never a whale key); verification joins touch only
     * candidate pairs.
     */
+  /** @param pinParallelism keep the operator's exchanges at the session
+    *   shuffle parallelism (see the `parts` note below). True for
+    *   corpus-scale callers; callers feeding a SMALL slice (the md5
+    *   strat twins at low SF) pass false and let AQE size the stages —
+    *   measured at sf0.1 the pins cost the 1/8-stratum run 0.78→1.64 s
+    *   in pure empty-task dispatch while saving the full-corpus run
+    *   ~0.8 s of 4-task serialization.
+    */
   def ppjoinPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+      n: Int = 3, minJaccard: Double = 0.5,
+      pinParallelism: Boolean = true): DataFrame = {
     // All float pruning bounds carry a 1e-9 slack on the PRUNING side:
     // a last-ulp rounding error may admit one extra candidate (exact
     // verification removes it) but must never drop a true pair.
@@ -836,6 +845,13 @@ object Dedup {
     // shuffle parallelism, so it scales with the cluster, not a local
     // constant.
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // The pinned exchanges exist ONLY for the corpus-scale caller: when
+    // pinParallelism is false they are omitted entirely, restoring the
+    // original plan shapes (ENSURE_REQUIREMENTS window exchange, runtime
+    // broadcast prefix join, ENSURE dedup) that AQE sizes correctly for
+    // a small slice.
+    def rep(d: DataFrame, cols: Column*): DataFrame =
+      if (pinParallelism) d.repartition(parts, cols: _*) else d
     // Fingerprint-keyed barrier, same posture as [[ngramJaccardPairs]]:
     // the exploded relation feeds the frequency count AND the prefix
     // join; one exchange hash-partitioned by `h` lets ReuseExchange
@@ -844,9 +860,13 @@ object Dedup {
     // so both consumers' exchanges stay identical.
     // n_sh rides the explode as size(hs) — map-side, no second window
     // aggregate next to the rank.
-    val sh = hsets.select(col("id"), size(col("hs")).as("n_sh"),
+    val sh0 = hsets.select(col("id"), size(col("hs")).as("n_sh"),
         explode(col("hs")).as("h"))
-      .repartition(parts, col("h"))
+    // the h-barrier itself predates the pinning and must stay in both
+    // modes (it is what lets ReuseExchange evaluate the shingling once);
+    // only its COUNT is mode-dependent
+    val sh = if (pinParallelism) sh0.repartition(parts, col("h"))
+      else sh0.repartition(col("h"))
     // The `when` is vacuous (n_sh is a non-null size ≥ 0) but keeps BOTH
     // non-key columns referenced in this consumer, so its pruned schema
     // — and therefore its exchange — matches the prefix join's and
@@ -861,13 +881,12 @@ object Dedup {
     // self-join ONE reused, full-width exchange for both sides instead
     // of a runtime broadcast of the whole prefix relation probed on 4
     // tasks.
-    val prefix = sh.join(freq, "h")
-      .repartition(parts, col("id"))
+    val prefix = rep(rep(sh.join(freq, "h"), col("id"))
       .select(col("id"), col("h"), col("n_sh").cast("long").as("n_sh"),
         row_number().over(byDoc.orderBy(col("f"), col("h"))).as("p"))
       .filter(col("p") <=
-        col("n_sh") - ceil(col("n_sh") * lit(minJaccard) - eps).cast("long") + 1L)
-      .repartition(parts, col("h"))
+        col("n_sh") - ceil(col("n_sh") * lit(minJaccard) - eps).cast("long") + 1L),
+      col("h"))
     // Candidate join with BOTH classic prunes applied per collision row:
     //   - length filter: J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|);
     //   - positional filter: a collision at ranks (pa, pb) bounds the
@@ -894,7 +913,7 @@ object Dedup {
       // spelling): the downstream array_intersect verification rides
       // this exchange's parallelism, and AQE would coalesce the small
       // pair bytes onto a handful of tasks
-      .repartition(parts, col("a_id"), col("b_id")).dropDuplicates()
+      .transform(d => rep(d, col("a_id"), col("b_id"))).dropDuplicates()
     cand
       .join(hsets.select(col("id").as("a_id"), col("hs").as("a_hs")), "a_id")
       .join(hsets.select(col("id").as("b_id"), col("hs").as("b_hs")), "b_id")
