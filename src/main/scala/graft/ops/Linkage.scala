@@ -78,15 +78,21 @@ object Linkage {
       (col(keyCol) +: blockCols.map(col)) ++
         fields.map(f => f.value.as(s"__f_${f.name}")): _*)
     // u per field: collision probability of its value distribution,
-    // exact Σ n_v² / n² — one histogram aggregate each, 1-row broadcast
-    val withU = fields.foldLeft(base) { (acc, f) =>
-      val hist = base.groupBy(col(s"__f_${f.name}"))
+    // exact Σ n_v² / n² — one histogram aggregate each. The per-field
+    // 1-row frames are cross-joined together FIRST (1-row × 1-row,
+    // trivial) and attached to the data side with ONE broadcast
+    // cross join: the previous per-field fold paid a broadcast
+    // nested-loop join against the data relation per field, ×2 again
+    // for the self-join's two sides (round-15: ~6 broadcast builds for
+    // 3 fields).
+    val uRow = fields.map { f =>
+      base.groupBy(col(s"__f_${f.name}"))
         .agg(count(lit(1)).as("__c"))
         .agg((sum(col("__c") * col("__c")).cast("double") /
               (sum(col("__c")) * sum(col("__c"))).cast("double"))
           .as(s"__u_${f.name}"))
-      acc.crossJoin(broadcast(hist))
-    }
+    }.reduce(_.crossJoin(_))
+    val withU = base.crossJoin(broadcast(uRow))
     val a = withU.as("a")
     val b = withU.as("b")
     val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
