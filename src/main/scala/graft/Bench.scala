@@ -44,6 +44,20 @@ object Bench {
       // split to the session parallelism — a test-data artifact knob: at
       // production scale files dwarf 4 MB and this setting is a no-op.
       .config("spark.sql.files.openCostInBytes", "131072")
+      // The reduce-side twin of the same artifact: sf0.1 shuffle
+      // partitions are a few hundred KB compressed, and AQE's default
+      // 1 MB minPartitionSize merges them to 1-4 tasks — reduce-side
+      // compute (sorts, clip joins, verification filters) then runs on
+      // 1-4 of 32 cores (round-15 stage profiles: winsorize's final
+      // sort on 3 tasks). A 64 KB floor keeps small-data stages at the
+      // session parallelism; at production scale partitions dwarf 1 MB
+      // and the setting never binds (advisoryPartitionSizeInBytes
+      // governs instead). Measured A-B-A on the 50 heaviest
+      // non-streaming queries: 60.2 / 66.7 s control vs 51.7 s with the
+      // floor (min-of-2 each); streaming is untouched (AQE is disabled
+      // in stateful workloads).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "65536"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
