@@ -148,18 +148,6 @@ object SparkEntry {
     * is small. At web scale prune the LM head first — same shape.
     */
   private def bigramCe(docs: DataFrame): DataFrame = {
-    // Pair-keyed barrier (the ngramJaccardPairs posture): the exploded
-    // pair stream is consumed TWICE — the LM count aggregate and the
-    // per-doc score join, both keyed by `pair` — and without a
-    // materialization boundary each consumer re-ran the corpus-scale
-    // explode (2 Generate subtrees in the round-15 final plan, 0
-    // ReusedExchange). Hash-partitioning BY THE PAIR lets ReuseExchange
-    // evaluate the explode once and runs the LM groupBy shuffle-free on
-    // the same exchange. count(doc_id) (not count(*)) keeps `doc_id`
-    // referenced below this consumer's exchange so its pruned schema —
-    // and therefore its exchange — matches the score join's and
-    // ReuseExchange unifies them (doc_id is the table's non-null key,
-    // so the count is identical).
     // Deliberately NO pair-keyed barrier here (tried in round 15,
     // reverted on measurement): a repartition(pair) barrier lets the LM
     // aggregate and the score join share one exchange, but the exchange
@@ -778,12 +766,23 @@ object SparkEntry {
     "q16_suppcnt" -> ((s, dir) => {
       // TPC-H Q16 (supplier count per part attribute): the NOT-IN
       // complaints exclusion becomes an anti join against the (tiny,
-      // broadcast) negative-balance supplier list; distinct
-      // (part, supplier) pairs derive from lineitem.
+      // broadcast) negative-balance supplier list.
+      //
+      // NO pre-`distinct()` on (l_partkey, l_suppkey) (round-16,
+      // guide §2.4 "remove shuffles outright"): the SQL's DISTINCT-
+      // pairs subquery is subsumed by count(DISTINCT l_suppkey) itself
+      // — duplicates pass the anti join identically, the part join is
+      // key-unique (p_partkey is the PK) so multiplicity never changes
+      // a group's supplier SET, and countDistinct's own two-level
+      // aggregate dedupes (brand, type, size, suppkey) map-side before
+      // its exchange. The explicit distinct paid one extra full-width
+      // Exchange + aggregate over every lineitem row for rows the
+      // count-distinct partial would dedupe anyway (one fewer wide
+      // Exchange in the plan; A/B numbers in OPTIMIZATION_r16.md).
       val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
         .select("s_suppkey")
       t(s, dir, "lineitem")
-        .select("l_partkey", "l_suppkey").distinct()
+        .select("l_partkey", "l_suppkey")
         .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
           "left_anti")
         .join(t(s, dir, "part").filter(col("p_brand") =!= "Brand#1" &&

@@ -39,15 +39,22 @@ object Tables {
     * spread cannot change a result.
     */
   def spreadSmall(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
-    val max = sys.env.get("SPARK_GRAFT_SPREAD_MAX").map(_.toLong)
+    // Malformed override values fall back to the 1 GiB default rather
+    // than crashing table loading; the knob is a test-harness dial, not
+    // a correctness input.
+    val max = sys.env.get("SPARK_GRAFT_SPREAD_MAX")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
       .getOrElse(1L << 30)
-    val f = new java.io.File(path)
-    val bytes =
-      if (f.isFile) f.length
-      else if (f.isDirectory)
-        Option(f.listFiles()).map(_.filter(_.isFile).map(_.length).sum)
-          .getOrElse(0L)
-      else 0L
+    // Size via the Hadoop FileSystem so the gate also resolves on
+    // non-local filesystems (hdfs://, s3a://) — java.io.File reads 0
+    // there and the spread would silently never apply. An unreadable /
+    // missing path sizes as 0 and the spread is skipped (the scan
+    // itself will raise the real error).
+    val bytes = scala.util.Try {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(hPath).getLength
+    }.getOrElse(0L)
     if (bytes > 0L && bytes <= max)
       df.repartition(spark.sparkContext.defaultParallelism)
     else df

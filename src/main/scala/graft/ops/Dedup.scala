@@ -806,8 +806,8 @@ object Dedup {
     * per-doc rank window partitions by doc id (bounded by document
     * length, never a whale key); verification joins touch only
     * candidate pairs.
-    */
-  /** @param pinParallelism keep the operator's exchanges at the session
+    *
+    * @param pinParallelism keep the operator's exchanges at the session
     *   shuffle parallelism (see the `parts` note below). True for
     *   corpus-scale callers; callers feeding a SMALL slice (the md5
     *   strat twins at low SF) pass false and let AQE size the stages —

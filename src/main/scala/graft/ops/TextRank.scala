@@ -28,8 +28,17 @@ import org.apache.spark.sql.functions._
   */
 object TextRank {
 
+  /** @param checkpointDir truncation mechanism for the edge relation
+    *   (the [[Dedup.components]] convention): unset ⇒ `localCheckpoint`
+    *   (fast, non-reliable blocks — an executor loss mid-query aborts
+    *   it; fine on local/test runs); set ⇒ reliable `checkpoint` to
+    *   that directory, which survives executor loss — the production
+    *   arrangement.
+    */
   def keywords(docs: DataFrame, textCol: String, damping: Double = 0.85,
-      iters: Int = 10, topK: Int = 20): DataFrame = {
+      iters: Int = 10, topK: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
     val dir = docs
       .select(explode(TextAnalysis.mergePairs(col(textCol))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).cast("double").as("w"))
@@ -50,9 +59,10 @@ object TextRank {
     // largest here). The relation is vocabulary-bounded (≤ V² edges
     // regardless of corpus size — see the scale note above), so pinning
     // it is O(vocab), never O(corpus), at any SF.
-    val frac = edges.join(outW, "a")
+    val frac0 = edges.join(outW, "a")
       .select(col("a"), col("b"), (col("w") / col("__wout")).as("frac"))
-      .localCheckpoint()
+    val frac =
+      if (checkpointDir.isDefined) frac0.checkpoint() else frac0.localCheckpoint()
     var pr = frac.select(col("a").as("token")).distinct()
       .withColumn("pr", lit(1.0))
     // Teleport constant via exact DECIMAL subtraction: `1.0 - 0.85` in

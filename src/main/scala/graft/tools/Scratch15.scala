@@ -109,7 +109,6 @@ object Scratch15 {
           graft.streaming.EventStream.capturedProgress.clear()
           time(q) { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
           graft.streaming.EventStream.capturedProgress.foreach { j =>
-            val keep = "\"(durationMs|numInputRows|batchId)\"?[^,}]*".r
             println(s"[progress:$q] " + j.replaceAll("\\s+", " ").take(1400))
           }
         }
