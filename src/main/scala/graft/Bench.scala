@@ -119,7 +119,12 @@ object Bench {
     // execution immediately before their timed run, so the min-of-3
     // sees one steady-state sample. Costs ~5 s of untimed wall clock;
     // removes the ~1.7 s/query artifact from the headline.
-    val rewarm = Set("pagerank", "textrank")
+    // edit_pairs added round 16 (round-15 verdict item 5): same artifact,
+    // measured this round at 2.18 s isolated vs 2.70 s in-suite on the
+    // same host — the SymSpell plan's many generated variant-projection
+    // classes re-warm after ~580 intervening compilations exactly like
+    // the iterative queries'.
+    val rewarm = Set("pagerank", "textrank", "edit_pairs")
     // Pass count knob for the LARGE-SF benches only (sf100's heavy subset
     // runs min-of-2 to fit the wall clock); the driver sets nothing and
     // gets the standard min-of-3 protocol.

@@ -16,6 +16,10 @@ object Scratch15 {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // mirror the Bench session confs (round 16): profiles must see the
+      // same scan splits / codegen-cache behavior the bench times
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.files.openCostInBytes", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[T](label: String)(f: => T): T = {
